@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line the driver records as BENCH_r{N}.json.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.  Each query is forced
+with a noop write (no driver-side collect, measures the full distributed
+plan), warmed once, then timed best-of-2.  Compare against BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline queries (subset of the registry that maps onto BASELINE.md rows)
+HEADLINE = [
+    "agg_group_sum",        # BASELINE: Q1-style pricing summary 0.56 s
+    "join_3table_topk",     # BASELINE: 3-table join + top-10   1.56 s
+    "join_multiway",        # BASELINE: 5-table star join        1.09 s
+    "win_running_frame",    # BASELINE: window rank+running sum  0.07 s
+    "agg_count_distinct",   # BASELINE: distinct per event_type  0.21 s
+    "agg_approx_distinct",
+    "topk_limit",
+    "dedup_exact",
+    "text_minhash_dedup",
+    "sim_cosine_topk",
+]
+
+
+def main() -> None:
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import get_spark
+
+    all_queries()  # trigger registration
+    spark = get_spark(app_name="cassandra-syncer-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY.get(name)
+        if spec is None:
+            continue
+        df = spec.fn(spark, SF_DIR)
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        run()  # warm: JIT, shuffle service, file listing
+        timings[name] = round(min(run(), run()), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_warm",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
