@@ -1,3 +1,3 @@
 """Import every query module so its ``@register`` decorators run."""
 
-from cassandra_syncer_spark.queries import relational  # noqa: F401
+from cassandra_syncer_spark.queries import joins, relational, windows  # noqa: F401
