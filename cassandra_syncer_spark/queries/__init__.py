@@ -1,3 +1,14 @@
 """Import every query module so its ``@register`` decorators run."""
 
-from cassandra_syncer_spark.queries import joins, relational, windows  # noqa: F401
+from cassandra_syncer_spark.queries import (  # noqa: F401
+    joins,
+    llm_dedup,
+    llm_similarity,
+    llm_text,
+    llm_udf,
+    multimodal,
+    relational,
+    scalar_funcs,
+    streaming_source,
+    windows,
+)

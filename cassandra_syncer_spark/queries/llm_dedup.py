@@ -1,0 +1,288 @@
+"""Deduplication operators — the mandated training-data-pipeline surface:
+exact (hash), MinHash+LSH banding, SimHash-band near-dup, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All variants share the same scale shape: derive a compact key per document
+(hash / band key / block key), shuffle once on that key, and only ever
+compare candidate pairs *within* a bucket — never all pairs.  At 100 TB the
+bucket join is the only quadratic term, and it is bounded by bucket size
+(see operators/fingerprint.py for the banding math).
+
+Every query here is oracle-checked: the fingerprint hashes are md5-derived
+so DuckDB evaluates identical formulas (no MLlib/JVM-specific hashing on
+the checked paths; the MLlib LSH variant lives in llm_similarity.py as a
+rows-only query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.operators import fingerprint as fp
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+
+@register(
+    "dedup_exact_text",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_dup_rows
+    FROM documents
+    """,
+)
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup summary: md5-of-text identity (the reference's
+    etag semantics, storage-object.js:123-124) over the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).cast("long").alias("n_dup_rows"),
+    )
+
+
+def _minhash_cte(duck: bool) -> str:
+    """CTE producing (doc_id, mh0..mh7) from documents.
+
+    One md5 per shingle (``hb``), then the 8 permutations by universal
+    hashing — see operators/fingerprint.py.
+    """
+    words = fp.words_expr("text", duck=duck)
+    sh = fp.shingles_expr("words", duck=duck)
+    mh = ", ".join(
+        f"{fp.minhash_expr('hb', p, duck=duck)} AS mh{p}" for p in range(fp.NUM_PERMS)
+    )
+    return f"""
+      WITH w AS (SELECT doc_id, {words} AS words FROM documents),
+      s AS (SELECT doc_id, {sh} AS sh FROM w),
+      hb AS (SELECT doc_id, {fp.shingle_hash_array('sh', duck=duck)} AS hb FROM s),
+      sig AS (SELECT doc_id, {mh} FROM hb)
+    """
+
+
+def _band_union(duck: bool) -> str:
+    """UNION ALL of one row per (doc_id, band_id, band_key)."""
+    parts = []
+    for b in range(fp.BANDS):
+        key = fp.band_key_expr([f"mh{p}" for p in range(fp.NUM_PERMS)], b, duck=duck)
+        parts.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+_MINHASH_SQL_TEMPLATE = """
+    {cte},
+    bands AS ({bands}),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band_id
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_shared_bands
+    FROM pairs GROUP BY doc_a, doc_b
+"""
+
+
+@register(
+    "text_minhash_dedup",
+    oracle=_MINHASH_SQL_TEMPLATE.format(cte=_minhash_cte(True), bands=_band_union(True)),
+)
+def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → one md5 per
+    shingle → 8 universal-hash permutations → 4 bands of 2 → bucket-local
+    pair generation.
+
+    Scale shape: the md5 pass happens exactly once (staged projections keep
+    Catalyst from inlining the hash array into its 8 consumers), the only
+    shuffle is groupBy(band_key), and pairs are expanded from each bucket's
+    sorted id array — cost bounded by bucket size², never corpus².  Banding
+    math in operators/fingerprint.py.
+    """
+    docs = T(spark, sf_dir, "documents")
+    words = fp.words_expr("text", duck=False)
+    sh = fp.shingles_expr("words", duck=False)
+    sig = (
+        docs.selectExpr("doc_id", f"{words} AS words")
+        .selectExpr("doc_id", f"{sh} AS sh")
+        .selectExpr("doc_id", f"{fp.shingle_hash_array('sh', duck=False)} AS hb")
+        .selectExpr(
+            "doc_id",
+            *[
+                f"{fp.minhash_expr('hb', p, duck=False)} AS mh{p}"
+                for p in range(fp.NUM_PERMS)
+            ],
+        )
+    )
+    band_keys = [
+        fp.band_key_expr([f"mh{p}" for p in range(fp.NUM_PERMS)], b, duck=False)
+        for b in range(fp.BANDS)
+    ]
+    bands = sig.selectExpr(
+        "doc_id", f"posexplode(array({', '.join(band_keys)})) AS (band_id, band_key)"
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.selectExpr(
+        """
+        inline(flatten(transform(
+            sequence(1, size(ids) - 1),
+            i -> transform(slice(ids, i + 1, size(ids) - i),
+                           y -> named_struct('doc_a', ids[i-1], 'doc_b', y))
+        ))) AS (doc_a, doc_b)
+        """
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_bands")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars, list_distinct(string_split(text, ' ')) AS uw
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+           round(CAST(len(list_intersect(a.uw, b.uw)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.uw, b.uw))), 4) AS jaccard
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard over blocked candidate pairs.
+
+    Blocking key = (lang, n_chars): the verify stage of a near-dup pipeline
+    runs exact Jaccard only on candidates, here ~tens of pairs instead of
+    125k all-pairs.  At scale the blocking key is the MinHash band from
+    text_minhash_dedup; the verify join is identical.
+    """
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.array_distinct(F.split("text", " ")).alias("uw")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.uw"), F.col("b.uw")))
+    union = F.size(F.array_union(F.col("a.uw"), F.col("b.uw")))
+    return a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.n_chars") == F.col("b.n_chars"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.lang").alias("lang"),
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    )
+
+
+_SIMHASH_CTE_DUCK = f"""
+    WITH h AS (
+      SELECT doc_id,
+             {fp.hash_array_expr("list_distinct(string_split(text, ' '))", duck=True)} AS harr
+      FROM documents
+    ),
+    sig AS (SELECT doc_id, CAST({fp.simhash16_expr('harr', duck=True)} AS BIGINT) AS sh16 FROM h),
+    bands AS (
+      SELECT doc_id, sh16, b.k AS band_id, (sh16 // power_val) % 16 AS band_val
+      FROM sig, (SELECT unnest(range(4)) AS k) b,
+           LATERAL (SELECT CAST(power(16, b.k) AS BIGINT) AS power_val) p
+    )
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=_SIMHASH_CTE_DUCK
+    + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh16, b.sh16)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh16, b.sh16)) <= 6
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 16-bit signature, banded into 4 nibbles; candidate
+    pairs share ≥1 nibble, verified by Hamming distance ≤ 6.
+
+    Same band-then-verify shape as MinHash — the shuffle key is the nibble
+    value, pair generation is bucket-local.  (16-bit signatures keep the
+    oracle SQL tractable; production uses 64-bit + 4×16-bit bands — only
+    the constants change.)
+    """
+    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    uwords = "array_distinct(split(text, ' '))"
+    return spark.sql(
+        f"""
+        WITH h AS (
+          SELECT doc_id, {fp.hash_array_expr(uwords, duck=False)} AS harr FROM documents
+        ),
+        sig AS (SELECT doc_id, CAST({fp.simhash16_expr('harr', duck=False)} AS BIGINT) AS sh16 FROM h),
+        bands AS (
+          SELECT doc_id, sh16, k AS band_id,
+                 (sh16 div cast(pow(16, k) as bigint)) % 16 AS band_val
+          FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.sh16 ^ b.sh16) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        WHERE bit_count(a.sh16 ^ b.sh16) <= 6
+        """
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_inner_product(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.v, b.v), 4) >= 0.3
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup over label-blocked pairs.
+
+    Fixture embeddings are unit-normalized (verified: Σx² = 1.0), so cosine
+    = dot product — one zip_with/aggregate fold, JVM-side.  Blocking by
+    label stands in for the IVF-cell / LSH-bucket key a 100 TB pipeline
+    would use (see llm_similarity.py); the pair join is bucket-local either
+    way.  Threshold applied to the *rounded* value on both sides so the
+    cut is identical.
+    """
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            F.round(dot, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+    )

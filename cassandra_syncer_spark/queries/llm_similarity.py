@@ -1,0 +1,192 @@
+"""Similarity search + multimodal columns — SURVEY.md §2.10.
+
+Brute-force cosine top-k is the correctness baseline; the scale paths are
+(a) LSH bucketing (MLlib BucketedRandomProjectionLSH, rows-only check — JVM
+random hyperplanes have no DuckDB equivalent) and (b) IVF-style coarse
+quantization (deterministic, oracle-checked): assign every vector to its
+nearest of K fixed centroids, then search only within the probe's cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+N_QUERIES = 5  # probe vectors: vec_id < 5
+TOP_K = 5
+
+
+def _vec(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn("v", F.transform(col, lambda x: x.cast("double")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             round(list_inner_product(q.qv, e.v), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.qv, e.v), 6) DESC, e.vec_id) AS rn
+      FROM q CROSS JOIN e
+      WHERE q.q_id <> e.vec_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: probe set × corpus, windowed top-k.
+
+    Embeddings are unit-norm so cosine = dot (zip_with/aggregate fold,
+    JVM-side).  The probe side is broadcast — the corpus never shuffles;
+    at 100 TB this exact shape serves 'small probe batch vs huge corpus',
+    with the corpus scan embarrassingly parallel and the per-partition
+    top-k reduced via the rank window (only k rows per probe survive).
+    """
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@register(
+    "sim_ivf_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+    assign AS (
+      SELECT e.vec_id, e.v, c.c_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv), 6) DESC, c.c_id) AS rn
+      FROM e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, c_id AS cell FROM assign WHERE rn = 1),
+    q AS (SELECT vec_id AS q_id, v AS qv, cell FROM cells WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id, round(list_inner_product(q.qv, c.v), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY round(list_inner_product(q.qv, c.v), 6) DESC, c.vec_id) AS rn
+      FROM q JOIN cells c ON q.cell = c.cell AND q.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: coarse-quantize to the nearest of 8 fixed
+    centroids (deterministically the first 8 vectors), search only within
+    the probe's cell.
+
+    This is the scale path for ANN: the corpus partitions by cell id (one
+    shuffle at index build), probes touch only their cell's partition.
+    Recall/latency trades via n_centroids and n_probe cells; here 8/1 keeps
+    the oracle tractable.  Centroids from k-means would be a drop-in.
+    """
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    cells = (
+        emb.join(F.broadcast(cent))
+        .select("vec_id", "v", "c_id", F.round(_dot(F.col("v"), F.col("cv")), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("cell"))
+    )
+    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(q), (F.col("q_id") != F.col("vec_id")) & (q.cell == cells.cell))
+        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+@register("sim_lsh_ann", oracle=None)  # JVM random hyperplanes → rows-only check
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via MLlib BucketedRandomProjectionLSH (seeded).
+
+    Random projections are JVM-internal, so no oracle SQL exists — the
+    driver records a rows-only check; unit tests assert recall ≥ 0.6 vs the
+    brute-force baseline on the fixture (tests/test_llm_ops.py).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = _vec(T(spark, sf_dir, "embeddings")).select(
+        "vec_id", array_to_vector("v").alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    )
+    model = lsh.fit(emb)
+    pairs = model.approxSimilarityJoin(emb, emb, threshold=1.2, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+            F.round("dist", 4).alias("euclidean_dist"),
+        )
+    )
+
+
+@register(
+    "multimodal_cols",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label,
+           CAST(d.n_chars AS BIGINT) AS n_chars,
+           round(sqrt(CAST(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+                                                   x -> x * x)) AS DOUBLE)), 4) AS emb_norm,
+           round(CAST(e.embedding[1] AS DOUBLE), 6) AS dim0
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row: text metadata + embedding vector + label in one
+    relation (documents ⋈ embeddings on doc_id = vec_id, verified 1:1).
+
+    The binary-payload variant (opaque image/audio bytes + typed metadata +
+    Arrow-batched decode) lives in operators/multimodal.py with its own
+    unit tests — decode is stubbed per the environment contract, the Spark
+    plumbing (schema, mapInPandas batch shape) is real.
+    """
+    docs = T(spark, sf_dir, "documents")
+    emb = _vec(T(spark, sf_dir, "embeddings"))
+    return docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id",
+        "lang",
+        "label",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round(F.sqrt(_dot(F.col("v"), F.col("v"))), 4).alias("emb_norm"),
+        F.round(F.element_at("v", 1), 6).alias("dim0"),
+    )

@@ -578,3 +578,28 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = T(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 49).select(F.col("l_partkey").alias("k"))
     b = T(spark, sf_dir, "part").filter(F.col("p_size") > 25).select(F.col("p_partkey").alias("k"))
     return a.intersect(b)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT r_regionkey, r_name, md5(r_name) AS etag FROM region
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sink round-trip: write partitioned parquet (idempotent
+    overwrite = the reference's re-PUT semantics, core.js:377-418), read it
+    back.  ``partitionBy`` keys the layout so downstream restore/prune jobs
+    prune partitions instead of scanning everything."""
+    import tempfile
+
+    out = f"{tempfile.gettempdir()}/css_sink_parquet"
+    df = T(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name", F.md5("r_name").alias("etag")
+    )
+    df.write.mode("overwrite").partitionBy("r_regionkey").parquet(out)
+    back = spark.read.parquet(out)
+    # partition column comes back typed per partition-inference; restore it
+    return back.select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name", "etag"
+    )

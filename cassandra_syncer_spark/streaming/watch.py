@@ -1,0 +1,100 @@
+"""Continuous sync (EP2) — Structured Streaming file source standing in for
+the reference's inotify watch.
+
+Reference: inotify ``IN_MOVED_TO`` per watched path
+(``bin/cassandra-syncer:195-206``) — the atomic-rename commit signal for
+SSTables.  Spark's file source has the same trigger model: a new immutable
+file appearing in a directory is discovered on the next microbatch, and the
+checkpoint's seen-files log supplies the only-new-files invariant
+(``bin/cassandra-syncer:268-277``) without bookkeeping.
+
+Each microbatch mirrors the reference's event handler
+(``bin/cassandra-syncer:141-143``): process the new files, then write a
+fresh manifest (snapshot-per-commit).  Delivery is at-least-once
+(checkpoint + idempotent sink), the same contract as the reference's
+re-enqueue loop (``:71-80``).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def watch_files(
+    spark: SparkSession, path: str, schema: str, fmt: str = "json"
+) -> DataFrame:
+    """Streaming source over a watched directory (new-file trigger).
+
+    ``maxFilesPerTrigger`` bounds per-batch work the way the reference's
+    queue concurrency (async.queue(…, 2)) bounded in-flight uploads.
+    """
+    return (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .option("maxFilesPerTrigger", 64)
+        .load(path)
+    )
+
+
+def run_incremental_sync(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    on_batch: Callable[[DataFrame, int], None],
+    manifest_sink: list | None = None,
+):
+    """Drive the EP2 loop: per microbatch, hand new-file rows to the
+    uploader callback, then snapshot a manifest row (snapshot-per-commit,
+    bin/cassandra-syncer:141-143).  ``availableNow`` drains everything
+    pending and stops — deterministic for tests; production would use a
+    processingTime trigger."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        on_batch(batch_df, batch_id)
+        if manifest_sink is not None:
+            names = [r.name for r in batch_df.select("name").collect()]
+            manifest_sink.append(
+                {"manifest_ts": int(time.time() * 1000), "batch_id": batch_id, "paths": sorted(names)}
+            )
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def streaming_dedup(stream: DataFrame, watermark_col: str = "ts") -> DataFrame:
+    """Stateful streaming dedup on content identity (etag) — the
+    only-new-files invariant enforced inside the stream.  The watermark
+    bounds state: etags older than the horizon are evicted (at 100 TB of
+    stream history, unbounded dedup state is the first thing to OOM)."""
+    return stream.withWatermark(watermark_col, "10 minutes").dropDuplicatesWithinWatermark(
+        ["etag"]
+    )
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """1-hour tumbling window aggregation with late-data drop (10-min
+    watermark) — streaming twin of queries/windows.py::win_tumbling."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+    )
+
+
+def session_windows(stream: DataFrame) -> DataFrame:
+    """Native session windows (30-min gap) — streaming twin of
+    queries/windows.py::win_session."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

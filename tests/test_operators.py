@@ -1,0 +1,115 @@
+"""Unit + property tests for custom operators: as-of join, multimodal
+decode plumbing, LSH recall, and algebraic invariants (SURVEY.md §5.4)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.operators.asof import asof_join
+from cassandra_syncer_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_media,
+    frame_sample,
+)
+
+
+def test_asof_join_handcrafted(spark):
+    left = spark.createDataFrame(
+        [("u1", 10, "L1"), ("u1", 20, "L2"), ("u1", 5, "L0"), ("u2", 7, "L3")],
+        "user_id string, ts_sec long, tag string",
+    ).select("user_id", "ts_sec", "tag")
+    right = spark.createDataFrame(
+        [("u1", 10, 100), ("u1", 15, 150), ("u2", 99, 990)],
+        "user_id string, ts_sec long, event_id long",
+    )
+    out = {
+        (r.user_id, r.ts_sec): (r.matched_event_id, r.matched_ts)
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts_sec", right_ts="ts_sec",
+            value_cols=["event_id"],
+        ).collect()
+    }
+    assert out[("u1", 5)] == (None, None)       # nothing at-or-before 5
+    assert out[("u1", 10)] == (100, 10)         # equal ts matches (<=)
+    assert out[("u1", 20)] == (150, 15)         # latest before 20
+    assert out[("u2", 7)] == (None, None)       # right row is in the future
+
+
+def test_asof_join_tie_determinism(spark):
+    left = spark.createDataFrame([("u1", 10)], "user_id string, ts_sec long")
+    right = spark.createDataFrame(
+        [("u1", 10, 1), ("u1", 10, 2)], "user_id string, ts_sec long, event_id long"
+    )
+    [row] = asof_join(
+        left, right, on="user_id", left_ts="ts_sec", right_ts="ts_sec",
+        value_cols=["event_id"],
+    ).collect()
+    assert row.matched_event_id == 2  # max tiebreak, deterministically
+
+
+def test_multimodal_decode_fake_and_stub(spark, sf_dir):
+    from cassandra_syncer_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    with_payload = attach_fake_payload(docs)
+    decoded = decode_media(with_payload, fake=True).collect()
+    assert len(decoded) == 20
+    for r in decoded:
+        assert 16 <= r.width < 256 and 16 <= r.height < 256
+        assert len(r.checksum) == 32 and r.n_bytes > 0
+    # the non-fake path is an explicit stub per the environment contract
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        decode_media(with_payload, fake=False).collect()
+
+
+def test_frame_sample_shape(spark, sf_dir):
+    from cassandra_syncer_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    frames = frame_sample(attach_fake_payload(docs), every_n_bytes=512).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    for idxs in by_doc.values():
+        assert idxs == list(range(len(idxs)))  # contiguous frame indices
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    """MLlib LSH (rows-only in t2) must find a decent fraction of the true
+    top-5 neighbors on the fixture corpus."""
+    from cassandra_syncer_spark.queries.llm_similarity import sim_cosine_topk, sim_lsh_ann
+
+    truth = {
+        (r.q_id, r.vec_id) for r in sim_cosine_topk(spark, sf_dir).collect()
+    }
+    lsh_pairs = set()
+    for r in sim_lsh_ann(spark, sf_dir).collect():
+        lsh_pairs.add((r.vec_a, r.vec_b))
+        lsh_pairs.add((r.vec_b, r.vec_a))
+    recall = len(truth & lsh_pairs) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
+
+
+def test_filter_commutes_and_semi_subset(spark, sf_dir):
+    from cassandra_syncer_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 10).filter(F.col("l_discount") < 0.05)
+    b = li.filter(F.col("l_discount") < 0.05).filter(F.col("l_quantity") > 10)
+    assert a.count() == b.count()
+
+    orders = load_table(spark, sf_dir, "orders")
+    semi = li.join(orders.limit(100), li.l_orderkey == orders.o_orderkey, "left_semi")
+    assert semi.count() <= li.count()
+
+
+def test_dropduplicates_idempotent_union_additive(spark, sf_dir):
+    from cassandra_syncer_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    d1 = li.dropDuplicates()
+    assert d1.count() == d1.dropDuplicates().count()
+
+    part1 = li.limit(1000)
+    assert part1.unionAll(li).count() == 1000 + li.count()
