@@ -1,0 +1,70 @@
+"""Plan-shape regression tests — the 100 TB posture, asserted.
+
+These fail if a future edit silently loses predicate pushdown, column
+pruning, broadcast joins, top-k short-circuit, or whole-stage codegen —
+regressions that are invisible at fixture scale but fatal at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _load():
+    all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_parquet")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>" in p
+
+
+def test_filters_push_to_parquet(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "scan_glob_filter")
+    assert "StringStartsWith(p_type,PROMO)" in p
+    assert "Not(StringContains" in p
+
+    p = plan_of(spark, sf_dir, "agg_group_sum")
+    assert "LessThanOrEqual(l_shipdate" in p  # shipdate predicate reaches the scan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name, min_bc in [
+        ("join_inner_hash", 2),
+        ("join_multiway", 4),
+        ("join_semi_manifest", 1),
+    ]:
+        p = plan_of(spark, sf_dir, name)
+        assert p.count("BroadcastHashJoin") >= min_bc, f"{name} lost broadcast"
+        assert "SortMergeJoin" not in p, f"{name} fell back to sort-merge at fixture scale"
+
+
+def test_topk_short_circuits(spark, sf_dir):
+    assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, "topk_limit")
+
+
+def test_flagship_stays_in_codegen(spark, sf_dir):
+    # '*(n)' prefixes mark whole-stage-codegen stages; with AQE the final
+    # plan only materializes after THIS dataframe's own execution (a .write
+    # would spawn a separate query execution), so force via collect
+    df = REGISTRY["agg_group_sum"].fn(spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in p
+    assert "*(" in p, "flagship aggregation fell out of whole-stage codegen"
+
+
+def test_no_cartesian_anywhere(spark, sf_dir):
+    offenders = []
+    for name in REGISTRY:
+        p = plan_of(spark, sf_dir, name)
+        if "CartesianProduct" in p:
+            offenders.append(name)
+    assert not offenders, f"cartesian product in: {offenders}"
