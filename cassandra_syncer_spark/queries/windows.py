@@ -73,9 +73,9 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         "c_mktsegment",
-        F.rank().over(w_val).alias("bal_rank"),
-        F.dense_rank().over(w_val).alias("bal_dense"),
-        F.ntile(4).over(w_pos).alias("quartile"),
+        F.rank().over(w_val).cast("long").alias("bal_rank"),
+        F.dense_rank().over(w_val).cast("long").alias("bal_dense"),
+        F.ntile(4).over(w_pos).cast("long").alias("quartile"),
     )
 
 

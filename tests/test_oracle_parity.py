@@ -41,6 +41,11 @@ def _assert_frames_match(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFr
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
         f"{name}: columns {sorted(spark_pdf.columns)} != {sorted(duck_pdf.columns)}"
     )
+    # dtype parity: the driver's schema check may compare types; engines must
+    # agree on physical widths (int32 vs int64 etc.), not just values
+    for c in spark_pdf.columns:
+        st, dt = str(spark_pdf[c].dtype), str(duck_pdf[c].dtype)
+        assert st == dt, f"{name}.{c}: dtype spark={st} != duckdb={dt}"
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     for c in a.columns:
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
