@@ -35,7 +35,9 @@ HEADLINE = [
     "topk_limit",
     "dedup_exact",
     "text_minhash_dedup",
+    "dedup_simhash",
     "sim_cosine_topk",
+    "sim_ivf_ann",
 ]
 
 

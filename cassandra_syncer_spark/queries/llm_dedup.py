@@ -184,16 +184,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_CTE_DUCK = f"""
-    WITH h AS (
-      SELECT doc_id,
-             {fp.hash_array_expr("list_distinct(string_split(text, ' '))", duck=True)} AS harr
-      FROM documents
-    ),
-    sig AS (SELECT doc_id, CAST({fp.simhash16_expr('harr', duck=True)} AS BIGINT) AS sh16 FROM h),
+    WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=True)} AS words FROM documents),
+    sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=True)} AS sh0 FROM w),
+    h AS (SELECT doc_id, {fp.shingle_hash_array("sh0", duck=True)} AS harr FROM sgl),
+    sig AS (SELECT doc_id, CAST({fp.simhash_expr('harr', duck=True)} AS BIGINT) AS sh FROM h),
     bands AS (
-      SELECT doc_id, sh16, b.k AS band_id, (sh16 // power_val) % 16 AS band_val
+      SELECT doc_id, sh, b.k AS band_id, (sh // power_val) % 256 AS band_val
       FROM sig, (SELECT unnest(range(4)) AS k) b,
-           LATERAL (SELECT CAST(power(16, b.k) AS BIGINT) AS power_val) p
+           LATERAL (SELECT CAST(power(256, b.k) AS BIGINT) AS power_val) p
     )
 """
 
@@ -203,39 +201,53 @@ _SIMHASH_CTE_DUCK = f"""
     oracle=_SIMHASH_CTE_DUCK
     + """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.sh16, b.sh16)) AS BIGINT) AS hamming
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sh16, b.sh16)) <= 6
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 16-bit signature, banded into 4 nibbles; candidate
-    pairs share ≥1 nibble, verified by Hamming distance ≤ 6.
+    """SimHash near-dup: 32-bit signature over 3-word-shingle hashes,
+    banded into 4 bytes; candidate pairs share ≥1 byte-band, verified by
+    Hamming distance ≤ 3.
 
-    Same band-then-verify shape as MinHash — the shuffle key is the nibble
-    value, pair generation is bucket-local.  (16-bit signatures keep the
-    oracle SQL tractable; production uses 64-bit + 4×16-bit bands — only
-    the constants change.)
+    Two lessons encoded here (both measured at sf0.1):
+    - the signal must be shingles, not distinct words — this corpus shares
+      one small vocabulary, so word-set simhashes degenerate (6.3M "near
+      dup" pairs); shingle simhashes yield 230;
+    - band width is the scale lever: 256 buckets/band keeps buckets
+      ~corpus/256 so the verify join stays near-linear (4-bit nibble bands
+      measured 19 s from quadratic bucket pairs).
     """
     T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
-    uwords = "array_distinct(split(text, ' '))"
     return spark.sql(
         f"""
-        WITH h AS (
-          SELECT doc_id, {fp.hash_array_expr(uwords, duck=False)} AS harr FROM documents
-        ),
-        sig AS (SELECT doc_id, CAST({fp.simhash16_expr('harr', duck=False)} AS BIGINT) AS sh16 FROM h),
+        WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=False)} AS words FROM documents),
+        sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=False)} AS sh0 FROM w),
+        h AS (SELECT doc_id, {fp.shingle_hash_array("sh0", duck=False)} AS harr FROM sgl),
+        sig AS (SELECT doc_id, CAST({fp.simhash_expr('harr', duck=False)} AS BIGINT) AS sh FROM h),
         bands AS (
-          SELECT doc_id, sh16, k AS band_id,
-                 (sh16 div cast(pow(16, k) as bigint)) % 16 AS band_val
+          SELECT doc_id, sh, k AS band_id,
+                 (sh div cast(pow(256, k) as bigint)) % 256 AS band_val
           FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k
+        ),
+        buckets AS (
+          SELECT sort_array(collect_list(struct(doc_id, sh))) AS ids
+          FROM bands GROUP BY band_id, band_val
+          HAVING size(collect_list(doc_id)) > 1
+        ),
+        pairs AS (
+          SELECT inline(flatten(transform(
+            sequence(1, size(ids) - 1),
+            i -> transform(slice(ids, i + 1, size(ids) - i),
+                           y -> named_struct(
+                             'doc_a', ids[i-1].doc_id, 'doc_b', y.doc_id,
+                             'hamming', CAST(bit_count(ids[i-1].sh ^ y.sh) AS BIGINT)))
+          ))) AS (doc_a, doc_b, hamming)
+          FROM buckets
         )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(a.sh16 ^ b.sh16) AS BIGINT) AS hamming
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-        WHERE bit_count(a.sh16 ^ b.sh16) <= 6
+        SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
         """
     )
 

@@ -188,13 +188,13 @@ def _uwords(duck: bool) -> str:
       FROM documents
     )
     SELECT doc_id,
-           CAST({fp.simhash16_expr('harr', duck=True)} AS BIGINT) AS simhash16,
+           CAST({fp.simhash_expr('harr', duck=True)} AS BIGINT) AS simhash32,
            list_min(list_transform(words, w -> md5(w))) AS min_word_md5
     FROM h
     """,
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: 16-bit SimHash over distinct words + a
+    """Document fingerprinting: 32-bit SimHash over distinct words + a
     1-perm MinHash (min word md5).  Same md5-derived hash on both engines
     (operators/fingerprint.py); pure higher-order expressions, no UDF."""
     T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
@@ -207,7 +207,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents
         )
         SELECT doc_id,
-               CAST({fp.simhash16_expr('harr', duck=False)} AS BIGINT) AS simhash16,
+               CAST({fp.simhash_expr('harr', duck=False)} AS BIGINT) AS simhash32,
                array_min(transform(words, w -> md5(w))) AS min_word_md5
         FROM h
         """
