@@ -85,6 +85,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``timestamp`` and keep the raw value as ``ts_ns`` for exact-epoch
     comparisons against the DuckDB oracle (which reads ns natively).
     """
+    if name == "events":
+        # defensive: the driver may call queries with its own SparkSession;
+        # without this runtime-settable conf the ns-timestamp parquet fails
+        # to load at all (PARQUET_TYPE_ILLEGAL, FIXTURES.md)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division (`div`), not `/`: ns epochs overflow double precision
