@@ -1,0 +1,48 @@
+"""Skew-mitigation: salted join for hot keys.
+
+At 100 TB a handful of hot keys (a viral user_id, an empty-string etag) can
+pin an entire shuffle on one task.  AQE's skew-join splitting
+(``spark.sql.adaptive.skewJoin``, on by default in session.py) handles
+sort-merge cases at runtime; this operator is the explicit fallback for
+shapes AQE can't split — e.g. a shuffled hash aggregation on a hot key, or
+joins through a custom operator.
+
+Mechanics: replicate the *small* side SALT ways, scatter the big side's hot
+rows uniformly across the salt space, join on (key, salt).  Row multiplicity
+is preserved exactly (each big-side row joins exactly one replica).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join robust to hot keys in ``big``.
+
+    ``big`` gets a uniform pseudo-random salt derived from a content hash
+    (deterministic — no rand(), so retried tasks salt identically);
+    ``small`` is exploded SALT ways.  Shuffle key becomes (on, salt): a hot
+    key spreads over ``salt`` tasks instead of one.
+
+    Only inner/left_semi/left supported: those preserve multiplicity under
+    small-side replication (an unmatched small row would otherwise surface
+    ``salt`` times in right/full joins).
+    """
+    if how not in ("inner", "left", "left_semi", "leftsemi"):
+        raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt))
+    )
+    small_exploded = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = big_salted.join(small_exploded, [on, "__salt"], how)
+    return out.drop("__salt")

@@ -603,3 +603,33 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name", "etag"
     )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube (all grouping-set combinations) with NULL-marker normalization —
+    completes the rollup/cube/grouping-sets family next to agg_rollup."""
+    orders = T(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )

@@ -130,11 +130,14 @@ class SyncPipeline:
         wanted = self.latest_manifests(manifests).select(
             "container", F.explode("paths").alias("name")
         )
-        return wanted.join(
-            stored_files.select("container", "name", "etag", "bytes"),
-            ["container", "name"],
-            "left",
-        ).withColumn("is_missing", F.col("etag").isNull())
+        stored = stored_files.select(
+            "container", "name", "etag", "bytes", F.lit(True).alias("__stored")
+        )
+        return (
+            wanted.join(stored, ["container", "name"], "left")
+            .withColumn("is_missing", F.col("__stored").isNull())
+            .drop("__stored")
+        )
 
     # -- prune (fsck spec) -------------------------------------------------
 
