@@ -593,7 +593,8 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune partitions instead of scanning everything."""
     import tempfile
 
-    out = f"{tempfile.gettempdir()}/css_sink_parquet"
+    import os
+    out = f"{tempfile.gettempdir()}/css_sink_parquet_{os.getpid()}"
     df = T(spark, sf_dir, "region").select(
         "r_regionkey", "r_name", F.md5("r_name").alias("etag")
     )

@@ -41,8 +41,9 @@ def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged file — the reference's only-new-files invariant
     (bin/cassandra-syncer:268-277) for free.
     """
-    stage = os.path.join(tempfile.gettempdir(), "css_stream_stage")
-    ckpt = os.path.join(tempfile.gettempdir(), "css_stream_ckpt")
+    # pid-scoped so concurrent driver processes never share state
+    stage = os.path.join(tempfile.gettempdir(), f"css_stream_stage_{os.getpid()}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"css_stream_ckpt_{os.getpid()}")
     for d in (stage, ckpt):
         shutil.rmtree(d, ignore_errors=True)
 

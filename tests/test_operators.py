@@ -113,3 +113,16 @@ def test_dropduplicates_idempotent_union_additive(spark, sf_dir):
 
     part1 = li.limit(1000)
     assert part1.unionAll(li).count() == 1000 + li.count()
+
+
+def test_malformed_json_props_yield_null(spark):
+    """from_json must degrade to NULL on malformed documents (the reference
+    would crash on JSON.parse; we keep the row and null the field)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("ok", '{"k": 5}'), ("bad", "{not json"), ("empty", None)],
+        "tag string, props string",
+    ).select("tag", F.from_json("props", "struct<k:int>").getField("k").alias("k"))
+    out = {r.tag: r.k for r in df.collect()}
+    assert out == {"ok": 5, "bad": None, "empty": None}
