@@ -91,9 +91,15 @@ class SyncPipeline:
         (bin/cassandra-syncer:268-277) with content identity
         (storage-object.js:123-124).  ``tombstones`` (names deleted locally
         since listing) reproduces the ENOENT skip (:120-132)."""
-        plan = self.live_files(local_files).join(
-            remote_files.select("name", "etag"), ["name", "etag"], "left_anti"
+        # null-safe content key: etag-less listings (directory targets)
+        # reconcile by name alone; a null etag must still join-match
+        local_keyed = self.live_files(local_files).withColumn(
+            "__ck", F.coalesce(F.col("etag"), F.lit(""))
         )
+        remote_keyed = remote_files.select(
+            "name", F.coalesce(F.col("etag"), F.lit("")).alias("__ck")
+        )
+        plan = local_keyed.join(remote_keyed, ["name", "__ck"], "left_anti").drop("__ck")
         if tombstones is not None:
             plan = plan.join(tombstones.select("name"), ["name"], "left_anti")
         return plan
