@@ -11,5 +11,6 @@ from cassandra_syncer_spark.queries import (  # noqa: F401
     relational,
     scalar_funcs,
     streaming_source,
+    tpch_style,
     windows,
 )
