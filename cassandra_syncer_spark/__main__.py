@@ -116,6 +116,12 @@ def cmd_restore(args) -> int:
         print("error: no manifest log under store", file=sys.stderr)
         return 2
     manifests = spark.read.parquet(mdir)
+    if args.as_of_ms is not None:
+        # time travel: restore the snapshot as of a past instant
+        manifests = manifests.filter(F.col("manifest_ts") <= args.as_of_ms)
+        if manifests.limit(1).count() == 0:
+            print("error: no manifest at or before --as-of-ms", file=sys.stderr)
+            return 2
     store_target = DirectoryTarget(args.store, args.container)
     stored = store_target.list_files(spark).filter(~F.col("name").startswith("__"))
     plan = p.restore_plan(manifests, stored)
@@ -174,6 +180,8 @@ def main(argv: list[str] | None = None) -> int:
     r = sub.add_parser("restore", help="restore minimum set from latest manifest")
     r.add_argument("store"), r.add_argument("dst")
     r.add_argument("--container", default="default")
+    r.add_argument("--as-of-ms", type=int, default=None,
+                   help="time travel: restore the snapshot as of this epoch-ms")
     r.set_defaults(fn=cmd_restore)
 
     pr = sub.add_parser("prune", help="delete stored files no retained manifest references")

@@ -1,6 +1,7 @@
 """Import every query module so its ``@register`` decorators run."""
 
 from cassandra_syncer_spark.queries import (  # noqa: F401
+    analytics_extras,
     incremental,
     joins,
     llm_dedup,

@@ -169,6 +169,27 @@ class SyncPipeline:
         )
         return old_enough.join(referenced, ["container", "name"], "left_anti")
 
+    def manifests_asof(self, manifests: DataFrame, as_of_ms: int) -> DataFrame:
+        """Snapshot state as of a past instant: the newest manifest per
+        container with ``manifest_ts <= as_of_ms`` (time travel over the
+        append-only log — the reference only exposes 'latest'; the log
+        model gives every historical snapshot for free)."""
+        return self.latest_manifests(
+            manifests.filter(F.col("manifest_ts") <= F.lit(as_of_ms))
+        )
+
+    def compact_manifests(self, manifests: DataFrame, keep_since_ms: int) -> DataFrame:
+        """Log compaction: retain the latest manifest per container plus
+        everything newer than ``keep_since_ms``.  Bounds log growth under
+        snapshot-per-commit (EP2 writes one manifest per event batch);
+        rewrite the log table with this result periodically."""
+        latest = self.latest_manifests(manifests).select("container", "manifest_ts")
+        return (
+            manifests.join(latest, ["container", "manifest_ts"], "left_semi")
+            .unionByName(manifests.filter(F.col("manifest_ts") >= F.lit(keep_since_ms)))
+            .distinct()
+        )
+
     # -- file-set reconciliation helpers (§2.7 semantics) ------------------
 
     def dedup_by_content(self, files: DataFrame) -> DataFrame:

@@ -141,3 +141,28 @@ def test_directory_sync_end_to_end(spark, tmp_path):
     # re-upload is an idempotent overwrite (reference re-PUT semantics)
     target.upload(plan, str(src))
     assert (dst / "ks1/a-Data.db").read_bytes() == b"alpha"
+
+
+def test_manifests_asof_time_travel(spark, manifests):
+    from cassandra_syncer_spark.sync import SyncPipeline
+
+    p = SyncPipeline()
+    # as of t=2500: c1 sees manifest 2000, c2 sees 1500
+    asof = {r.container: r.manifest_ts for r in p.manifests_asof(manifests, 2500).collect()}
+    assert asof == {"c1": 2000, "c2": 1500}
+    # as of t=500: nothing existed
+    assert p.manifests_asof(manifests, 500).count() == 0
+
+
+def test_compact_manifests_keeps_latest_and_recent(spark, manifests):
+    from cassandra_syncer_spark.sync import SyncPipeline
+
+    p = SyncPipeline()
+    kept = {(r.container, r.manifest_ts) for r in p.compact_manifests(manifests, keep_since_ms=2500).collect()}
+    # latest per container always retained; plus anything >= 2500
+    assert ("c1", 3000) in kept and ("c2", 1500) in kept
+    assert ("c1", 1000) not in kept and ("c1", 2000) not in kept
+    # compaction preserves restore semantics
+    full = p.restore_plan(manifests, spark.createDataFrame([], "name string, container string, bytes long, etag string, last_modified timestamp, content_type string, is_temp boolean")).collect()
+    compacted = p.restore_plan(p.compact_manifests(manifests, 2500), spark.createDataFrame([], "name string, container string, bytes long, etag string, last_modified timestamp, content_type string, is_temp boolean")).collect()
+    assert sorted(map(str, full)) == sorted(map(str, compacted))
