@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -65,6 +66,7 @@ def main() -> None:
         timings[name] = round(min(run(), run()), 4)
 
     total = round(sum(timings.values()), 4)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
     print(
         json.dumps(
             {
@@ -72,7 +74,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": SF_DIR,
+                "sf": float(m.group(1)) if m else SF_DIR,
+                "sf_dir": SF_DIR,
             }
         )
     )
