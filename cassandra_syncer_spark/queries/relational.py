@@ -634,3 +634,33 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total",
         )
     )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS grp_id,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the general form under
+    rollup/cube, plus the bitmask that distinguishes 'NULL value' from
+    'aggregated-out dimension'."""
+    T(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+                 AS grp_id,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -239,3 +239,44 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT event_id, user_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING) AS last_event,
+           nth_value(event_id, 2) OVER w AS second_event
+    FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value — frame-edge navigation.
+
+    last_value needs the full-partition frame (the default frame ends at
+    CURRENT ROW, a classic silent-wrong-answer); nth_value runs on the
+    growing frame like first_value.
+    """
+    ev = events_with_sec(spark, sf_dir)
+    w_grow = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_id").over(w_grow).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
+        F.nth_value("event_id", 2).over(w_grow).alias("second_event"),
+    )
