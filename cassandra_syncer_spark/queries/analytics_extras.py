@@ -43,14 +43,14 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) - count(l_quantity) AS BIGINT) AS nulls,
            round(min(l_quantity), 2) AS min_v,
            round(max(l_quantity), 2) AS max_v,
-           round(avg(l_quantity), 4) AS avg_v,
+           sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_v,
            count(DISTINCT l_quantity) AS ndv
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', count(*),
            CAST(count(*) - count(l_discount) AS BIGINT),
            round(min(l_discount), 2), round(max(l_discount), 2),
-           round(avg(l_discount), 4), count(DISTINCT l_discount)
+           sum(CAST(round(l_discount * 100.0) AS BIGINT)) / (count(*) * 100.0), count(DISTINCT l_discount)
     FROM lineitem
     """,
 )
@@ -67,7 +67,7 @@ def stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.count(c)).cast("long").alias("nulls"),
             F.round(F.min(c), 2).alias("min_v"),
             F.round(F.max(c), 2).alias("max_v"),
-            F.round(F.avg(c), 4).alias("avg_v"),
+            (F.sum(F.round(F.col(c) * 100.0).cast("long")) / (F.count(F.lit(1)) * 100.0)).alias("avg_v"),
             F.countDistinct(c).alias("ndv"),
         )
 

@@ -53,8 +53,8 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
-           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_extendedprice, 0.5), 8) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 8) AS p95,
            round(min(l_extendedprice), 2) AS lo,
            round(max(l_extendedprice), 2) AS hi
     FROM lineitem
@@ -68,8 +68,8 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     every group."""
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 8).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 8).alias("p95"),
         F.round(F.min("l_extendedprice"), 2).alias("lo"),
         F.round(F.max("l_extendedprice"), 2).alias("hi"),
     )

@@ -99,7 +99,7 @@ def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_3table_topk",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue
     FROM customer c
     JOIN orders o ON o.o_custkey = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -121,7 +121,7 @@ def join_3table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0).cast("long")) / 10000.0).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(10)
     )
@@ -131,7 +131,7 @@ def join_3table_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_multiway",
     oracle="""
     SELECT r.r_name AS region, n.n_name AS nation,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -160,7 +160,7 @@ def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            (F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0).cast("long")) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -196,7 +196,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT s.s_suppkey, s.s_name,
            count(*) AS n_peers,
-           round(avg(c.c_acctbal), 2) AS avg_peer_bal
+           sum(CAST(round(c.c_acctbal * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_peer_bal
     FROM supplier s
     JOIN customer c
       ON c.c_acctbal >= s.s_acctbal - 100.0 AND c.c_acctbal < s.s_acctbal + 100.0
@@ -221,7 +221,7 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(
             F.count(F.lit(1)).alias("n_peers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_peer_bal"),
+            (F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")) / (F.count(F.lit(1)) * 100.0)).alias("avg_peer_bal"),
         )
     )
 

@@ -89,9 +89,9 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
-           round(CAST(n_stop AS DOUBLE) / n_words, 4) AS stopword_ratio,
-           round(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
-           round(CAST(n_chars AS DOUBLE) / n_words, 4) AS avg_word_len,
+           round(CAST(n_stop AS DOUBLE) / n_words, 8) AS stopword_ratio,
+           round(CAST(n_punct AS DOUBLE) / n_chars, 8) AS punct_ratio,
+           round(CAST(n_chars AS DOUBLE) / n_words, 8) AS avg_word_len,
            CASE WHEN n_words >= 50 AND CAST(n_stop AS DOUBLE) / n_words > 0.05
                 THEN 1 ELSE 0 END AS passes_quality
     FROM s
@@ -109,9 +109,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(n_stop.cast("double") / n_words, 4).alias("stopword_ratio"),
-        F.round(n_punct.cast("double") / F.col("n_chars"), 6).alias("punct_ratio"),
-        F.round(F.col("n_chars").cast("double") / n_words, 4).alias("avg_word_len"),
+        F.round(n_stop.cast("double") / n_words, 8).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.col("n_chars"), 8).alias("punct_ratio"),
+        F.round(F.col("n_chars").cast("double") / n_words, 8).alias("avg_word_len"),
         F.when((n_words >= 50) & (n_stop.cast("double") / n_words > 0.05), 1)
         .otherwise(0)
         .alias("passes_quality"),

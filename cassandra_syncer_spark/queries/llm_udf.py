@@ -60,7 +60,7 @@ def _weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "lang": [pdf["lang"].iloc[0]],
-            "wmean_chars": [round(float((w * x).sum() / w.sum()), 4)],
+            "wmean_chars": [float((w * x).sum() / w.sum())],
             "n_docs": [len(pdf)],
         }
     )
@@ -71,7 +71,7 @@ def _weighted_mean(pdf: pd.DataFrame) -> pd.DataFrame:
     oracle="""
     SELECT lang,
            round(sum((doc_id % 7 + 1) * CAST(n_chars AS DOUBLE))
-                 / sum(doc_id % 7 + 1), 4) AS wmean_chars,
+                 / sum(doc_id % 7 + 1), 8) AS wmean_chars,
            count(*) AS n_docs
     FROM documents
     GROUP BY lang
@@ -81,9 +81,12 @@ def udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate UDAF via applyInPandas: per-language weighted mean
     of document length (weight = doc_id % 7 + 1, deterministic)."""
     docs = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
-    return docs.groupBy("lang").applyInPandas(
+    out = docs.groupBy("lang").applyInPandas(
         _weighted_mean, schema="lang string, wmean_chars double, n_docs long"
     )
+    # round outside the UDF: Python's round() is banker's rounding and
+    # disagrees with both engines' SQL round at half-way points
+    return out.select("lang", F.round("wmean_chars", 8).alias("wmean_chars"), "n_docs")
 
 
 def _chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

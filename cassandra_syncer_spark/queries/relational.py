@@ -123,7 +123,7 @@ def scan_json_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey,
            concat('segment/', c_mktsegment, '/', CAST(c_custkey AS VARCHAR)) AS path,
-           round(c_acctbal * 1.1, 2) AS adj_bal
+           c_acctbal + 100.0 AS adj_bal
     FROM customer
     """,
 )
@@ -131,14 +131,16 @@ def project_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection with computed columns (path join / arithmetic).
 
     Reference: absolute-path resolution map (bin/cassandra-syncer:92-97,
-    188-191,222).
+    188-191,222).  The arithmetic is addition (IEEE bit-exact in both
+    engines) — round(x*1.1, 2) diverged between engines on a half-cent
+    boundary at sf0.01.
     """
     return T(spark, sf_dir, "customer").select(
         "c_custkey",
         F.concat(
             F.lit("segment/"), F.col("c_mktsegment"), F.lit("/"), F.col("c_custkey").cast("string")
         ).alias("path"),
-        F.round(F.col("c_acctbal") * 1.1, 2).alias("adj_bal"),
+        (F.col("c_acctbal") + 100.0).alias("adj_bal"),
     )
 
 
@@ -237,13 +239,15 @@ def filter_in_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+           sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+           sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0) AS BIGINT)) / 10000.0
+             AS sum_disc_price,
+           sum(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000.0) AS BIGINT)) / 1000000.0
+             AS sum_charge,
+           sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_qty,
+           sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_price,
+           sum(CAST(round(l_discount * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -261,19 +265,29 @@ def agg_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides because double addition order differs between engines.
     """
     li = T(spark, sf_dir, "lineitem")
+    # exact-integer-unit aggregation: each money term is rounded to integer
+    # micro-units per row (single-expression IEEE math -> bit-identical in
+    # any engine), summed as longs (order-independent, exact), and scaled
+    # back.  This is the only sum formulation whose hash survives both
+    # rounding-boundary cases AND accumulation-order noise at any scale.
+    def micro(expr, scale):
+        return F.sum(F.round(expr * scale).cast("long"))
+
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            (micro(F.col("l_quantity"), 100.0) / 100.0).alias("sum_qty"),
+            (micro(F.col("l_extendedprice"), 100.0) / 100.0).alias("sum_base_price"),
+            (micro(disc_price, 10000.0) / 10000.0).alias("sum_disc_price"),
+            (micro(charge, 1000000.0) / 1000000.0).alias("sum_charge"),
+            (micro(F.col("l_quantity"), 100.0) / (n * 100.0)).alias("avg_qty"),
+            (micro(F.col("l_extendedprice"), 100.0) / (n * 100.0)).alias("avg_price"),
+            (micro(F.col("l_discount"), 100.0) / (n * 100.0)).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )

@@ -17,7 +17,7 @@ from cassandra_syncer_spark.registry import register
     "q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority
     FROM customer c
@@ -45,7 +45,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg((F.sum(F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0).cast("long")) / 10000.0).alias("revenue"))
         .select(
             "l_orderkey",
             "revenue",
@@ -60,7 +60,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT sum(CAST(round((l_extendedprice * l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
            count(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -82,7 +82,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            (F.sum(F.round((F.col("l_extendedprice") * F.col("l_discount")) * 10000.0).cast("long")) / 10000.0).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
