@@ -85,8 +85,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``timestamp`` and keep the raw value as ``ts_ns`` for exact-epoch
     comparisons against the DuckDB oracle (which reads ns natively).
     """
+    # defensive session-conf pinning: the driver may call queries with its
+    # own SparkSession.  Timestamp rendering (date_format/year/month) is
+    # session-timezone-dependent, and the DuckDB oracle formats wall-clock —
+    # pin UTC so results agree regardless of the caller's JVM default.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # defensive: the driver may call queries with its own SparkSession;
         # without this runtime-settable conf the ns-timestamp parquet fails
         # to load at all (PARQUET_TYPE_ILLEGAL, FIXTURES.md)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
