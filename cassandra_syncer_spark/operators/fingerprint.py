@@ -11,8 +11,9 @@ Python UDFs.
 Operators:
 - ``hash32``        — portable 32-bit integer hash of a string expression
 - ``shingles``      — 3-word sliding shingles over a word array
-- ``minhash_sig``   — k-perm MinHash signature (per-perm salted hash32)
-- ``simhash16``     — 16-bit SimHash over the distinct-word set
+- ``minhash_sig``   — k-perm MinHash signature (universal hashing over one
+  base hash32 per shingle)
+- ``simhash_expr``  — 32-bit SimHash over the shingle set (SIMHASH_BITS)
 
 MinHash/LSH banding parameters for 100 TB (why these defaults): with
 NUM_PERMS=8 and 4 bands of 2 rows, the candidate-pair probability is
