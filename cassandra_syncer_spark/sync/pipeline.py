@@ -107,7 +107,15 @@ class SyncPipeline:
     def build_manifest(self, local_files: DataFrame, manifest_ts: int) -> DataFrame:
         """Snapshot the live file set into one manifest row per container
         (walk→collect→serialize, bin/cassandra-syncer:83-110).  Sorted so
-        the snapshot is deterministic."""
+        the snapshot is deterministic.
+
+        The result is lazy: persist it to the manifest log (parquet append)
+        before building the next snapshot.  Unioning two *unpersisted*
+        manifests whose scans cover the same directory is unsafe — Spark
+        canonicalizes the two identical-looking file scans into one, so
+        both legs would see a single listing and one snapshot silently
+        loses rows.  The append-only log (the reference's one-object-per-
+        snapshot model, bin/cassandra-syncer:104) is the contract."""
         return (
             self.live_files(local_files)
             .groupBy("container")
@@ -122,10 +130,12 @@ class SyncPipeline:
         """Latest manifest per container — max_by, not sort-take-last (the
         reference's comparator at bin/cassandra-syncer-restore:69-71 is
         buggy; this is the intended semantics, and one aggregation pass
-        instead of a global sort)."""
+        instead of a global sort).  Ties on manifest_ts (two writers in the
+        same millisecond) are broken deterministically by the paths array
+        itself, so restore never picks a nondeterministic snapshot."""
         return manifests.groupBy("container").agg(
             F.max("manifest_ts").alias("manifest_ts"),
-            F.max_by("paths", "manifest_ts").alias("paths"),
+            F.max_by("paths", F.struct("manifest_ts", "paths")).alias("paths"),
         )
 
     def restore_plan(self, manifests: DataFrame, stored_files: DataFrame) -> DataFrame:

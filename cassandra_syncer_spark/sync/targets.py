@@ -30,6 +30,16 @@ class Target(Protocol):
     def upload(self, plan: DataFrame) -> int: ...
 
 
+def strip_root(root: str) -> F.Column:
+    """Relative name under ``root`` from a ``file:``-prefixed listing path.
+
+    Strips by *length* (substr), never by regex — a root containing regex
+    metacharacters (``+ ( [ .``) must not corrupt the name keys that
+    plan_upload/manifests/restore join on."""
+    prefix = "file:" + os.path.abspath(root).rstrip("/") + "/"
+    return F.col("path").substr(F.lit(len(prefix) + 1), F.length("path"))
+
+
 def scan_directory(spark: SparkSession, root: str, container: str) -> DataFrame:
     """Directory walk → file records (bin/cassandra-syncer:215-232) using
     Spark's distributed binaryFile listing (metadata only — content is not
@@ -41,7 +51,7 @@ def scan_directory(spark: SparkSession, root: str, container: str) -> DataFrame:
         .select("path", "length", "modificationTime")
     )
     return listed.select(
-        F.regexp_replace("path", f"^file:{root}/?", "").alias("name"),
+        strip_root(root).alias("name"),
         F.lit(container).alias("container"),
         F.col("length").alias("bytes"),
         F.lit(None).cast("string").alias("etag"),
@@ -63,21 +73,38 @@ class DirectoryTarget:
             return spark.createDataFrame([], schema="name string, container string, bytes long, etag string, last_modified timestamp, content_type string, is_temp boolean")
         return scan_directory(spark, self.root, self.container)
 
-    def upload(self, plan: DataFrame, src_root: str) -> int:
+    def upload(self, plan: DataFrame, src_root: str | None = None) -> int:
         """Copy every planned file src_root/name → root/name.
+
+        Multi-path backups (reference: ``[].concat(argv.path)``,
+        bin/cassandra-syncer:267) tag each plan row with a ``src_root``
+        column; when present it overrides the ``src_root`` argument
+        per-row, so one distributed copy serves any number of watch paths.
 
         Partition-parallel; per-file semantics mirror the reference:
         vanished source files are skipped (ENOENT skip,
         bin/cassandra-syncer:120-132), existing destinations are
         overwritten (idempotent re-PUT, core.js:403-417).
+
+        Returns the number of files actually copied (ENOENT-skipped files
+        are not counted), tallied via an accumulator in the same single
+        execution of the plan — no second count() job.  A retried task
+        re-adds its tally (accumulator at-least-once), but the copy itself
+        is idempotent, so the count can only over-report after a task
+        failure, never corrupt data.
         """
         dst_root = self.root
+        copied = plan.sparkSession.sparkContext.accumulator(0)
+        per_row_root = "src_root" in plan.columns
+        cols = ["name", "src_root"] if per_row_root else ["name"]
 
         def copy_partition(rows):
             import shutil
 
+            n = 0
             for row in rows:
-                src = os.path.join(src_root, row.name)
+                root = row.src_root if per_row_root else src_root
+                src = os.path.join(root, row.name)
                 dst = os.path.join(dst_root, row.name)
                 if not os.path.exists(src):
                     continue  # deleted since listing — skip, like ENOENT
@@ -85,7 +112,29 @@ class DirectoryTarget:
                 tmp = dst + ".inflight"
                 shutil.copyfile(src, tmp)
                 os.replace(tmp, dst)  # atomic commit — retry-safe
+                n += 1
+            copied.add(n)
 
-        n = plan.count()
-        plan.select("name").foreachPartition(copy_partition)
-        return n
+        plan.select(*cols).foreachPartition(copy_partition)
+        return copied.value
+
+    def delete(self, plan: DataFrame) -> int:
+        """Delete every planned name under root — partition-parallel (a
+        prune set can be millions of files at 100 TB; it never transits
+        the driver).  Missing files are counted as already-deleted, which
+        makes retries idempotent."""
+        dst_root = self.root
+        deleted = plan.sparkSession.sparkContext.accumulator(0)
+
+        def delete_partition(rows):
+            n = 0
+            for row in rows:
+                try:
+                    os.remove(os.path.join(dst_root, row.name))
+                    n += 1
+                except FileNotFoundError:
+                    pass
+            deleted.add(n)
+
+        plan.select("name").foreachPartition(delete_partition)
+        return deleted.value

@@ -37,7 +37,7 @@ def test_upload_ledger_carries_state_across_batches(spark, tmp_path):
     )
     rows1 = []
     q = (
-        upload_ledger(stream)
+        upload_ledger(stream, idle_evict_ms=None)  # availableNow drain
         .writeStream.foreachBatch(lambda df, bid: rows1.extend(df.collect()))
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -68,7 +68,7 @@ def test_upload_ledger_carries_state_across_batches(spark, tmp_path):
     )
     rows2 = []
     q2 = (
-        upload_ledger(stream2)
+        upload_ledger(stream2, idle_evict_ms=None)
         .writeStream.foreachBatch(lambda df, bid: rows2.extend(df.collect()))
         .outputMode("update")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
@@ -80,6 +80,67 @@ def test_upload_ledger_carries_state_across_batches(spark, tmp_path):
     assert out2["c1"].files_seen == 3
     assert out2["c1"].bytes_total == 18
     assert out2["c1"].new_in_batch == 1
+
+
+def test_idle_container_state_evicted(spark, tmp_path):
+    """ProcessingTimeTimeout eviction: a container idle past the horizon
+    loses its ledger, so a later event restarts the count from empty —
+    state size tracks live keys (the unbounded-stream posture)."""
+    import threading
+    import time as _time
+
+    in_dir = tmp_path / "in"
+    _stage(in_dir, [[{"container": "c1", "name": "a", "bytes": 10}]])
+    stream = (
+        spark.readStream.format("json").schema(LEDGER_IN_SCHEMA)
+        .option("maxFilesPerTrigger", 1).load(str(in_dir))
+    )
+    rows = []
+    seen_first = threading.Event()
+    seen_keepalive = threading.Event()
+
+    def on_batch(df, bid):
+        got = df.collect()
+        rows.extend(got)
+        if any(r.container == "c1" for r in got):
+            seen_first.set()
+        if any(r.container == "keepalive" for r in got):
+            seen_keepalive.set()
+
+    q = (
+        upload_ledger(stream, idle_evict_ms=1500)
+        .writeStream.foreachBatch(on_batch)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        assert seen_first.wait(30), "first c1 batch never processed"
+        # let c1 idle past the horizon while OTHER keys keep batches flowing
+        # (timeout processing happens inside live microbatches)
+        _time.sleep(2.0)
+        _stage(in_dir, [[{"container": "keepalive", "name": "k", "bytes": 1}]], prefix="ka")
+        assert seen_keepalive.wait(30), "keepalive batch never processed"
+        _time.sleep(1.0)
+        # same (container, name) again: if c1's state was evicted, the
+        # ledger restarts — 'a' counts as NEW again
+        _stage(in_dir, [[{"container": "c1", "name": "a", "bytes": 10}]], prefix="again")
+        deadline = _time.monotonic() + 30
+        while _time.monotonic() < deadline:
+            c1_rows = [r for r in rows if r.container == "c1"]
+            if len(c1_rows) >= 2:
+                break
+            _time.sleep(0.25)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    c1_rows = [r for r in rows if r.container == "c1"]
+    assert len(c1_rows) >= 2, f"second c1 batch never processed: {rows}"
+    last = c1_rows[-1]
+    assert last.new_in_batch == 1 and last.files_seen == 1, (
+        f"state not evicted: {last} (files_seen should restart at 1)"
+    )
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
