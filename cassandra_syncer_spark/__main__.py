@@ -49,32 +49,56 @@ def _emit(payload: dict) -> None:
 
 
 def cmd_backup(args) -> int:
+    """Full/incremental backup of one or more source roots (the reference
+    watches multiple paths in one run: ``[].concat(argv.path)``,
+    bin/cassandra-syncer:267) — scans union (§2.7 set_union_all dataflow),
+    each row tagged with its root so the distributed copy resolves
+    per-row sources."""
+    from functools import reduce
+
     from cassandra_syncer_spark.sync import SyncPipeline
     from cassandra_syncer_spark.sync.targets import DirectoryTarget, scan_directory
 
     spark = _spark()
     p = SyncPipeline()
     target = DirectoryTarget(args.store, args.container)
-    local = scan_directory(spark, args.src, args.container)
+    scans = [
+        scan_directory(spark, s, args.container).withColumn(
+            "src_root", F.lit(os.path.abspath(s))
+        )
+        for s in args.src
+    ]
+    local = reduce(lambda a, b: a.unionByName(b), scans)
     remote = target.list_files(spark)
     # directory stores have no container listing: "container exists" ≡ the
     # store already holds any object (reference probe: bin/cassandra-syncer:162-177)
     full = remote.limit(1).count() == 0
     plan = p.plan_upload(local, remote)
-    n = target.upload(plan, args.src)
+    n = target.upload(plan)
     ts = int(time.time() * 1000)
     p.build_manifest(local, manifest_ts=ts).write.mode("append").parquet(_manifest_dir(args.store))
-    _emit({"cmd": "backup", "full": bool(full), "uploaded": n, "manifest_ts": ts})
+    _emit({
+        "cmd": "backup",
+        "full": bool(full),
+        "uploaded": n,
+        "manifest_ts": ts,
+        "sources": len(args.src),
+    })
     return 0
 
 
 def cmd_watch(args) -> int:
-    """Streamed incremental sync: drain new files via the file source
-    (availableNow — the CLI form of the reference's inotify loop; a
-    long-running deployment would switch the trigger to processingTime)."""
-    from cassandra_syncer_spark.streaming.watch import run_incremental_sync, watch_files
+    """Streamed incremental sync over the file source — the reference's
+    inotify loop (bin/cassandra-syncer:276).  Default drains pending files
+    and exits (availableNow); ``--follow`` keeps watching across live
+    microbatches (processingTime trigger), stopping only on
+    ``--max-batches``/``--timeout-sec`` if given."""
+    from cassandra_syncer_spark.streaming.watch import (
+        run_continuous_sync,
+        run_incremental_sync,
+    )
     from cassandra_syncer_spark.sync import SyncPipeline
-    from cassandra_syncer_spark.sync.targets import DirectoryTarget, scan_directory
+    from cassandra_syncer_spark.sync.targets import DirectoryTarget, scan_directory, strip_root
 
     spark = _spark()
     p = SyncPipeline()
@@ -85,11 +109,18 @@ def cmd_watch(args) -> int:
         .option("recursiveFileLookup", "true")
         .load(args.src)
         .select(
-            F.regexp_replace("path", f"^file:{args.src}/?", "").alias("name"),
+            strip_root(args.src).alias("name"),
             F.col("length").alias("bytes"),
         )
     )
     uploaded = []
+    last_ts = [0]
+
+    def next_manifest_ts() -> int:
+        # strictly monotonic even when two batches land in one millisecond —
+        # latest_manifests must never have to break a manifest_ts tie
+        last_ts[0] = max(last_ts[0] + 1, int(time.time() * 1000))
+        return last_ts[0]
 
     def on_batch(batch_df, batch_id):
         names = batch_df.select("name").filter(~F.col("name").contains(p.TEMP_MARKER))
@@ -97,10 +128,21 @@ def cmd_watch(args) -> int:
         uploaded.append(target.upload(plan, args.src))
         p.build_manifest(
             scan_directory(spark, args.src, args.container),
-            manifest_ts=int(time.time() * 1000) + batch_id,
+            manifest_ts=next_manifest_ts(),
         ).write.mode("append").parquet(_manifest_dir(args.store))
 
-    run_incremental_sync(stream, os.path.join(args.store, "__checkpoint__"), on_batch)
+    ckpt = os.path.join(args.store, "__checkpoint__")
+    if args.follow:
+        run_continuous_sync(
+            stream,
+            ckpt,
+            on_batch,
+            max_batches=args.max_batches,
+            timeout_sec=args.timeout_sec,
+            processing_interval=args.interval,
+        )
+    else:
+        run_incremental_sync(stream, ckpt, on_batch)
     _emit({"cmd": "watch", "batches": len(uploaded), "uploaded": sum(uploaded)})
     return 0
 
@@ -152,14 +194,18 @@ def cmd_prune(args) -> int:
         stored,
         now_ms=int(time.time() * 1000),
         older_than_ms=args.older_than_days * 24 * 3600 * 1000,
-    )
-    names = [r.name for r in prunable.select("name").collect()]
-    if not args.dry_run:
-        for name in names:
-            path = os.path.join(args.store, name)
-            if os.path.exists(path):
-                os.remove(path)
-    _emit({"cmd": "prune", "pruned": len(names), "dry_run": args.dry_run, "names": sorted(names)})
+    ).cache()
+    # a prune set can be millions of files — deletion runs distributed
+    # (foreachPartition), never a collected driver loop; the report shows
+    # a bounded sample of names, not the full set
+    # TakeOrderedAndProject: bounded, deterministic sample for the report
+    sample = [r.name for r in prunable.select("name").sort("name").take(100)]
+    if args.dry_run:
+        n = prunable.count()
+    else:
+        n = DirectoryTarget(args.store, args.container).delete(prunable)
+    prunable.unpersist()
+    _emit({"cmd": "prune", "pruned": n, "dry_run": args.dry_run, "names_sample": sample})
     return 0
 
 
@@ -167,14 +213,21 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cassandra_syncer_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    b = sub.add_parser("backup", help="full/incremental backup + manifest snapshot")
-    b.add_argument("src"), b.add_argument("store")
+    b = sub.add_parser("backup", help="full/incremental backup + manifest snapshot (multi-path: SRC1 SRC2 ... STORE)")
+    b.add_argument("src", nargs="+"), b.add_argument("store")
     b.add_argument("--container", default="default")
     b.set_defaults(fn=cmd_backup)
 
-    w = sub.add_parser("watch", help="streamed incremental sync (drains pending)")
+    w = sub.add_parser("watch", help="streamed incremental sync (drains pending; --follow keeps watching)")
     w.add_argument("src"), w.add_argument("store")
     w.add_argument("--container", default="default")
+    w.add_argument("--follow", action="store_true",
+                   help="keep watching (processingTime trigger) instead of drain-and-exit")
+    w.add_argument("--interval", default="1 second", help="--follow trigger interval")
+    w.add_argument("--max-batches", type=int, default=None,
+                   help="--follow: stop after N data-carrying microbatches")
+    w.add_argument("--timeout-sec", type=float, default=None,
+                   help="--follow: stop after this many seconds")
     w.set_defaults(fn=cmd_watch)
 
     r = sub.add_parser("restore", help="restore minimum set from latest manifest")

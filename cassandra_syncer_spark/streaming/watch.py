@@ -17,6 +17,7 @@ re-enqueue loop (``:71-80``).
 
 from __future__ import annotations
 
+import threading
 import time
 from collections.abc import Callable
 
@@ -44,21 +45,34 @@ def run_incremental_sync(
     stream: DataFrame,
     checkpoint_dir: str,
     on_batch: Callable[[DataFrame, int], None],
-    manifest_sink: list | None = None,
+    manifest_log: str | None = None,
+    container: str = "default",
 ):
     """Drive the EP2 loop: per microbatch, hand new-file rows to the
     uploader callback, then snapshot a manifest row (snapshot-per-commit,
     bin/cassandra-syncer:141-143).  ``availableNow`` drains everything
-    pending and stops — deterministic for tests; production would use a
-    processingTime trigger."""
+    pending and stops — deterministic for tests; long-running deployments
+    use :func:`run_continuous_sync`.
+
+    When ``manifest_log`` is given, each batch appends a manifest built by
+    the ``SyncPipeline.build_manifest`` dataflow — an aggregation executed
+    by Spark straight into the parquet log, never a driver-side collect of
+    file names (a 100 TB batch's name set must not transit the driver).
+    manifest_ts is strictly monotonic across batches, so latest-manifest
+    selection never faces a tie."""
+    from cassandra_syncer_spark.sync.pipeline import SyncPipeline
+
+    p = SyncPipeline()
+    last_ts = [0]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         on_batch(batch_df, batch_id)
-        if manifest_sink is not None:
-            names = [r.name for r in batch_df.select("name").collect()]
-            manifest_sink.append(
-                {"manifest_ts": int(time.time() * 1000), "batch_id": batch_id, "paths": sorted(names)}
-            )
+        if manifest_log is not None:
+            last_ts[0] = max(last_ts[0] + 1, int(time.time() * 1000))
+            p.build_manifest(
+                batch_df.select("name", F.lit(container).alias("container")),
+                manifest_ts=last_ts[0],
+            ).write.mode("append").parquet(manifest_log)
 
     q = (
         stream.writeStream.foreachBatch(handle)
@@ -66,6 +80,63 @@ def run_incremental_sync(
         .trigger(availableNow=True)
         .start()
     )
+    q.awaitTermination()
+    return q
+
+
+def run_continuous_sync(
+    stream: DataFrame,
+    checkpoint_dir: str,
+    on_batch: Callable[[DataFrame, int], None],
+    manifest_log: str | None = None,
+    container: str = "default",
+    processing_interval: str = "1 second",
+    max_batches: int | None = None,
+    timeout_sec: float | None = None,
+):
+    """Long-running EP2: the reference's indefinite inotify loop
+    (``bin/cassandra-syncer:276`` — backup then ``watch()`` forever),
+    expressed as a ``processingTime``-triggered streaming query that keeps
+    discovering and syncing new files across live microbatches.
+
+    Production passes neither stop condition and runs until externally
+    stopped; tests (and bounded deployments) pass ``max_batches`` — stop
+    after that many *data-carrying* microbatches (empty polls don't
+    count) — and/or ``timeout_sec`` as a wall-clock bound.  Manifests are
+    snapshot-per-commit through the same dataflow appender as
+    :func:`run_incremental_sync`, with strictly monotonic manifest_ts.
+    """
+    from cassandra_syncer_spark.sync.pipeline import SyncPipeline
+
+    p = SyncPipeline()
+    last_ts = [0]
+    data_batches = [0]
+    stop_now = threading.Event()
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        on_batch(batch_df, batch_id)
+        if manifest_log is not None:
+            last_ts[0] = max(last_ts[0] + 1, int(time.time() * 1000))
+            p.build_manifest(
+                batch_df.select("name", F.lit(container).alias("container")),
+                manifest_ts=last_ts[0],
+            ).write.mode("append").parquet(manifest_log)
+        data_batches[0] += 1
+        if max_batches is not None and data_batches[0] >= max_batches:
+            stop_now.set()
+
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=processing_interval)
+        .start()
+    )
+    deadline = None if timeout_sec is None else time.monotonic() + timeout_sec
+    while q.isActive:
+        if stop_now.is_set() or (deadline is not None and time.monotonic() > deadline):
+            q.stop()
+            break
+        time.sleep(0.2)
     q.awaitTermination()
     return q
 

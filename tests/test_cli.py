@@ -46,3 +46,32 @@ def test_cli_lifecycle(tmp_path):
     r = run_cli("prune", str(store), "--older-than-days", "0", "--dry-run")
     # everything is referenced by the latest manifest -> nothing prunable
     assert r["pruned"] == 0
+
+
+def test_cli_multi_path_backup(tmp_path):
+    """Reference parity: multiple watch paths in one run
+    (bin/cassandra-syncer:267) — one store, one manifest per container."""
+    src1, src2, store, dst = (
+        tmp_path / "data1", tmp_path / "data2", tmp_path / "store", tmp_path / "dst"
+    )
+    (src1 / "ks1").mkdir(parents=True)
+    (src2 / "ks2").mkdir(parents=True)
+    (src1 / "ks1/a-Data.db").write_bytes(b"alpha")
+    (src2 / "ks2/b-Data.db").write_bytes(b"beta")
+
+    r = run_cli("backup", str(src1), str(src2), str(store))
+    assert r["uploaded"] == 2 and r["sources"] == 2
+    assert (store / "ks1/a-Data.db").read_bytes() == b"alpha"
+    assert (store / "ks2/b-Data.db").read_bytes() == b"beta"
+
+    # union dataflow produced ONE manifest row naming both roots' files
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT container, len(paths) AS n FROM read_parquet('{store}/__manifests__/*.parquet')"
+    ).fetchall()
+    assert rows == [("default", 2)]
+
+    r = run_cli("restore", str(store), str(dst))
+    assert r["restored"] == 2
+    assert (dst / "ks2/b-Data.db").read_bytes() == b"beta"

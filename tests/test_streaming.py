@@ -8,6 +8,7 @@ import json
 from pyspark.sql import functions as F
 
 from cassandra_syncer_spark.streaming.watch import (
+    run_continuous_sync,
     run_incremental_sync,
     streaming_dedup,
     tumbling_counts,
@@ -37,15 +38,21 @@ def test_incremental_sync_drains_and_snapshots(spark, tmp_path):
     assert stream.isStreaming
 
     seen: list[str] = []
-    manifests: list[dict] = []
+    mlog = str(tmp_path / "manifests")
     run_incremental_sync(
         stream,
         str(tmp_path / "ckpt"),
         on_batch=lambda df, bid: seen.extend(r.name for r in df.collect()),
-        manifest_sink=manifests,
+        manifest_log=mlog,
+        container="c1",
     )
     assert sorted(seen) == ["a-Data.db", "b-Data.db"]
-    assert manifests and all(m["paths"] for m in manifests)
+    manifests = spark.read.parquet(mlog).collect()
+    assert manifests and all(m.paths for m in manifests)
+    # snapshot-per-commit with strictly monotonic keys
+    ts = sorted(m.manifest_ts for m in manifests)
+    assert len(set(ts)) == len(ts)
+    assert sorted(n for m in manifests for n in m.paths) == ["a-Data.db", "b-Data.db"]
 
     # only-new-files invariant: re-running with the same checkpoint sees nothing
     seen2: list[str] = []
@@ -54,6 +61,59 @@ def test_incremental_sync_drains_and_snapshots(spark, tmp_path):
         stream2, str(tmp_path / "ckpt"), on_batch=lambda df, bid: seen2.extend(r.name for r in df.collect())
     )
     assert seen2 == []
+
+
+def test_continuous_watch_spans_live_microbatches(spark, tmp_path):
+    """The reference's indefinite watch loop: files appended WHILE the
+    query is live land in later microbatches; one manifest snapshot per
+    commit; the stop hook ends the query after max_batches."""
+    import threading
+    import time as _time
+
+    watch_dir = tmp_path / "watch"
+    _stage(watch_dir, [[{"name": "a-Data.db", "etag": "aa", "ts": "2024-01-01T00:00:00"}]])
+
+    batches: list[list[str]] = []
+
+    def on_batch(df, bid):
+        rows = [r.name for r in df.collect()]
+        if rows:
+            batches.append(rows)
+
+    mlog = str(tmp_path / "manifests")
+
+    def feeder():
+        # wait until the first batch is processed, then drop a second file
+        # into the watched directory while the query is still live
+        for _ in range(200):
+            if batches:
+                break
+            _time.sleep(0.1)
+        with open(watch_dir / "late-arrival.json", "w") as fh:
+            fh.write(json.dumps({"name": "b-Data.db", "etag": "bb", "ts": "2024-01-01T00:10:00"}) + "\n")
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    stream = watch_files(spark, str(watch_dir), FILE_EVENT_SCHEMA)
+    run_continuous_sync(
+        stream,
+        str(tmp_path / "ckpt2"),
+        on_batch,
+        manifest_log=mlog,
+        container="c1",
+        processing_interval="250 milliseconds",
+        max_batches=2,
+        timeout_sec=60,
+    )
+    t.join(timeout=5)
+
+    assert len(batches) >= 2, f"expected >=2 live microbatches, saw {batches}"
+    assert sorted(n for b in batches for n in b) == ["a-Data.db", "b-Data.db"]
+    manifests = spark.read.parquet(mlog).collect()
+    # snapshot-per-commit: one manifest per data batch, monotonic keys
+    assert len(manifests) == len(batches)
+    ts = [m.manifest_ts for m in manifests]
+    assert len(set(ts)) == len(ts)
 
 
 def test_streaming_dedup_by_etag(spark, tmp_path):
