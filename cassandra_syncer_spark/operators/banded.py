@@ -1,0 +1,110 @@
+"""Banded range join — large×large theta joins without a nested loop.
+
+Spark executes a plain non-equi join (``l.v between r.lo and r.hi``) as
+BroadcastNestedLoopJoin: fine while one side is dimension-sized
+(queries/joins.py::join_theta_range), fatal when both sides are large.
+This operator is the value-domain generalization of the time-banding idea
+in operators/asof.py: discretize the value axis into fixed-width bands so
+the range predicate becomes an *equi* join on band id.
+
+Shape:
+
+1. each right interval ``[lo, hi)`` explodes to every band it overlaps —
+   ``floor(lo/w) .. floor(hi/w)`` (≤ ``ceil(max_interval/w)+1`` copies; pick
+   ``band_width`` ≥ the typical interval width so the duplication factor
+   stays ≤ 2);
+2. each left point ``v`` maps to the single band ``floor(v/w)``;
+3. equi-join on (band, *extra keys*) — hash-partitioned both sides, one
+   shuffle each, AQE-skew-splittable like any equi join;
+4. residual filter re-applies the exact predicate (band overlap is a
+   superset of the true matches).
+
+At 100 TB this is the same cost model as a regular equi join (shuffle both
+sides on the band key) plus the bounded explode factor — no O(n·m) pair
+enumeration, no broadcast requirement.  Skewed bands (a popular value
+range) are ordinary skewed join keys: AQE skew-join or salting applies
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BAND_COL = "__band"
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str | Column,
+    right_lo: str | Column,
+    right_hi: str | Column,
+    band_width: float,
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows (point ``left_point``) to right rows (interval
+    ``[right_lo, right_hi)``) where the point falls inside the interval,
+    executed as an equi join on band id.
+
+    ``extra_on``: additional equi keys joined alongside the band (they
+    tighten both the shuffle key and the candidate set).  ``how`` supports
+    'inner' and 'left_semi'-style use via post-filtering; outer variants
+    need the unmatched-preservation union (not needed by the engine yet).
+    """
+    if how != "inner":
+        raise ValueError(f"banded_range_join supports how='inner', got {how!r}")
+    extra_on = extra_on or []
+    w = float(band_width)
+    if w <= 0:
+        raise ValueError("band_width must be > 0")
+
+    lpt = F.col(left_point) if isinstance(left_point, str) else left_point
+    rlo = F.col(right_lo) if isinstance(right_lo, str) else right_lo
+    rhi = F.col(right_hi) if isinstance(right_hi, str) else right_hi
+
+    l_banded = left.withColumn(BAND_COL, F.floor(lpt / F.lit(w)).cast("long"))
+    # a right interval covers bands floor(lo/w)..floor(hi/w); the residual
+    # filter below removes the superset slack at band boundaries
+    r_banded = right.withColumn(
+        BAND_COL,
+        F.explode(
+            F.sequence(
+                F.floor(rlo / F.lit(w)).cast("long"),
+                F.floor(rhi / F.lit(w)).cast("long"),
+            )
+        ),
+    )
+    joined = l_banded.join(r_banded, [BAND_COL, *extra_on], "inner")
+    # residual: exact range predicate over the banded candidates
+    lpt_j = F.col(left_point) if isinstance(left_point, str) else left_point
+    rlo_j = F.col(right_lo) if isinstance(right_lo, str) else right_lo
+    rhi_j = F.col(right_hi) if isinstance(right_hi, str) else right_hi
+    return joined.filter((lpt_j >= rlo_j) & (lpt_j < rhi_j)).drop(BAND_COL)
+
+
+def banded_proximity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    radius: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Symmetric proximity join: pairs with ``right_val - radius <=
+    left_val < right_val + radius`` — the ``join_theta_range`` shape —
+    as a banded equi join.  Band width is ``2*radius``, so each right
+    point lands in at most 2 bands."""
+    r = right.withColumn("__lo", F.col(right_val) - F.lit(float(radius))).withColumn(
+        "__hi", F.col(right_val) + F.lit(float(radius))
+    )
+    return banded_range_join(
+        left,
+        r,
+        left_point=left_val,
+        right_lo="__lo",
+        right_hi="__hi",
+        band_width=2.0 * float(radius),
+        extra_on=extra_on,
+    ).drop("__lo", "__hi")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_syncer_spark.operators.asof import asof_join
+from cassandra_syncer_spark.operators.banded import banded_proximity_join
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
 
@@ -223,6 +224,44 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_peers"),
             (F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")) / (F.count(F.lit(1)) * 100.0)).alias("avg_peer_bal"),
         )
+    )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name,
+           count(*) AS n_peers,
+           sum(CAST(round(c.c_acctbal * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_peer_bal
+    FROM supplier s
+    JOIN customer c
+      ON c.c_acctbal >= s.s_acctbal - 100.0 AND c.c_acctbal < s.s_acctbal + 100.0
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same range semantics as ``join_theta_range`` under the
+    large×large physical strategy: band the value axis and equi-join on
+    band id (operators/banded.py) instead of BroadcastNestedLoopJoin.
+
+    Identical oracle on purpose — the driver verifies the banded rewrite
+    is *semantically equal* to the nested-loop formulation, which is the
+    property that lets a planner swap one for the other when both sides
+    are big.  Plan-shape test (no BNLJ even with broadcast disabled):
+    tests/test_plans.py.
+    """
+    supp = T(spark, sf_dir, "supplier")
+    cust = T(spark, sf_dir, "customer")
+    pairs = banded_proximity_join(
+        cust.select("c_custkey", "c_acctbal"),
+        supp.select("s_suppkey", "s_name", "s_acctbal"),
+        left_val="c_acctbal",
+        right_val="s_acctbal",
+        radius=100.0,
+    )
+    return pairs.groupBy("s_suppkey", "s_name").agg(
+        F.count(F.lit(1)).alias("n_peers"),
+        (F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")) / (F.count(F.lit(1)) * 100.0)).alias("avg_peer_bal"),
     )
 
 

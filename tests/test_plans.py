@@ -61,6 +61,26 @@ def test_flagship_stays_in_codegen(spark, sf_dir):
     assert "*(" in p, "flagship aggregation fell out of whole-stage codegen"
 
 
+def test_banded_range_join_is_equi_large_x_large(spark, sf_dir):
+    """The banded rewrite must stay an equi join even when NOTHING is
+    broadcast-able — the large×large posture.  With auto-broadcast
+    disabled the plan must contain a shuffle-based equi join (sort-merge
+    or shuffled-hash) and no BroadcastNestedLoopJoin/CartesianProduct."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_range_banded")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in p, "banded join fell back to BNLJ"
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+    # and the non-banded theta query IS the nested-loop shape (dimension-
+    # sized side broadcast) — the two queries document the two regimes
+    p_theta = plan_of(spark, sf_dir, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" in p_theta
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
