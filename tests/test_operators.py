@@ -91,6 +91,21 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
+def test_ivf_kmeans_recall(spark, sf_dir):
+    """Learned-centroid IVF (seeded k-means, rows-only in t2) must recover
+    ≥ 0.8 of the true top-5 neighbors at n_probe=2 on the fixture corpus —
+    the quality gate that stands in for an oracle."""
+    from cassandra_syncer_spark.queries.llm_similarity import (
+        sim_cosine_topk,
+        sim_ivf_kmeans,
+    )
+
+    truth = {(r.q_id, r.vec_id) for r in sim_cosine_topk(spark, sf_dir).collect()}
+    got = {(r.q_id, r.vec_id) for r in sim_ivf_kmeans(spark, sf_dir).collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"IVF-kmeans recall too low: {recall:.2f}"
+
+
 def test_filter_commutes_and_semi_subset(spark, sf_dir):
     from cassandra_syncer_spark.session import load_table
 
