@@ -6,13 +6,16 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 with a noop write (no driver-side collect, measures the full distributed
 plan), warmed once, then timed best-of-2.  Compare against BASELINE.md.
 
-Comparison caveat vs BASELINE.md: the baseline forced queries with
-``count()``, under which Catalyst prunes unreferenced output columns — for
-the window-function row that eliminates the window computation entirely
-(measured: count() 0.12 s vs full materialization 0.26 s on the same query).
-The noop write used here forces every output column, so it reports the cost
-of actually producing the result; expect the window row to read higher than
-the baseline's count()-pruned figure.
+Forcing method and the baseline comparison: BASELINE.md's original numbers
+were ``count()``-forced, under which Catalyst prunes unreferenced output
+columns — for the window row that deletes the window computation entirely.
+The noop write used here forces every output column (the honest cost).
+``scripts/measure_baseline.py`` re-measured the vanilla-PySpark baseline
+under BOTH forcings (published in BASELINE.md and BASELINE_REMEASURE.json);
+the 2x gate compares this file's noop-forced numbers against the baseline's
+noop-forced column.  For transparency the JSON line also carries
+``queries_count_forced`` for the baseline-comparable rows, so either
+comparison can be made from the artifact alone.
 """
 
 from __future__ import annotations
@@ -27,12 +30,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline queries (subset of the registry that maps onto BASELINE.md rows)
 HEADLINE = [
-    "agg_group_sum",        # BASELINE: Q1-style pricing summary 0.56 s
-    "join_3table_topk",     # BASELINE: 3-table join + top-10   1.56 s
-    "join_multiway",        # BASELINE: 5-table star join        1.09 s
-    "win_running_frame",    # BASELINE: window rank+running sum  0.07 s
-    "agg_count_distinct",   # BASELINE: distinct per event_type  0.21 s
-    "agg_approx_distinct",
+    "agg_group_sum",        # BASELINE noop-forced: 0.33 s
+    "join_3table_topk",     # BASELINE noop-forced: 0.85 s
+    "join_multiway",        # BASELINE noop-forced: 0.79 s
+    "win_running_frame",    # BASELINE noop-forced: 0.26 s
+    "agg_count_distinct",   # BASELINE noop-forced: 0.10 s
+    "agg_approx_distinct",  # BASELINE noop-forced: 0.21 s
     "topk_limit",
     "dedup_exact",
     "text_minhash_dedup",
@@ -40,6 +43,10 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ivf_ann",
 ]
+
+#: rows with a BASELINE.md counterpart — these also get a count()-forced
+#: measurement so the JSON artifact supports both comparison methods
+BASELINE_COMPARABLE = HEADLINE[:6]
 
 
 def main() -> None:
@@ -51,6 +58,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    timings_cf: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
@@ -65,6 +73,15 @@ def main() -> None:
         run()  # warm: JIT, shuffle service, file listing
         timings[name] = round(min(run(), run()), 4)
 
+        if name in BASELINE_COMPARABLE:
+            def run_cf() -> float:
+                t0 = time.perf_counter()
+                df.count()
+                return time.perf_counter() - t0
+
+            run_cf()
+            timings_cf[name] = round(min(run_cf(), run_cf()), 4)
+
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     print(
@@ -74,6 +91,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_count_forced": timings_cf,
+                "forcing": "noop-write (honest full materialization); count_forced rows for BASELINE.md method parity",
                 "sf": float(m.group(1)) if m else SF_DIR,
                 "sf_dir": SF_DIR,
             }

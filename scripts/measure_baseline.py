@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Re-measure the BASELINE.md vanilla-PySpark queries under BOTH forcing
+methods, like-for-like with bench.py.
+
+Why: BASELINE.md (survey session) forced queries with ``count()``, under
+which Catalyst prunes every output column a count doesn't need — for the
+window row that deletes the window computation itself, so the published
+0.07 s measures a shell of the query.  bench.py forces a noop write of
+every output column (the honest cost of producing the result).  Comparing
+those two methods against each other produced the round-1 "weak" rows.
+This script produces the apples-to-apples table: each baseline query,
+vanilla PySpark (no engine code), original config (local[8],
+shuffle.partitions=16), forced both ways, best of 3 warm runs.
+
+Run:  python scripts/measure_baseline.py   (writes BASELINE_REMEASURE.json)
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("baseline-remeasure")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t = {
+        name: spark.read.parquet(f"{SF_DIR}/{name}.parquet")
+        for name in ["lineitem", "orders", "customer", "nation", "region", "events"]
+    }
+    events = t["events"].withColumn(
+        "ts_sec", (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    )
+
+    # -- the five BASELINE.md queries, vanilla PySpark ---------------------
+
+    def q1_pricing():
+        li = t["lineitem"]
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q_join3():
+        return (
+            t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.desc("revenue"))
+            .limit(10)
+        )
+
+    def q_star5():
+        return (
+            t["region"]
+            .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+            .orderBy("r_name", "n_name")
+        )
+
+    def q_window():
+        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        return events.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("value")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running"),
+        )
+
+    def q_distinct_both():
+        return t["events"].groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+
+    def q_distinct_exact():
+        return t["events"].groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    def q_distinct_approx():
+        return t["events"].groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        )
+
+    queries = {
+        "q1_pricing": q1_pricing,
+        "join3_topk": q_join3,
+        "star5": q_star5,
+        "window_rownum_running": q_window,
+        "distinct_both": q_distinct_both,
+        "distinct_exact_only": q_distinct_exact,
+        "distinct_approx_only": q_distinct_approx,
+    }
+
+    def best_of_3(force) -> float:
+        force()  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force()
+            times.append(time.perf_counter() - t0)
+        return round(min(times), 4)
+
+    out: dict[str, dict[str, float]] = {}
+    for name, build in queries.items():
+        df = build()
+        out[name] = {
+            "count_forced": best_of_3(lambda: df.count()),
+            "noop_write_forced": best_of_3(
+                lambda: df.write.format("noop").mode("overwrite").save()
+            ),
+        }
+        print(name, out[name])
+
+    with open("BASELINE_REMEASURE.json", "w") as fh:
+        json.dump({"sf_dir": SF_DIR, "config": "local[8], shuffle=16", "queries": out}, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
