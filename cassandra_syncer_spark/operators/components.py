@@ -1,0 +1,68 @@
+"""Connected components over candidate-pair graphs — dedup clustering.
+
+Near-dup detection (MinHash/SimHash banding) yields candidate *pairs*;
+what a training-data pipeline actually needs is the *cluster*: every
+transitive group of near-duplicates, with one canonical representative to
+keep.  That is connected components on the pair graph.
+
+Algorithm: min-label propagation — every vertex starts labeled with its
+own id; each round it takes the min of its label and its neighbors'
+labels; fixpoint = components labeled by their minimum member id.  This is
+the standard distributed-CC shape (GraphX/GraphFrames do the same loop):
+each round is one equi-join + one aggregation, and the round count is
+bounded by the component *diameter*, not the graph size.  Near-dup
+clusters are shallow (duplicates of a common source connect densely), so
+a handful of rounds suffice even at corpus scale; pathological chain
+graphs are the documented worst case (use the large-star/small-star
+variant if those arise).
+
+Driver involvement is one scalar aggregate per round (the convergence
+check) — iteration control, not data movement.  ``localCheckpoint``
+truncates lineage each round so plan size stays constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges``.
+
+    Returns one row per vertex: ``(id, component)`` where component is the
+    minimum vertex id reachable from ``id``.  Vertices are exactly the ids
+    appearing in edges (isolated documents are not dedup concerns).
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()  # reused every round — materialize once
+    )
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    prev_sum = None
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(sym["a"].alias("id"), F.col("comp").alias("ncomp"))
+            .groupBy("id")
+            .agg(F.min("ncomp").alias("ncomp"))
+        )
+        labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp"))
+            .localCheckpoint()
+        )
+        # min-label sums strictly decrease until fixpoint — one scalar per
+        # round is the whole driver-side footprint
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("comp").alias("component"))

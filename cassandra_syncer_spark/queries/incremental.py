@@ -75,6 +75,23 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_percentile_approx", oracle=None)  # sketch algorithms differ per engine
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB percentile path: ``approx_percentile`` (Greenwald-Khanna
+    sketch) — one pass, fixed memory per group, mergeable partials —
+    replacing the exact form that must sort every group (the bottleneck
+    SCALING.md flags for ``agg_percentile``).  Spark's GK and DuckDB's
+    t-digest produce different estimates, so the driver records rows-only;
+    the estimate-vs-exact error is unit-tested instead
+    (tests/test_operators.py::test_approx_percentile_tracks_exact)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 8).alias("p50"),
+        F.round(F.expr("approx_percentile(l_extendedprice, 0.95, 1000)"), 8).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "merge_upsert",
     oracle="""

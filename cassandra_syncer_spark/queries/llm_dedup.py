@@ -86,21 +86,10 @@ _MINHASH_SQL_TEMPLATE = """
 """
 
 
-@register(
-    "text_minhash_dedup",
-    oracle=_MINHASH_SQL_TEMPLATE.format(cte=_minhash_cte(True), bands=_band_union(True)),
-)
-def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 3-word shingles → one md5 per
-    shingle → 8 universal-hash permutations → 4 bands of 2 → bucket-local
-    pair generation.
-
-    Scale shape: the md5 pass happens exactly once (staged projections keep
-    Catalyst from inlining the hash array into its 8 consumers), the only
-    shuffle is groupBy(band_key), and pairs are expanded from each bucket's
-    sorted id array — cost bounded by bucket size², never corpus².  Banding
-    math in operators/fingerprint.py.
-    """
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash candidate-pair dataflow: (doc_a, doc_b,
+    n_shared_bands) — the body of ``text_minhash_dedup``, reused by the
+    cluster query."""
     docs = T(spark, sf_dir, "documents")
     words = fp.words_expr("text", duck=False)
     sh = fp.shingles_expr("words", duck=False)
@@ -139,6 +128,74 @@ def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_bands")
+    )
+
+
+@register(
+    "text_minhash_dedup",
+    oracle=_MINHASH_SQL_TEMPLATE.format(cte=_minhash_cte(True), bands=_band_union(True)),
+)
+def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → one md5 per
+    shingle → 8 universal-hash permutations → 4 bands of 2 → bucket-local
+    pair generation.
+
+    Scale shape: the md5 pass happens exactly once (staged projections keep
+    Catalyst from inlining the hash array into its 8 consumers), the only
+    shuffle is groupBy(band_key), and pairs are expanded from each bucket's
+    sorted id array — cost bounded by bucket size², never corpus².  Banding
+    math in operators/fingerprint.py.
+    """
+    return _minhash_pairs(spark, sf_dir)
+
+
+_COMPONENTS_SQL = (
+    "WITH RECURSIVE"
+    + _minhash_cte(True).replace("WITH ", "", 1)
+    + f""",
+    bands AS ({_band_union(True)}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+              UNION SELECT doc_b, doc_a FROM cand),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """
+)
+
+
+@register("dedup_cluster_components", oracle=_COMPONENTS_SQL)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: connected components over the MinHash
+    candidate-pair graph — the operation a training pipeline actually
+    executes to drop duplicates (keep the minimum doc_id of each
+    component, drop the rest).
+
+    Spark side: min-label propagation (operators/components.py — one
+    equi-join + one agg per round, rounds bounded by component diameter).
+    Oracle side: the same clusters via a recursive transitive-closure CTE.
+    Both derive candidate pairs from the identical md5-based banding
+    formulas, so the component labels match exactly.
+    """
+    from cassandra_syncer_spark.operators.components import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("component").cast("long").alias("component"),
+        )
     )
 
 

@@ -81,6 +81,7 @@ PRIORITY: tuple[str, ...] = (
     "q14_promo_share",
     # -- 2: new this round ----------------------------------------------
     "join_range_banded",
+    "dedup_cluster_components",
     # -- 3: §2 operators confirmed in round 1, highest value first -------
     "join_asof",
     "join_theta_range",
@@ -100,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_collect_snapshot",
     "agg_count_distinct",
     "scan_parquet",
-    "topk_limit",
 )
 
 

@@ -140,10 +140,85 @@ class ObjectStore:
         os.replace(mtmp, mpath)
         return etag, True
 
+    def put_file(
+        self,
+        container: str,
+        name: str,
+        src_path: str,
+        content_type: str = "application/octet-stream",
+        skip_unchanged: bool = False,
+        chunk_size: int = 8 << 20,
+    ) -> tuple[str, bool]:
+        """Streamed/chunked PUT from a local file — the reference pipes
+        uploads without buffering the object (common.js:193-198, chunked
+        when size unknown :166-171).  Bytes stream through ``chunk_size``
+        buffers (hash computed en route), so a multi-GB SSTable never
+        loads into memory.  ``skip_unchanged=True`` discards the transfer
+        when the store already holds identical content (etag match) —
+        single read of the source either way.  Integrity: the staged file
+        is re-hashed in chunks before the atomic commit."""
+        self.create_container(container)
+        dpath = self._data_path(container, name)
+        os.makedirs(os.path.dirname(dpath), exist_ok=True)
+        tmp = dpath + ".inflight"
+        h = hashlib.md5()
+        n = 0
+        with open(src_path, "rb") as src, open(tmp, "wb") as out:
+            while chunk := src.read(chunk_size):
+                h.update(chunk)
+                out.write(chunk)
+                n += len(chunk)
+        etag = h.hexdigest()
+        if skip_unchanged:
+            existing = self.stat_object(container, name)
+            if existing is not None and existing["etag"] == etag:
+                os.remove(tmp)
+                return etag, False
+        verify = hashlib.md5()
+        with open(tmp, "rb") as fh:
+            while chunk := fh.read(chunk_size):
+                verify.update(chunk)
+        if verify.hexdigest() != etag:
+            os.remove(tmp)
+            raise EtagMismatch(f"{container}/{name}: staged bytes hash mismatch")
+        os.replace(tmp, dpath)
+        mpath = self._meta_path(container, name)
+        os.makedirs(os.path.dirname(mpath), exist_ok=True)
+        mtmp = mpath + ".inflight"
+        with open(mtmp, "w") as fh:
+            json.dump(
+                {
+                    "name": name,
+                    "bytes": n,
+                    "etag": etag,
+                    "last_modified_ms": int(time.time() * 1000),
+                    "content_type": content_type,
+                },
+                fh,
+            )
+        os.replace(mtmp, mpath)
+        return etag, True
+
     def get_object(self, container: str, name: str) -> bytes:
         """GET (core.js:336-368)."""
         with open(self._data_path(container, name), "rb") as fh:
             return fh.read()
+
+    def get_file(
+        self, container: str, name: str, dst_path: str, chunk_size: int = 8 << 20
+    ) -> int:
+        """Streamed GET into a local file (restore path): chunked copy,
+        write-to-temp + atomic rename (idempotent on retry).  Returns
+        bytes transferred."""
+        os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+        tmp = dst_path + ".inflight"
+        n = 0
+        with open(self._data_path(container, name), "rb") as src, open(tmp, "wb") as out:
+            while chunk := src.read(chunk_size):
+                out.write(chunk)
+                n += len(chunk)
+        os.replace(tmp, dst_path)
+        return n
 
     def stat_object(self, container: str, name: str) -> dict | None:
         """HEAD — metadata record (storage-object.js:117-129)."""
@@ -235,9 +310,9 @@ class ObjectStoreTarget:
     def upload(self, plan: DataFrame, src_root: str) -> int:
         """Distributed conditional PUT of every planned file.
 
-        Per file: hash the local bytes, skip if the store already holds
-        that exact content (etag match — re-put idempotence), else PUT
-        with integrity verification.  Vanished sources are skipped
+        Per file: streamed/chunked PUT (multi-GB SSTables never load into
+        memory), skipped if the store already holds identical content
+        (etag match — re-put idempotence).  Vanished sources are skipped
         (ENOENT, bin/cassandra-syncer:120-132).  Returns files actually
         stored (skips excluded), tallied in the same single execution."""
         root, container = self.root, self.container
@@ -249,14 +324,11 @@ class ObjectStoreTarget:
             for row in rows:
                 src = os.path.join(src_root, row.name)
                 try:
-                    with open(src, "rb") as fh:
-                        data = fh.read()
+                    _etag, did_store = store.put_file(
+                        container, row.name, src, skip_unchanged=True
+                    )
                 except FileNotFoundError:
                     continue
-                etag = hashlib.md5(data).hexdigest()
-                _etag, did_store = store.put_object(
-                    container, row.name, data, if_none_match=etag
-                )
                 n += int(did_store)
             stored_n.add(n)
 
@@ -274,15 +346,9 @@ class ObjectStoreTarget:
             n = 0
             for row in rows:
                 try:
-                    data = store.get_object(container, row.name)
+                    store.get_file(container, row.name, os.path.join(dst_root, row.name))
                 except FileNotFoundError:
                     continue
-                dst = os.path.join(dst_root, row.name)
-                os.makedirs(os.path.dirname(dst), exist_ok=True)
-                tmp = dst + ".inflight"
-                with open(tmp, "wb") as fh:
-                    fh.write(data)
-                os.replace(tmp, dst)
                 n += 1
             got_n.add(n)
 

@@ -61,6 +61,30 @@ def test_list_pagination_marker_and_limit(tmp_path):
     assert page3 == names[8:]
 
 
+def test_chunked_put_get_roundtrip(tmp_path):
+    """Streamed transfer (common.js:166-198 analog): content far larger
+    than the chunk buffer round-trips intact, etag computed en route;
+    skip_unchanged discards the transfer on identical content."""
+    s = ObjectStore(str(tmp_path / "store"))
+    payload = bytes(range(256)) * 513  # 131,328 bytes, not chunk-aligned
+    src = tmp_path / "big.db"
+    src.write_bytes(payload)
+
+    etag, stored = s.put_file("c1", "big.db", str(src), chunk_size=1000)
+    assert stored and etag == hashlib.md5(payload).hexdigest()
+    assert s.stat_object("c1", "big.db")["bytes"] == len(payload)
+
+    # unchanged content: transfer discarded
+    etag2, stored2 = s.put_file("c1", "big.db", str(src), skip_unchanged=True, chunk_size=1000)
+    assert etag2 == etag and not stored2
+
+    dst = tmp_path / "restored.db"
+    n = s.get_file("c1", "big.db", str(dst), chunk_size=1000)
+    assert n == len(payload) and dst.read_bytes() == payload
+    # no staging residue
+    assert not list((tmp_path / "store").rglob("*.inflight"))
+
+
 def test_list_prefix_filter(tmp_path):
     s = ObjectStore(str(tmp_path / "store"))
     for n in ["ks1/a", "ks1/b", "ks2/a"]:

@@ -106,6 +106,34 @@ def test_ivf_kmeans_recall(spark, sf_dir):
     assert recall >= 0.8, f"IVF-kmeans recall too low: {recall:.2f}"
 
 
+def test_connected_components_handcrafted(spark):
+    """Min-label propagation on a known graph: two chains and an isolated
+    pair — components labeled by their minimum member, chain diameter > 1
+    exercises multi-round convergence."""
+    from cassandra_syncer_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The approx percentile (rows-only in t2) must sit within 2% relative
+    error of the exact percentile per group — the accuracy contract that
+    justifies swapping it in at scale."""
+    from cassandra_syncer_spark.queries.incremental import agg_percentile, agg_percentile_approx
+
+    exact = {r.l_returnflag: (r.p50, r.p95) for r in agg_percentile(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: (r.p50, r.p95) for r in agg_percentile_approx(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(a - e) / e < 0.02, f"{k}: approx {a} vs exact {e}"
+
+
 def test_filter_commutes_and_semi_subset(spark, sf_dir):
     from cassandra_syncer_spark.session import load_table
 
