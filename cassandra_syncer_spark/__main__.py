@@ -9,14 +9,19 @@ Reference commands → engine commands:
 | ``cassandra-syncer-restore --url dir://STORE PATH`` (bin/cassandra-syncer-restore:116-146) | ``restore STORE DST`` |
 | fsck prune (README.md:26-28, spec only)    | ``prune STORE --older-than-days N`` — implemented here |
 
-The manifest log is a parquet table under ``STORE/__manifests__`` (the
-reference used ``<epoch-ms>.json`` objects; a log table is the same
-append-only snapshot model, queryable).
+The STORE argument takes the reference's pluggable-target url form
+(``README.md:9-17``): ``dir://PATH`` (or a bare path) syncs to a directory
+target with name-identity plans; ``objstore://PATH`` syncs to the
+cloudfiles-analog object store (md5-etag content identity, conditional
+put, chunked transfer).  The manifest log is a parquet table under
+``STORE/__manifests__`` (the reference used ``<epoch-ms>.json`` objects; a
+log table is the same append-only snapshot model, queryable).
 
 Usage::
 
     python -m cassandra_syncer_spark backup  /var/lib/cassandra/data /backup
-    python -m cassandra_syncer_spark watch   /var/lib/cassandra/data /backup
+    python -m cassandra_syncer_spark backup  /data1 /data2 objstore:///backup
+    python -m cassandra_syncer_spark watch   /var/lib/cassandra/data /backup --follow
     python -m cassandra_syncer_spark restore /backup /var/lib/cassandra/data
     python -m cassandra_syncer_spark prune   /backup --older-than-days 21 --dry-run
 """
@@ -30,6 +35,40 @@ import sys
 import time
 
 from pyspark.sql import functions as F
+
+
+def _parse_store(url: str) -> tuple[str, str]:
+    """Reference target-url scheme (``dir://``, ``cloudfiles://`` →
+    ``objstore://`` here, README.md:9-17).  Bare paths mean dir://."""
+    for scheme in ("objstore", "dir"):
+        if url.startswith(scheme + "://"):
+            return scheme, url[len(scheme) + 3 :]
+    return "dir", url
+
+
+def _target(url: str, container: str):
+    """(target, store_path, scheme) for a store url."""
+    kind, path = _parse_store(url)
+    if kind == "objstore":
+        from cassandra_syncer_spark.sync.object_store import ObjectStoreTarget
+
+        return ObjectStoreTarget(path, container), path, kind
+    from cassandra_syncer_spark.sync.targets import DirectoryTarget
+
+    return DirectoryTarget(path, container), path, kind
+
+
+def _scan(spark, src: str, container: str, scheme: str):
+    """Local scan matched to the target's identity model: object stores
+    reconcile by content etag (storage-object.js:123-124), directory
+    targets by name."""
+    if scheme == "objstore":
+        from cassandra_syncer_spark.sync.object_store import scan_directory_with_etags
+
+        return scan_directory_with_etags(spark, src, container)
+    from cassandra_syncer_spark.sync.targets import scan_directory
+
+    return scan_directory(spark, src, container)
 
 
 def _manifest_dir(store: str) -> str:
@@ -57,13 +96,12 @@ def cmd_backup(args) -> int:
     from functools import reduce
 
     from cassandra_syncer_spark.sync import SyncPipeline
-    from cassandra_syncer_spark.sync.targets import DirectoryTarget, scan_directory
 
     spark = _spark()
     p = SyncPipeline()
-    target = DirectoryTarget(args.store, args.container)
+    target, store_path, scheme = _target(args.store, args.container)
     scans = [
-        scan_directory(spark, s, args.container).withColumn(
+        _scan(spark, s, args.container, scheme).withColumn(
             "src_root", F.lit(os.path.abspath(s))
         )
         for s in args.src
@@ -76,13 +114,14 @@ def cmd_backup(args) -> int:
     plan = p.plan_upload(local, remote)
     n = target.upload(plan)
     ts = int(time.time() * 1000)
-    p.build_manifest(local, manifest_ts=ts).write.mode("append").parquet(_manifest_dir(args.store))
+    p.build_manifest(local, manifest_ts=ts).write.mode("append").parquet(_manifest_dir(store_path))
     _emit({
         "cmd": "backup",
         "full": bool(full),
         "uploaded": n,
         "manifest_ts": ts,
         "sources": len(args.src),
+        "target": scheme,
     })
     return 0
 
@@ -98,11 +137,11 @@ def cmd_watch(args) -> int:
         run_incremental_sync,
     )
     from cassandra_syncer_spark.sync import SyncPipeline
-    from cassandra_syncer_spark.sync.targets import DirectoryTarget, scan_directory, strip_root
+    from cassandra_syncer_spark.sync.targets import strip_root
 
     spark = _spark()
     p = SyncPipeline()
-    target = DirectoryTarget(args.store, args.container)
+    target, store_path, scheme = _target(args.store, args.container)
     stream = (
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, length long, content binary")
@@ -124,14 +163,14 @@ def cmd_watch(args) -> int:
 
     def on_batch(batch_df, batch_id):
         names = batch_df.select("name").filter(~F.col("name").contains(p.TEMP_MARKER))
-        plan = scan_directory(spark, args.src, args.container).join(names, "name", "left_semi")
+        plan = _scan(spark, args.src, args.container, scheme).join(names, "name", "left_semi")
         uploaded.append(target.upload(plan, args.src))
         p.build_manifest(
-            scan_directory(spark, args.src, args.container),
+            _scan(spark, args.src, args.container, scheme),
             manifest_ts=next_manifest_ts(),
-        ).write.mode("append").parquet(_manifest_dir(args.store))
+        ).write.mode("append").parquet(_manifest_dir(store_path))
 
-    ckpt = os.path.join(args.store, "__checkpoint__")
+    ckpt = os.path.join(store_path, "__checkpoint__")
     if args.follow:
         run_continuous_sync(
             stream,
@@ -153,7 +192,8 @@ def cmd_restore(args) -> int:
 
     spark = _spark()
     p = SyncPipeline()
-    mdir = _manifest_dir(args.store)
+    store_target, store_path, scheme = _target(args.store, args.container)
+    mdir = _manifest_dir(store_path)
     if not os.path.isdir(mdir):
         print("error: no manifest log under store", file=sys.stderr)
         return 2
@@ -164,31 +204,30 @@ def cmd_restore(args) -> int:
         if manifests.limit(1).count() == 0:
             print("error: no manifest at or before --as-of-ms", file=sys.stderr)
             return 2
-    store_target = DirectoryTarget(args.store, args.container)
     stored = store_target.list_files(spark).filter(~F.col("name").startswith("__"))
     plan = p.restore_plan(manifests, stored)
     missing = plan.filter("is_missing").count()
-    n = DirectoryTarget(args.dst, args.container).upload(plan.filter("NOT is_missing"), args.store)
+    wanted = plan.filter("NOT is_missing")
+    if scheme == "objstore":
+        n = store_target.download(wanted, args.dst)
+    else:
+        n = DirectoryTarget(args.dst, args.container).upload(wanted, store_path)
     _emit({"cmd": "restore", "restored": n, "missing": missing})
     return 0 if missing == 0 else 3
 
 
 def cmd_prune(args) -> int:
     from cassandra_syncer_spark.sync import SyncPipeline
-    from cassandra_syncer_spark.sync.targets import DirectoryTarget
 
     spark = _spark()
     p = SyncPipeline()
-    mdir = _manifest_dir(args.store)
+    target, store_path, scheme = _target(args.store, args.container)
+    mdir = _manifest_dir(store_path)
     if not os.path.isdir(mdir):
         print("error: no manifest log under store", file=sys.stderr)
         return 2
     manifests = spark.read.parquet(mdir)
-    stored = (
-        DirectoryTarget(args.store, args.container)
-        .list_files(spark)
-        .filter(~F.col("name").startswith("__"))
-    )
+    stored = target.list_files(spark).filter(~F.col("name").startswith("__"))
     prunable = p.prune_plan(
         manifests,
         stored,
@@ -203,7 +242,7 @@ def cmd_prune(args) -> int:
     if args.dry_run:
         n = prunable.count()
     else:
-        n = DirectoryTarget(args.store, args.container).delete(prunable)
+        n = target.delete(prunable)
     prunable.unpersist()
     _emit({"cmd": "prune", "pruned": n, "dry_run": args.dry_run, "names_sample": sample})
     return 0

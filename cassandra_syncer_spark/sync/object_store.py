@@ -307,22 +307,26 @@ class ObjectStoreTarget:
             )
         )
 
-    def upload(self, plan: DataFrame, src_root: str) -> int:
+    def upload(self, plan: DataFrame, src_root: str | None = None) -> int:
         """Distributed conditional PUT of every planned file.
 
         Per file: streamed/chunked PUT (multi-GB SSTables never load into
         memory), skipped if the store already holds identical content
         (etag match — re-put idempotence).  Vanished sources are skipped
-        (ENOENT, bin/cassandra-syncer:120-132).  Returns files actually
-        stored (skips excluded), tallied in the same single execution."""
+        (ENOENT, bin/cassandra-syncer:120-132).  Multi-path plans carry a
+        per-row ``src_root`` column that overrides the argument (as in
+        DirectoryTarget.upload).  Returns files actually stored (skips
+        excluded), tallied in the same single execution."""
         root, container = self.root, self.container
         stored_n = plan.sparkSession.sparkContext.accumulator(0)
+        per_row_root = "src_root" in plan.columns
+        cols = ["name", "src_root"] if per_row_root else ["name"]
 
         def put_partition(rows):
             store = ObjectStore(root)
             n = 0
             for row in rows:
-                src = os.path.join(src_root, row.name)
+                src = os.path.join(row.src_root if per_row_root else src_root, row.name)
                 try:
                     _etag, did_store = store.put_file(
                         container, row.name, src, skip_unchanged=True
@@ -332,7 +336,7 @@ class ObjectStoreTarget:
                 n += int(did_store)
             stored_n.add(n)
 
-        plan.select("name").foreachPartition(put_partition)
+        plan.select(*cols).foreachPartition(put_partition)
         return stored_n.value
 
     def download(self, plan: DataFrame, dst_root: str) -> int:

@@ -48,6 +48,39 @@ def test_cli_lifecycle(tmp_path):
     assert r["pruned"] == 0
 
 
+def test_cli_objstore_scheme_lifecycle(tmp_path):
+    """Reference target-url parity (README.md:9-17): objstore://PATH runs
+    the full lifecycle against the cloudfiles-analog store — md5-etag
+    content identity, so an in-place content change re-uploads and an
+    unchanged tree plans nothing."""
+    src, store, dst = tmp_path / "src", tmp_path / "store", tmp_path / "dst"
+    (src / "ks1").mkdir(parents=True)
+    (src / "ks1/a-Data.db").write_bytes(b"alpha")
+    url = f"objstore://{store}"
+
+    r = run_cli("backup", str(src), url)
+    assert r["uploaded"] == 1 and r["target"] == "objstore"
+    # data lives inside the container, metadata beside it
+    assert (store / "default/ks1/a-Data.db").read_bytes() == b"alpha"
+
+    # unchanged tree: etag identity plans nothing
+    r = run_cli("backup", str(src), url)
+    assert r["uploaded"] == 0
+
+    # changed content under the SAME name: re-uploads (name-identity
+    # directory targets cannot see this)
+    (src / "ks1/a-Data.db").write_bytes(b"alpha-v2")
+    r = run_cli("backup", str(src), url)
+    assert r["uploaded"] == 1
+
+    r = run_cli("restore", url, str(dst))
+    assert r["restored"] == 1 and r["missing"] == 0
+    assert (dst / "ks1/a-Data.db").read_bytes() == b"alpha-v2"
+
+    r = run_cli("prune", url, "--older-than-days", "0", "--dry-run")
+    assert r["pruned"] == 0  # everything referenced by the latest manifest
+
+
 def test_cli_multi_path_backup(tmp_path):
     """Reference parity: multiple watch paths in one run
     (bin/cassandra-syncer:267) — one store, one manifest per container."""
