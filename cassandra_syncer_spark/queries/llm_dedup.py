@@ -199,6 +199,42 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPLY_CLUSTERS_SQL = (
+    _COMPONENTS_SQL.replace(
+        """
+    SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+        """
+    , comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT (SELECT count(*) FROM documents) AS n_total,
+           CAST((SELECT count(*) FROM comp WHERE id <> component) AS BIGINT) AS n_dropped,
+           CAST((SELECT count(*) FROM documents)
+                - (SELECT count(*) FROM comp WHERE id <> component) AS BIGINT) AS n_kept
+    """,
+    )
+)
+
+
+@register("dedup_apply_clusters", oracle=_APPLY_CLUSTERS_SQL)
+def dedup_apply_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's last mile: apply the near-dup clusters to the
+    corpus — keep each component's canonical member (minimum doc_id), drop
+    the rest — and report the corpus contraction.
+
+    Execution shape at scale: components (one label row per clustered doc)
+    anti-join the corpus on doc_id — a single hash-shuffle on the key; the
+    corpus itself never materializes driver-side.
+    """
+    docs = T(spark, sf_dir, "documents")
+    labels = dedup_cluster_components(spark, sf_dir)
+    drop = labels.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    kept = docs.join(drop, "doc_id", "left_anti")
+    return docs.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        drop.agg(F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    ).crossJoin(kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept")))
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle="""

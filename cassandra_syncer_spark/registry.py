@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     # -- 2: new this round ----------------------------------------------
     "join_range_banded",
     "dedup_cluster_components",
+    "dedup_apply_clusters",
     # -- 3: §2 operators confirmed in round 1, highest value first -------
     "join_asof",
     "join_theta_range",
@@ -100,7 +101,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_rollup",
     "agg_collect_snapshot",
     "agg_count_distinct",
-    "scan_parquet",
 )
 
 
