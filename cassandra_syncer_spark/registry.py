@@ -83,6 +83,8 @@ PRIORITY: tuple[str, ...] = (
     "join_range_banded",
     "dedup_cluster_components",
     "dedup_apply_clusters",
+    "sim_ivf_kmeans",
+    "agg_percentile_approx",
     # -- 3: §2 operators confirmed in round 1, highest value first -------
     "join_asof",
     "join_theta_range",
@@ -98,8 +100,6 @@ PRIORITY: tuple[str, ...] = (
     "sim_lsh_ann",
     "multimodal_cols",
     "agg_group_sum",
-    "agg_rollup",
-    "agg_collect_snapshot",
     "agg_count_distinct",
 )
 
