@@ -1,0 +1,94 @@
+"""Property tests: the banded range join and connected components must
+agree with naive reference implementations on randomized inputs
+(SURVEY.md §5.4 — algebraic/semantic invariants over seeded random frames).
+"""
+
+from __future__ import annotations
+
+import random
+
+from cassandra_syncer_spark.operators.banded import banded_proximity_join, banded_range_join
+from cassandra_syncer_spark.operators.components import connected_components
+
+
+def test_banded_range_join_matches_naive(spark):
+    """banded_range_join == brute-force point-in-interval filter, across
+    band widths (narrower/wider than intervals, boundary-aligned values,
+    negatives)."""
+    rng = random.Random(7)
+    for trial, band_width in enumerate([5.0, 17.0, 64.0]):
+        points = [(i, rng.uniform(-100, 100)) for i in range(60)]
+        # intervals of assorted widths, some empty (lo == hi), some negative
+        intervals = []
+        for j in range(40):
+            lo = rng.uniform(-110, 110)
+            intervals.append((1000 + j, lo, lo + rng.choice([0.0, 1.0, 8.0, 30.0])))
+        left = spark.createDataFrame(points, "pid long, v double")
+        right = spark.createDataFrame(intervals, "iid long, lo double, hi double")
+        got = {
+            (r.pid, r.iid)
+            for r in banded_range_join(
+                left, right, left_point="v", right_lo="lo", right_hi="hi",
+                band_width=band_width,
+            ).collect()
+        }
+        want = {
+            (pid, iid)
+            for pid, v in points
+            for iid, lo, hi in intervals
+            if lo <= v < hi
+        }
+        assert got == want, f"band_width={band_width}: {got ^ want}"
+
+
+def test_banded_proximity_join_matches_naive(spark):
+    rng = random.Random(11)
+    lpts = [(i, float(rng.randrange(-50, 50))) for i in range(50)]
+    rpts = [(100 + i, float(rng.randrange(-50, 50))) for i in range(50)]
+    left = spark.createDataFrame(lpts, "lid long, lv double")
+    right = spark.createDataFrame(rpts, "rid long, rv double")
+    got = {
+        (r.lid, r.rid)
+        for r in banded_proximity_join(
+            left, right, left_val="lv", right_val="rv", radius=7.0
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lv in lpts
+        for rid, rv in rpts
+        if rv - 7.0 <= lv < rv + 7.0
+    }
+    assert got == want
+
+
+def _naive_components(edges):
+    """Union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(13)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(0, n), rng.randrange(0, n)) for _ in range(45)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.id: r.component for r in connected_components(df).collect()}
+        want = _naive_components(edges)
+        assert got == want, f"trial {trial}"
