@@ -85,6 +85,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_apply_clusters",
     "sim_ivf_kmeans",
     "agg_percentile_approx",
+    "multimodal_frames",
     # -- 3: §2 operators confirmed in round 1, highest value first -------
     "join_asof",
     "join_theta_range",
@@ -93,7 +94,6 @@ PRIORITY: tuple[str, ...] = (
     "join_semi_manifest",
     "join_anti_prune",
     "join_left_outer",
-    "join_self_dedup",
     "text_normalize",
     "text_minhash_dedup",
     "sim_cosine_topk",
