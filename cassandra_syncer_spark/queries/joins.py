@@ -228,6 +228,84 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderstatus,
+           count(*) AS n_lines,
+           CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key survival shape: lineitem⋈orders executed through
+    ``operators/skew.py::salted_join`` — the big side scatters each key
+    across 8 salt partitions (deterministic content-hash salt, no rand()),
+    the small side replicates 8×, shuffle key becomes (key, salt).
+
+    Semantically identical to the plain equi join (the oracle IS the plain
+    join), which is the property that lets a planner switch to the salted
+    form when a key histogram shows skew AQE can't split.  Multiplicity
+    preservation is separately property-tested
+    (tests/test_sync_lifecycle.py::test_salted_join_preserves_semantics).
+    """
+    from cassandra_syncer_spark.operators.skew import salted_join
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    return (
+        salted_join(li, orders, on="k", salt=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "reshape_unpivot",
+    oracle="""
+    WITH u AS (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS v FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(v * 100.0) AS BIGINT)) AS BIGINT) AS total_centi
+    FROM u GROUP BY l_returnflag, measure
+    """,
+)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): measure columns become
+    (measure, value) rows via ``stack`` — the inverse of ``agg_pivot`` and
+    a training-pipeline staple (per-feature statistics over wide feature
+    tables).  Stack is a generator projection — no shuffle until the
+    aggregation, which then groups on the (dimension, measure) key.
+    Exact integer-unit sums keep the value hash engine-stable.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    long = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+            " AS (measure, v)"
+        ),
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("v") * 100.0).cast("long")).cast("long").alias("total_centi"),
+    )
+
+
+@register(
     "join_range_banded",
     oracle="""
     SELECT s.s_suppkey, s.s_name,

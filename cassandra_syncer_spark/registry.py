@@ -86,6 +86,8 @@ PRIORITY: tuple[str, ...] = (
     "sim_ivf_kmeans",
     "agg_percentile_approx",
     "multimodal_frames",
+    "join_salted_skew",
+    "reshape_unpivot",
     # -- 3: §2 operators confirmed in round 1, highest value first -------
     "join_asof",
     "join_theta_range",
@@ -93,7 +95,6 @@ PRIORITY: tuple[str, ...] = (
     "join_inner_hash",
     "join_semi_manifest",
     "join_anti_prune",
-    "join_left_outer",
     "text_normalize",
     "text_minhash_dedup",
     "sim_cosine_topk",
