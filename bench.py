@@ -30,12 +30,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline queries (subset of the registry that maps onto BASELINE.md rows)
 HEADLINE = [
-    "agg_group_sum",        # BASELINE noop-forced: 0.33 s
-    "join_3table_topk",     # BASELINE noop-forced: 0.85 s
-    "join_multiway",        # BASELINE noop-forced: 0.79 s
-    "win_running_frame",    # BASELINE noop-forced: 0.26 s
-    "agg_count_distinct",   # BASELINE noop-forced: 0.10 s
-    "agg_approx_distinct",  # BASELINE noop-forced: 0.21 s
+    "agg_group_sum",        # BASELINE noop-forced: 0.50 s (q1_pricing_exact8 — same query text)
+    "join_3table_topk",     # BASELINE noop-forced: 0.82 s
+    "join_multiway",        # BASELINE noop-forced: 0.76 s
+    "win_running_frame",    # BASELINE noop-forced: 0.19 s
+    "agg_count_distinct",   # BASELINE noop-forced: 0.11 s
+    "agg_approx_distinct",  # BASELINE noop-forced: 0.20 s
     "topk_limit",
     "dedup_exact",
     "text_minhash_dedup",

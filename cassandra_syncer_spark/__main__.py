@@ -107,6 +107,22 @@ def cmd_backup(args) -> int:
         for s in args.src
     ]
     local = reduce(lambda a, b: a.unionByName(b), scans)
+    if len(args.src) > 1:
+        # cross-root name collisions: two roots holding the same relative
+        # name would otherwise race the distributed copy (last writer wins
+        # nondeterministically) and the manifest would record one name for
+        # two contents.  Keep a deterministic winner: newest last_modified,
+        # ties broken by src_root.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("name").orderBy(
+            F.desc("last_modified"), F.desc("src_root")
+        )
+        local = (
+            local.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     remote = target.list_files(spark)
     # directory stores have no container listing: "container exists" ≡ the
     # store already holds any object (reference probe: bin/cassandra-syncer:162-177)
@@ -131,8 +147,15 @@ def cmd_watch(args) -> int:
     inotify loop (bin/cassandra-syncer:276).  Default drains pending files
     and exits (availableNow); ``--follow`` keeps watching across live
     microbatches (processingTime trigger), stopping only on
-    ``--max-batches``/``--timeout-sec`` if given."""
+    ``--max-batches``/``--timeout-sec`` if given.
+
+    Per-batch cost scales with the BATCH, not the source tree: the upload
+    plan is the batch's names (the conditional put hashes bytes en route —
+    no separate full-tree etag scan), and the manifest is the cumulative
+    live set (previous snapshot ⊎ batch delta) — no rescans of the source
+    at all after the stream's own metadata-only file discovery."""
     from cassandra_syncer_spark.streaming.watch import (
+        cumulative_live_set,
         run_continuous_sync,
         run_incremental_sync,
     )
@@ -163,10 +186,9 @@ def cmd_watch(args) -> int:
 
     def on_batch(batch_df, batch_id):
         names = batch_df.select("name").filter(~F.col("name").contains(p.TEMP_MARKER))
-        plan = _scan(spark, args.src, args.container, scheme).join(names, "name", "left_semi")
-        uploaded.append(target.upload(plan, args.src))
+        uploaded.append(target.upload(names, args.src))
         p.build_manifest(
-            _scan(spark, args.src, args.container, scheme),
+            cumulative_live_set(spark, _manifest_dir(store_path), args.container, names),
             manifest_ts=next_manifest_ts(),
         ).write.mode("append").parquet(_manifest_dir(store_path))
 

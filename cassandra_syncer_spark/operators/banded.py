@@ -49,12 +49,33 @@ def banded_range_join(
     executed as an equi join on band id.
 
     ``extra_on``: additional equi keys joined alongside the band (they
-    tighten both the shuffle key and the candidate set).  ``how`` supports
-    'inner' and 'left_semi'-style use via post-filtering; outer variants
-    need the unmatched-preservation union (not needed by the engine yet).
+    tighten both the shuffle key and the candidate set).
+
+    ``how``: 'inner', 'left' (unmatched left rows kept with null right
+    columns), 'left_semi', or 'left_anti' (the banded *prune* shape —
+    left rows falling in NO right interval).  All four keep the equi plan:
+    the exact range predicate rides INSIDE the join condition, so Catalyst
+    extracts the band/extra keys as equi join keys (SortMergeJoin /
+    ShuffledHashJoin with a residual condition — never
+    BroadcastNestedLoopJoin) and the outer/semi/anti semantics apply to
+    the full predicate, not to the band superset.  A left point maps to
+    exactly one band, so no pair ever duplicates across bands and
+    unmatched-left preservation needs no dedup pass.
     """
-    if how != "inner":
-        raise ValueError(f"banded_range_join supports how='inner', got {how!r}")
+    normalized = {
+        "inner": "inner",
+        "left": "left",
+        "left_outer": "left",
+        "leftouter": "left",
+        "left_semi": "left_semi",
+        "leftsemi": "left_semi",
+        "left_anti": "left_anti",
+        "leftanti": "left_anti",
+    }.get(how)
+    if normalized is None:
+        raise ValueError(
+            f"banded_range_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     extra_on = extra_on or []
     w = float(band_width)
     if w <= 0:
@@ -64,24 +85,42 @@ def banded_range_join(
     rlo = F.col(right_lo) if isinstance(right_lo, str) else right_lo
     rhi = F.col(right_hi) if isinstance(right_hi, str) else right_hi
 
-    l_banded = left.withColumn(BAND_COL, F.floor(lpt / F.lit(w)).cast("long"))
-    # a right interval covers bands floor(lo/w)..floor(hi/w); the residual
-    # filter below removes the superset slack at band boundaries
-    r_banded = right.withColumn(
-        BAND_COL,
-        F.explode(
-            F.sequence(
-                F.floor(rlo / F.lit(w)).cast("long"),
-                F.floor(rhi / F.lit(w)).cast("long"),
-            )
-        ),
+    l_banded = left.withColumn("__pt", lpt).withColumn(
+        BAND_COL, F.floor(F.col("__pt") / F.lit(w)).cast("long")
     )
-    joined = l_banded.join(r_banded, [BAND_COL, *extra_on], "inner")
-    # residual: exact range predicate over the banded candidates
-    lpt_j = F.col(left_point) if isinstance(left_point, str) else left_point
-    rlo_j = F.col(right_lo) if isinstance(right_lo, str) else right_lo
-    rhi_j = F.col(right_hi) if isinstance(right_hi, str) else right_hi
-    return joined.filter((lpt_j >= rlo_j) & (lpt_j < rhi_j)).drop(BAND_COL)
+    # a right interval covers bands floor(lo/w)..floor(hi/w); the residual
+    # predicate in the join condition removes the superset slack at band
+    # boundaries
+    r_banded = (
+        right.withColumn("__rlo", rlo)
+        .withColumn("__rhi", rhi)
+        .withColumn(
+            BAND_COL,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__rlo") / F.lit(w)).cast("long"),
+                    F.floor(F.col("__rhi") / F.lit(w)).cast("long"),
+                )
+            ),
+        )
+    )
+    la, ra = l_banded.alias("__bl"), r_banded.alias("__br")
+    cond = F.col(f"__bl.{BAND_COL}") == F.col(f"__br.{BAND_COL}")
+    for k in extra_on:
+        cond = cond & (F.col(f"__bl.{k}") == F.col(f"__br.{k}"))
+    cond = (
+        cond
+        & (F.col("__bl.__pt") >= F.col("__br.__rlo"))
+        & (F.col("__bl.__pt") < F.col("__br.__rhi"))
+    )
+    joined = la.join(ra, cond, normalized)
+    if normalized in ("left_semi", "left_anti"):
+        return joined.drop("__pt", BAND_COL)
+    keep_right = [c for c in right.columns if c not in set(extra_on)]
+    return joined.select(
+        *[F.col(f"__bl.{c}") for c in left.columns],
+        *[F.col(f"__br.{c}") for c in keep_right],
+    )
 
 
 def banded_proximity_join(

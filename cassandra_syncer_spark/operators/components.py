@@ -27,6 +27,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ComponentsNotConverged(RuntimeError):
+    """min-label propagation hit ``max_iterations`` before fixpoint — the
+    returned labels would be silently unmerged (e.g. a chain-shaped
+    component with diameter > max_iterations).  Carries ``labels`` (the
+    partial result) for callers that want to resume or inspect."""
+
+    def __init__(self, max_iterations: int, labels: DataFrame):
+        super().__init__(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; component diameter exceeds the round budget — raise "
+            "max_iterations or switch to a large-star/small-star variant"
+        )
+        self.labels = labels
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -38,6 +53,9 @@ def connected_components(
     Returns one row per vertex: ``(id, component)`` where component is the
     minimum vertex id reachable from ``id``.  Vertices are exactly the ids
     appearing in edges (isolated documents are not dedup concerns).
+
+    Raises :class:`ComponentsNotConverged` if fixpoint is not reached
+    within ``max_iterations`` — never returns silently-unmerged labels.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -47,6 +65,7 @@ def connected_components(
     )
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     prev_sum = None
+    converged = False
     for _ in range(max_iterations):
         neigh = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -63,6 +82,9 @@ def connected_components(
         # round is the whole driver-side footprint
         cur_sum = labels.agg(F.sum("comp")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        raise ComponentsNotConverged(max_iterations, labels)
     return labels.select(F.col("id"), F.col("comp").alias("component"))

@@ -27,10 +27,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join robust to hot keys in ``big``.
 
-    ``big`` gets a uniform pseudo-random salt derived from a content hash
-    (deterministic — no rand(), so retried tasks salt identically);
-    ``small`` is exploded SALT ways.  Shuffle key becomes (on, salt): a hot
-    key spreads over ``salt`` tasks instead of one.
+    ``big`` gets a uniform pseudo-random salt hashed from the FULL row
+    content (``xxhash64`` over every column) — a pure function of the row,
+    so retried tasks, re-shuffled inputs, and re-runs all assign the same
+    salt regardless of partitioning or row order (``rand()`` and
+    ``monotonically_increasing_id`` both break that property).  Identical
+    duplicate rows share a salt, which only narrows the spread if a single
+    key's rows are also byte-identical duplicates; distribution is
+    otherwise uniform.  ``small`` is exploded SALT ways.  Shuffle key
+    becomes (on, salt): a hot key spreads over ``salt`` tasks instead of
+    one.
 
     Only inner/left_semi/left supported: those preserve multiplicity under
     small-side replication (an unmatched small row would otherwise surface
@@ -39,7 +45,7 @@ def salted_join(
     if how not in ("inner", "left", "left_semi", "leftsemi"):
         raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
     )
     small_exploded = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cassandra_syncer_spark.operators.asof import asof_join
-from cassandra_syncer_spark.operators.banded import banded_proximity_join
+from cassandra_syncer_spark.operators.banded import banded_proximity_join, banded_range_join
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
 
@@ -341,6 +341,44 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_peers"),
         (F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long")) / (F.count(F.lit(1)) * 100.0)).alias("avg_peer_bal"),
     )
+
+
+@register(
+    "join_range_banded_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM supplier s
+      WHERE c.c_acctbal >= s.s_acctbal - 100.0
+        AND c.c_acctbal <  s.s_acctbal + 100.0)
+    """,
+)
+def join_range_banded_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range ANTI join — the prune-style flow at large×large scale:
+    customers whose balance falls inside NO supplier's ±100 interval
+    (outlier extraction against a large interval table).
+
+    A naive NOT EXISTS over a range predicate plans as
+    BroadcastNestedLoopJoin(LeftAnti); ``banded_range_join(how='left_anti')``
+    keeps the band-equi shape (the exact range predicate rides inside the
+    join condition, so anti semantics apply to the true predicate, not the
+    band superset).  Plan-shape test: tests/test_plans.py.
+    """
+    supp = T(spark, sf_dir, "supplier").select(
+        (F.col("s_acctbal") - 100.0).alias("lo"),
+        (F.col("s_acctbal") + 100.0).alias("hi"),
+    )
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    return banded_range_join(
+        cust,
+        supp,
+        left_point="c_acctbal",
+        right_lo="lo",
+        right_hi="hi",
+        band_width=200.0,
+        how="left_anti",
+    ).select("c_custkey", "c_mktsegment")
 
 
 @register(

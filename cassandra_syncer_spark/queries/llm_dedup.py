@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from cassandra_syncer_spark.operators import fingerprint as fp
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
+from cassandra_syncer_spark.session import fan_out
 
 
 @register(
@@ -90,7 +91,9 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MinHash candidate-pair dataflow: (doc_a, doc_b,
     n_shared_bands) — the body of ``text_minhash_dedup``, reused by the
     cluster query."""
-    docs = T(spark, sf_dir, "documents")
+    # signature math is the expensive per-row stage — fan it out across all
+    # cores (no-op at scale where the scan is already wide, see session.fan_out)
+    docs = fan_out(T(spark, sf_dir, "documents"), spark)
     words = fp.words_expr("text", duck=False)
     sh = fp.shingles_expr("words", duck=False)
     sig = (
@@ -313,7 +316,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ~corpus/256 so the verify join stays near-linear (4-bit nibble bands
       measured 19 s from quadratic bucket pairs).
     """
-    T(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # fan the signature computation out across all cores — the md5 + 32
+    # filter passes were measured serialized onto one task at sf0.1 (one
+    # parquet row group); no-op at scale (session.fan_out)
+    fan_out(T(spark, sf_dir, "documents"), spark).createOrReplaceTempView("documents")
     return spark.sql(
         f"""
         WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=False)} AS words FROM documents),

@@ -103,6 +103,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fan_out(df: DataFrame, spark: SparkSession, min_partitions: int | None = None) -> DataFrame:
+    """Ensure compute-heavy per-row work runs on all cores.
+
+    Small inputs (one parquet row group → one scan partition; AQE coalescing
+    tiny shuffles to one partition) serialize expression-heavy stages like
+    the minhash/simhash signatures onto a single task — measured 0.9 s of a
+    1.7 s query on 1/32 cores at sf0.1.  An *explicit* ``repartition(n)`` is
+    preserved by AQE (only implicit shuffle partition counts are coalesced),
+    so it fans the work out.
+
+    Scale posture: at 100 TB the scan already has ≥ defaultParallelism
+    partitions and this is a no-op — the guard checks the planned partition
+    count and never *reduces* parallelism, so no shuffle is added on big
+    inputs.
+    """
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     for name in FIXTURE_TABLES:

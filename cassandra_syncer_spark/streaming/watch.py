@@ -41,6 +41,40 @@ def watch_files(
     )
 
 
+def cumulative_live_set(
+    spark: SparkSession, manifest_log: str, container: str, batch_names: DataFrame
+) -> DataFrame:
+    """Previous snapshot ⊎ batch delta → the full live set, as (name,
+    container) rows ready for ``build_manifest``.
+
+    The watch stream only ever ADDS files (the reference's inotify
+    ``IN_MOVED_TO`` — SSTables are immutable once committed; removals are
+    prune's job), so the live set is the latest manifest's paths plus this
+    batch's names.  Reading the manifest log replaces the per-batch
+    O(source tree) rescan the round-2 implementation did: per-batch cost
+    now scales with the snapshot row (one manifest per container), not
+    with the corpus file count — at 10⁷-file sources the double tree-walk
+    per microbatch was the dominant cost.  The log read is an eager file
+    listing, so appending the new manifest to the same directory in the
+    same batch is safe."""
+    from pyspark.errors import AnalysisException
+
+    from cassandra_syncer_spark.sync.pipeline import SyncPipeline
+
+    names = batch_names.select("name")
+    try:
+        prev = (
+            SyncPipeline()
+            .latest_manifests(spark.read.parquet(manifest_log))
+            .filter(F.col("container") == container)
+            .select(F.explode("paths").alias("name"))
+        )
+        names = names.unionByName(prev)
+    except AnalysisException:
+        pass  # PATH_NOT_FOUND: no manifest yet — first batch IS the live set
+    return names.distinct().select("name", F.lit(container).alias("container"))
+
+
 def run_incremental_sync(
     stream: DataFrame,
     checkpoint_dir: str,
@@ -54,12 +88,16 @@ def run_incremental_sync(
     pending and stops — deterministic for tests; long-running deployments
     use :func:`run_continuous_sync`.
 
-    When ``manifest_log`` is given, each batch appends a manifest built by
-    the ``SyncPipeline.build_manifest`` dataflow — an aggregation executed
-    by Spark straight into the parquet log, never a driver-side collect of
-    file names (a 100 TB batch's name set must not transit the driver).
-    manifest_ts is strictly monotonic across batches, so latest-manifest
-    selection never faces a tie."""
+    When ``manifest_log`` is given, each batch appends a FULL-snapshot
+    manifest: the cumulative live set (previous snapshot ⊎ batch delta,
+    :func:`cumulative_live_set`) through the ``SyncPipeline.build_manifest``
+    dataflow — an aggregation executed by Spark straight into the parquet
+    log, never a driver-side collect of file names (a 100 TB batch's name
+    set must not transit the driver).  Restore reads only the latest
+    manifest per container, so every appended manifest must name the whole
+    live set — a batch-delta-only manifest would silently drop earlier
+    batches' files from restores.  manifest_ts is strictly monotonic
+    across batches, so latest-manifest selection never faces a tie."""
     from cassandra_syncer_spark.sync.pipeline import SyncPipeline
 
     p = SyncPipeline()
@@ -70,7 +108,9 @@ def run_incremental_sync(
         if manifest_log is not None:
             last_ts[0] = max(last_ts[0] + 1, int(time.time() * 1000))
             p.build_manifest(
-                batch_df.select("name", F.lit(container).alias("container")),
+                cumulative_live_set(
+                    batch_df.sparkSession, manifest_log, container, batch_df
+                ),
                 manifest_ts=last_ts[0],
             ).write.mode("append").parquet(manifest_log)
 
@@ -103,8 +143,8 @@ def run_continuous_sync(
     stopped; tests (and bounded deployments) pass ``max_batches`` — stop
     after that many *data-carrying* microbatches (empty polls don't
     count) — and/or ``timeout_sec`` as a wall-clock bound.  Manifests are
-    snapshot-per-commit through the same dataflow appender as
-    :func:`run_incremental_sync`, with strictly monotonic manifest_ts.
+    FULL snapshots per commit (cumulative live set, see
+    :func:`run_incremental_sync`), with strictly monotonic manifest_ts.
     """
     from cassandra_syncer_spark.sync.pipeline import SyncPipeline
 
@@ -118,7 +158,9 @@ def run_continuous_sync(
         if manifest_log is not None:
             last_ts[0] = max(last_ts[0] + 1, int(time.time() * 1000))
             p.build_manifest(
-                batch_df.select("name", F.lit(container).alias("container")),
+                cumulative_live_set(
+                    batch_df.sparkSession, manifest_log, container, batch_df
+                ),
                 manifest_ts=last_ts[0],
             ).write.mode("append").parquet(manifest_log)
         data_batches[0] += 1

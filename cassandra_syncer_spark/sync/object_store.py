@@ -50,6 +50,18 @@ class EtagMismatch(Exception):
     core.js:414-417)."""
 
 
+def _inflight(path: str) -> str:
+    """Dot-prefixed temp name for write-then-rename commits.
+
+    The leading dot matters: Spark's file index skips basenames starting
+    with ``.`` or ``_``, and :meth:`ObjectStore.list_objects` filters on the
+    ``.json`` suffix — so a listing racing an in-flight put can never see a
+    duplicate or partially-written record (a bare ``<name>.json.inflight``
+    WOULD be read by ``spark.read.json(recursiveFileLookup)``)."""
+    d, b = os.path.split(path)
+    return os.path.join(d, "." + b + ".inflight")
+
+
 class ObjectStore:
     """In-process object store with cloudfiles API semantics.
 
@@ -114,7 +126,7 @@ class ObjectStore:
         self.create_container(container)
         dpath = self._data_path(container, name)
         os.makedirs(os.path.dirname(dpath), exist_ok=True)
-        tmp = dpath + ".inflight"
+        tmp = _inflight(dpath)
         with open(tmp, "wb") as fh:
             fh.write(data)
         with open(tmp, "rb") as fh:  # integrity check before commit
@@ -125,7 +137,7 @@ class ObjectStore:
         os.replace(tmp, dpath)  # atomic commit — retries are idempotent
         mpath = self._meta_path(container, name)
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
-        mtmp = mpath + ".inflight"
+        mtmp = _inflight(mpath)
         with open(mtmp, "w") as fh:
             json.dump(
                 {
@@ -160,7 +172,7 @@ class ObjectStore:
         self.create_container(container)
         dpath = self._data_path(container, name)
         os.makedirs(os.path.dirname(dpath), exist_ok=True)
-        tmp = dpath + ".inflight"
+        tmp = _inflight(dpath)
         h = hashlib.md5()
         n = 0
         with open(src_path, "rb") as src, open(tmp, "wb") as out:
@@ -184,7 +196,7 @@ class ObjectStore:
         os.replace(tmp, dpath)
         mpath = self._meta_path(container, name)
         os.makedirs(os.path.dirname(mpath), exist_ok=True)
-        mtmp = mpath + ".inflight"
+        mtmp = _inflight(mpath)
         with open(mtmp, "w") as fh:
             json.dump(
                 {
@@ -205,20 +217,40 @@ class ObjectStore:
             return fh.read()
 
     def get_file(
-        self, container: str, name: str, dst_path: str, chunk_size: int = 8 << 20
-    ) -> int:
+        self,
+        container: str,
+        name: str,
+        dst_path: str,
+        chunk_size: int = 8 << 20,
+        skip_etag: str | None = None,
+    ) -> tuple[int, bool]:
         """Streamed GET into a local file (restore path): chunked copy,
         write-to-temp + atomic rename (idempotent on retry).  Returns
-        bytes transferred."""
+        ``(bytes_transferred, transferred)``.
+
+        ``skip_etag`` is the restore-side cache semantics of the
+        reference's GET-through-cache (core.js:336-342, cache keyed by
+        container): when the destination file already exists AND its
+        content hashes to the stored etag, the download is skipped
+        entirely (``(0, False)``) — a re-restore over an intact tree
+        transfers zero bytes.  The local hash is chunked, so the check
+        never loads the file into memory."""
+        if skip_etag is not None and os.path.exists(dst_path):
+            h = hashlib.md5()
+            with open(dst_path, "rb") as fh:
+                while chunk := fh.read(chunk_size):
+                    h.update(chunk)
+            if h.hexdigest() == skip_etag:
+                return 0, False
         os.makedirs(os.path.dirname(dst_path), exist_ok=True)
-        tmp = dst_path + ".inflight"
+        tmp = _inflight(dst_path)
         n = 0
         with open(self._data_path(container, name), "rb") as src, open(tmp, "wb") as out:
             while chunk := src.read(chunk_size):
                 out.write(chunk)
                 n += len(chunk)
         os.replace(tmp, dst_path)
-        return n
+        return n, True
 
     def stat_object(self, container: str, name: str) -> dict | None:
         """HEAD — metadata record (storage-object.js:117-129)."""
@@ -341,22 +373,34 @@ class ObjectStoreTarget:
 
     def download(self, plan: DataFrame, dst_root: str) -> int:
         """Distributed GET → local files (restore path, core.js:336-368);
-        write-to-temp + atomic rename, so task retries are idempotent."""
+        write-to-temp + atomic rename, so task retries are idempotent.
+
+        When the plan carries an ``etag`` column, a destination file whose
+        content already hashes to it is skipped (the reference's local
+        restore cache, core.js:336-342): a second restore over an intact
+        tree transfers 0 files.  Returns files actually transferred."""
         root, container = self.root, self.container
         got_n = plan.sparkSession.sparkContext.accumulator(0)
+        has_etag = "etag" in plan.columns
+        cols = ["name", "etag"] if has_etag else ["name"]
 
         def get_partition(rows):
             store = ObjectStore(root)
             n = 0
             for row in rows:
                 try:
-                    store.get_file(container, row.name, os.path.join(dst_root, row.name))
+                    _bytes, transferred = store.get_file(
+                        container,
+                        row.name,
+                        os.path.join(dst_root, row.name),
+                        skip_etag=row.etag if has_etag else None,
+                    )
                 except FileNotFoundError:
                     continue
-                n += 1
+                n += int(transferred)
             got_n.add(n)
 
-        plan.select("name").foreachPartition(get_partition)
+        plan.select(*cols).foreachPartition(get_partition)
         return got_n.value
 
     def delete(self, plan: DataFrame) -> int:

@@ -109,7 +109,11 @@ class DirectoryTarget:
                 if not os.path.exists(src):
                     continue  # deleted since listing — skip, like ENOENT
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                tmp = dst + ".inflight"
+                # dot-prefixed so a listing racing the copy never sees the
+                # temp (Spark's file index skips '.'/'_' basenames)
+                tmp = os.path.join(
+                    os.path.dirname(dst), "." + os.path.basename(dst) + ".inflight"
+                )
                 shutil.copyfile(src, tmp)
                 os.replace(tmp, dst)  # atomic commit — retry-safe
                 n += 1

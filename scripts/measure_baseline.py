@@ -64,6 +64,48 @@ def main() -> None:
             .orderBy("l_returnflag", "l_linestatus")
         )
 
+    def q1_pricing_exact8():
+        # The engine's agg_group_sum VERBATIM (same query text as
+        # cassandra_syncer_spark/queries/relational.py:agg_group_sum), as
+        # vanilla PySpark: 8 outputs, exact-integer-unit money sums.  This is
+        # the like-for-like noop row for the bench's agg_group_sum gate —
+        # q1_pricing above (5 plain double aggs) is NOT the same query.
+        li = t["lineitem"]
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        staged = li.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ).select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("price_c"),
+            F.round(disc_price * 10000.0).cast("long").alias("disc_price_u"),
+            F.round(charge * 1000000.0).cast("long").alias("charge_u"),
+            F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_c"),
+        )
+        agg = staged.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("qty_c").alias("s_qty"),
+            F.sum("price_c").alias("s_price"),
+            F.sum("disc_price_u").alias("s_disc_price"),
+            F.sum("charge_u").alias("s_charge"),
+            F.sum("disc_c").alias("s_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        n = F.col("count_order")
+        return agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("s_qty") / 100.0).alias("sum_qty"),
+            (F.col("s_price") / 100.0).alias("sum_base_price"),
+            (F.col("s_disc_price") / 10000.0).alias("sum_disc_price"),
+            (F.col("s_charge") / 1000000.0).alias("sum_charge"),
+            (F.col("s_qty") / (n * 100.0)).alias("avg_qty"),
+            (F.col("s_price") / (n * 100.0)).alias("avg_price"),
+            (F.col("s_disc") / (n * 100.0)).alias("avg_disc"),
+            "count_order",
+        ).orderBy("l_returnflag", "l_linestatus")
+
     def q_join3():
         return (
             t["customer"]
@@ -117,6 +159,7 @@ def main() -> None:
 
     queries = {
         "q1_pricing": q1_pricing,
+        "q1_pricing_exact8": q1_pricing_exact8,
         "join3_topk": q_join3,
         "star5": q_star5,
         "window_rownum_running": q_window,

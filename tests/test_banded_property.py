@@ -41,6 +41,48 @@ def test_banded_range_join_matches_naive(spark):
         assert got == want, f"band_width={band_width}: {got ^ want}"
 
 
+def test_banded_join_outer_variants_match_naive(spark):
+    """left / left_semi / left_anti agree with the brute-force reference:
+    unmatched-left preservation (nulls), semi multiplicity (each left row
+    at most once), and the anti prune set — across band widths."""
+    rng = random.Random(23)
+    points = [(i, rng.uniform(-100, 100)) for i in range(80)]
+    intervals = []
+    for j in range(30):
+        lo = rng.uniform(-110, 110)
+        intervals.append((1000 + j, lo, lo + rng.choice([0.0, 2.0, 12.0, 40.0])))
+    left = spark.createDataFrame(points, "pid long, v double")
+    right = spark.createDataFrame(intervals, "iid long, lo double, hi double")
+    want_pairs = {
+        (pid, iid)
+        for pid, v in points
+        for iid, lo, hi in intervals
+        if lo <= v < hi
+    }
+    matched = {pid for pid, _ in want_pairs}
+    for band_width in [5.0, 17.0, 64.0]:
+        kw = dict(
+            left_point="v", right_lo="lo", right_hi="hi", band_width=band_width
+        )
+        rows = banded_range_join(left, right, how="left", **kw).collect()
+        got_pairs = {(r.pid, r.iid) for r in rows if r.iid is not None}
+        got_unmatched = {r.pid for r in rows if r.iid is not None} ^ {r.pid for r in rows}
+        assert got_pairs == want_pairs
+        assert got_unmatched == {pid for pid, _ in points} - matched
+        # every left row survives: matches + null-extended rows
+        assert len(rows) == len(want_pairs) + len(got_unmatched)
+
+        semi = {r.pid for r in banded_range_join(left, right, how="left_semi", **kw).collect()}
+        assert semi == matched
+        anti = {r.pid for r in banded_range_join(left, right, how="left_anti", **kw).collect()}
+        assert anti == {pid for pid, _ in points} - matched
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        banded_range_join(left, right, how="right", **kw)
+
+
 def test_banded_proximity_join_matches_naive(spark):
     rng = random.Random(11)
     lpts = [(i, float(rng.randrange(-50, 50))) for i in range(50)]

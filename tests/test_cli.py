@@ -81,6 +81,40 @@ def test_cli_objstore_scheme_lifecycle(tmp_path):
     assert r["pruned"] == 0  # everything referenced by the latest manifest
 
 
+def test_watch_does_no_source_tree_rescan(tmp_path, monkeypatch, spark):
+    """Watch's per-batch cost must scale with the batch, not the corpus:
+    the sync loop performs ZERO full source-tree scans (the stream's own
+    metadata-only discovery is the only listing), and manifests still
+    accumulate the full live set across separate runs."""
+    import cassandra_syncer_spark.__main__ as cli
+    from cassandra_syncer_spark.sync.pipeline import SyncPipeline
+
+    calls: list[tuple] = []
+    real_scan = cli._scan
+    monkeypatch.setattr(
+        cli, "_scan", lambda *a, **k: (calls.append(a), real_scan(*a, **k))[1]
+    )
+
+    src, store = tmp_path / "src", tmp_path / "store"
+    (src / "ks1").mkdir(parents=True)
+    (src / "ks1/a-Data.db").write_bytes(b"alpha")
+    assert cli.main(["watch", str(src), str(store)]) == 0
+    assert calls == []  # zero tree walks — upload plan comes from the batch
+    assert (store / "ks1/a-Data.db").read_bytes() == b"alpha"
+
+    # second run, same checkpoint: only the new file streams through, but
+    # the manifest is still a full snapshot (cumulative live set)
+    (src / "ks1/b-Data.db").write_bytes(b"beta")
+    assert cli.main(["watch", str(src), str(store)]) == 0
+    assert calls == []
+    latest = (
+        SyncPipeline()
+        .latest_manifests(spark.read.parquet(str(store / "__manifests__")))
+        .collect()[0]
+    )
+    assert sorted(latest.paths) == ["ks1/a-Data.db", "ks1/b-Data.db"]
+
+
 def test_cli_multi_path_backup(tmp_path):
     """Reference parity: multiple watch paths in one run
     (bin/cassandra-syncer:267) — one store, one manifest per container."""
@@ -108,3 +142,31 @@ def test_cli_multi_path_backup(tmp_path):
     r = run_cli("restore", str(store), str(dst))
     assert r["restored"] == 2
     assert (dst / "ks2/b-Data.db").read_bytes() == b"beta"
+
+
+def test_cli_multi_path_name_collision_deterministic(tmp_path):
+    """Two roots holding the SAME relative name: the newer file wins
+    deterministically (max last_modified) — never a nondeterministic
+    last-writer race — and the manifest names it once."""
+    import os
+    import time as _t
+
+    src1, src2, store = tmp_path / "data1", tmp_path / "data2", tmp_path / "store"
+    (src1 / "ks1").mkdir(parents=True)
+    (src2 / "ks1").mkdir(parents=True)
+    (src1 / "ks1/a-Data.db").write_bytes(b"older")
+    (src2 / "ks1/a-Data.db").write_bytes(b"newer")
+    now = _t.time()
+    os.utime(src1 / "ks1/a-Data.db", (now - 100, now - 100))
+    os.utime(src2 / "ks1/a-Data.db", (now, now))
+
+    r = run_cli("backup", str(src1), str(src2), str(store))
+    assert r["uploaded"] == 1
+    assert (store / "ks1/a-Data.db").read_bytes() == b"newer"
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT len(paths) FROM read_parquet('{store}/__manifests__/*.parquet')"
+    ).fetchall()
+    assert rows == [(1,)]

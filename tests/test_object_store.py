@@ -79,9 +79,17 @@ def test_chunked_put_get_roundtrip(tmp_path):
     assert etag2 == etag and not stored2
 
     dst = tmp_path / "restored.db"
-    n = s.get_file("c1", "big.db", str(dst), chunk_size=1000)
-    assert n == len(payload) and dst.read_bytes() == payload
-    # no staging residue
+    n, transferred = s.get_file("c1", "big.db", str(dst), chunk_size=1000)
+    assert transferred and n == len(payload) and dst.read_bytes() == payload
+    # restore-side etag cache (core.js:336-342 analog): destination already
+    # holds the stored content → zero bytes transferred
+    n2, transferred2 = s.get_file("c1", "big.db", str(dst), chunk_size=1000, skip_etag=etag)
+    assert n2 == 0 and not transferred2
+    # stale destination content → re-downloaded despite skip_etag
+    dst.write_bytes(b"corrupted")
+    n3, transferred3 = s.get_file("c1", "big.db", str(dst), chunk_size=1000, skip_etag=etag)
+    assert transferred3 and n3 == len(payload) and dst.read_bytes() == payload
+    # no staging residue (pathlib * matches dot-prefixed temps)
     assert not list((tmp_path / "store").rglob("*.inflight"))
 
 
@@ -151,6 +159,9 @@ def test_object_store_lifecycle(spark, tmp_path):
     assert target.download(rplan.filter("NOT is_missing"), str(restored)) == 3
     assert (restored / "ks1/a-Data.db").read_bytes() == b"alpha-v2"
     assert (restored / "ks1/c-Data.db").read_bytes() == b"gamma"
+
+    # second restore over the intact tree: etag cache skips every file
+    assert target.download(rplan.filter("NOT is_missing"), str(restored)) == 0
 
     # prune: drop b-Data.db from the live set; an old manifest still names
     # it, but retention has expired → distributed delete

@@ -120,6 +120,27 @@ def test_connected_components_handcrafted(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_connected_components_raises_when_round_budget_too_small(spark):
+    """A chain with diameter > max_iterations must raise, never return
+    silently-unmerged labels (the labels would diverge from the
+    transitive-closure oracle)."""
+    import pytest
+
+    from cassandra_syncer_spark.operators.components import (
+        ComponentsNotConverged,
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(ComponentsNotConverged):
+        connected_components(chain, max_iterations=2)
+    # same graph converges with an adequate budget
+    got = {r.id: r.component for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The approx percentile (rows-only in t2) must sit within 2% relative
     error of the exact percentile per group — the accuracy contract that

@@ -81,6 +81,22 @@ def test_banded_range_join_is_equi_large_x_large(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p_theta
 
 
+def test_banded_anti_join_is_equi_large_x_large(spark, sf_dir):
+    """The banded ANTI (prune) flow must also survive large×large: equi
+    anti join on the band key, range residual inside the join — no BNLJ
+    even with broadcast disabled."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_range_banded_anti")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in p, "banded anti fell back to BNLJ"
+    assert "CartesianProduct" not in p
+    assert "LeftAnti" in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:

@@ -52,7 +52,9 @@ def test_incremental_sync_drains_and_snapshots(spark, tmp_path):
     # snapshot-per-commit with strictly monotonic keys
     ts = sorted(m.manifest_ts for m in manifests)
     assert len(set(ts)) == len(ts)
-    assert sorted(n for m in manifests for n in m.paths) == ["a-Data.db", "b-Data.db"]
+    # every manifest is a FULL snapshot; the latest names the whole live set
+    latest = max(manifests, key=lambda m: m.manifest_ts)
+    assert sorted(latest.paths) == ["a-Data.db", "b-Data.db"]
 
     # only-new-files invariant: re-running with the same checkpoint sees nothing
     seen2: list[str] = []
@@ -61,6 +63,33 @@ def test_incremental_sync_drains_and_snapshots(spark, tmp_path):
         stream2, str(tmp_path / "ckpt"), on_batch=lambda df, bid: seen2.extend(r.name for r in df.collect())
     )
     assert seen2 == []
+
+    # restore-safety across runs (the round-2 ADVICE defect): a later run
+    # sees ONLY the new file, but its manifest must still be a full
+    # snapshot — feeding the log to restore_plan must not drop earlier
+    # batches' files
+    _stage(
+        tmp_path / "watch2",
+        [[{"name": "c-Data.db", "etag": "cc", "ts": "2024-01-01T00:20:00"}]],
+    )
+    # same manifest log, same checkpoint lineage: stage the new file into
+    # the watched dir so the existing checkpoint surfaces just the delta
+    import shutil
+
+    shutil.copy(tmp_path / "watch2" / "batch-0.json", tmp_path / "watch" / "late.json")
+    seen3: list[str] = []
+    run_incremental_sync(
+        watch_files(spark, str(tmp_path / "watch"), FILE_EVENT_SCHEMA),
+        str(tmp_path / "ckpt"),
+        on_batch=lambda df, bid: seen3.extend(r.name for r in df.collect()),
+        manifest_log=mlog,
+        container="c1",
+    )
+    assert seen3 == ["c-Data.db"]  # delta only…
+    manifests = spark.read.parquet(mlog).collect()
+    latest = max(manifests, key=lambda m: m.manifest_ts)
+    # …but the appended manifest names the cumulative live set
+    assert sorted(latest.paths) == ["a-Data.db", "b-Data.db", "c-Data.db"]
 
 
 def test_continuous_watch_spans_live_microbatches(spark, tmp_path):

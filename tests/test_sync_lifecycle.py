@@ -87,3 +87,27 @@ def test_salted_join_preserves_semantics(spark, sf_dir):
 
     with pytest.raises(ValueError):
         salted_join(li, orders, on="x", how="full")
+
+
+def test_salted_join_salt_is_order_independent(spark, sf_dir):
+    """The salt must be a pure function of row content: re-shuffled input
+    (different partitioning AND row order) assigns every row the identical
+    salt — the property retried tasks rely on, which
+    monotonically_increasing_id-based salting violates."""
+    from cassandra_syncer_spark.session import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+
+    def salts(df):
+        salted = df.withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(16))
+        )
+        # full-row-content → salt, as a sorted multiset (the fixture has no
+        # declared primary key; identical rows must salt identically anyway)
+        return sorted(tuple(str(x) for x in r) for r in salted.collect())
+
+    a = salts(li)
+    b = salts(li.repartition(7, "l_partkey").sortWithinPartitions(F.desc("l_quantity")))
+    assert a == b
+    # and the salt actually spreads rows (not all in one bucket)
+    assert len({t[-1] for t in a}) > 4
