@@ -24,6 +24,14 @@ Usage::
     python -m cassandra_syncer_spark watch   /var/lib/cassandra/data /backup --follow
     python -m cassandra_syncer_spark restore /backup /var/lib/cassandra/data
     python -m cassandra_syncer_spark prune   /backup --older-than-days 21 --dry-run
+    python -m cassandra_syncer_spark backup  --config sync.json   # store/paths from JSON
+    python -m cassandra_syncer_spark restore --config sync.json   # + restore_path
+
+The JSON config mirrors the reference's ``--config``
+(``bin/cassandra-syncer:246-251``, ``contrib/config.json.example``): keys
+``store``, ``paths``, ``container``, ``interval``, ``older_than_days``,
+``restore_path``; the reference's Rackspace auth keys are accepted and
+ignored (see :func:`_resolve_config`).
 """
 
 from __future__ import annotations
@@ -35,6 +43,64 @@ import sys
 import time
 
 from pyspark.sql import functions as F
+
+
+def _resolve_config(args) -> None:
+    """Apply ``--config file.json`` defaults (reference:
+    ``bin/cassandra-syncer:246-251`` reads a JSON config; example at
+    ``contrib/config.json.example``).  Recognized keys:
+
+    - ``store``: target url (``dir://``/``objstore://``/bare path)
+    - ``paths``: list of source roots (backup/watch)
+    - ``container``, ``interval``, ``older_than_days``, ``restore_path``
+    - ``RACKSPACE_USERNAME``/``RACKSPACE_TOKEN``/``HOST``/``USE_SERVICENET``/
+      ``CACHE_PATH``: accepted and ignored — Rackspace auth plumbing with no
+      analog here (restore-side caching is the store's etag skip).
+
+    Explicit CLI values win.  When the config supplies ``store``, every
+    positional is a source; otherwise the last positional is the store
+    (the flagless grammar unchanged)."""
+    cfg: dict = {}
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            cfg = json.load(fh)
+    cmd = args.cmd
+    if cmd in ("backup", "watch"):
+        srcs = args.src if cmd == "backup" else ([args.src] if args.src else [])
+        if args.store is None and srcs and "store" not in cfg:
+            args.store = srcs.pop()  # flagless grammar: last positional
+        if args.store is None:
+            args.store = cfg.get("store")
+        if not srcs:
+            srcs = [str(p) for p in cfg.get("paths", [])]
+        if cmd == "backup":
+            args.src = srcs
+        else:
+            args.src = srcs[0] if srcs else None
+        if not args.src or args.store is None:
+            raise SystemExit(f"error: {cmd} needs source path(s) and a store "
+                             "(positionals or --config with paths/store)")
+    elif cmd in ("restore", "prune"):
+        if cmd == "restore" and args.dst is None:
+            if "store" in cfg:  # `restore DST --config ...`
+                args.dst = args.store
+                args.store = None
+            elif args.store is not None:
+                raise SystemExit("error: restore needs STORE DST")
+            args.dst = args.dst or cfg.get("restore_path")
+            if args.dst is None:
+                raise SystemExit("error: restore needs a destination "
+                                 "(positional or config restore_path)")
+        if args.store is None:
+            args.store = cfg.get("store")
+        if args.store is None:
+            raise SystemExit(f"error: {cmd} needs a store (positional or config)")
+    if getattr(args, "container", None) is None:
+        args.container = cfg.get("container", "default")
+    if getattr(args, "interval", None) is None and hasattr(args, "interval"):
+        args.interval = cfg.get("interval", "1 second")
+    if getattr(args, "older_than_days", None) is None and hasattr(args, "older_than_days"):
+        args.older_than_days = int(cfg.get("older_than_days", 21))
 
 
 def _parse_store(url: str) -> tuple[str, str]:
@@ -275,16 +341,18 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("backup", help="full/incremental backup + manifest snapshot (multi-path: SRC1 SRC2 ... STORE)")
-    b.add_argument("src", nargs="+"), b.add_argument("store")
-    b.add_argument("--container", default="default")
+    b.add_argument("src", nargs="*"), b.add_argument("store", nargs="?")
+    b.add_argument("--container", default=None)
+    b.add_argument("--config", default=None, help="JSON config supplying store/paths/container defaults")
     b.set_defaults(fn=cmd_backup)
 
     w = sub.add_parser("watch", help="streamed incremental sync (drains pending; --follow keeps watching)")
-    w.add_argument("src"), w.add_argument("store")
-    w.add_argument("--container", default="default")
+    w.add_argument("src", nargs="?"), w.add_argument("store", nargs="?")
+    w.add_argument("--container", default=None)
+    w.add_argument("--config", default=None, help="JSON config supplying store/paths/interval defaults")
     w.add_argument("--follow", action="store_true",
                    help="keep watching (processingTime trigger) instead of drain-and-exit")
-    w.add_argument("--interval", default="1 second", help="--follow trigger interval")
+    w.add_argument("--interval", default=None, help="--follow trigger interval (default: 1 second)")
     w.add_argument("--max-batches", type=int, default=None,
                    help="--follow: stop after N data-carrying microbatches")
     w.add_argument("--timeout-sec", type=float, default=None,
@@ -292,20 +360,23 @@ def main(argv: list[str] | None = None) -> int:
     w.set_defaults(fn=cmd_watch)
 
     r = sub.add_parser("restore", help="restore minimum set from latest manifest")
-    r.add_argument("store"), r.add_argument("dst")
-    r.add_argument("--container", default="default")
+    r.add_argument("store", nargs="?"), r.add_argument("dst", nargs="?")
+    r.add_argument("--container", default=None)
+    r.add_argument("--config", default=None, help="JSON config supplying store/restore_path defaults")
     r.add_argument("--as-of-ms", type=int, default=None,
                    help="time travel: restore the snapshot as of this epoch-ms")
     r.set_defaults(fn=cmd_restore)
 
     pr = sub.add_parser("prune", help="delete stored files no retained manifest references")
-    pr.add_argument("store")
-    pr.add_argument("--older-than-days", type=int, default=21)
+    pr.add_argument("store", nargs="?")
+    pr.add_argument("--older-than-days", type=int, default=None)
     pr.add_argument("--dry-run", action="store_true")
-    pr.add_argument("--container", default="default")
+    pr.add_argument("--container", default=None)
+    pr.add_argument("--config", default=None, help="JSON config supplying store/older_than_days defaults")
     pr.set_defaults(fn=cmd_prune)
 
     args = ap.parse_args(argv)
+    _resolve_config(args)
     return args.fn(args)
 
 

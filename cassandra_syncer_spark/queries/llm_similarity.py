@@ -28,6 +28,85 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+# -- unified IVF search ------------------------------------------------------
+#
+# One IVF operator, pluggable coarse quantizer:
+#   - 'fixed'  : first N_CELLS corpus vectors are the centroids —
+#                deterministic, DuckDB-expressible, the oracle-checked path;
+#   - 'kmeans' : seeded MLlib k-means — the production index build
+#                (JVM iterations → rows-only check, recall-gated).
+# Both share the same assignment and search dataflows below; only the
+# centroid table differs.  The shared scale shape: corpus partitions by
+# cell id (one shuffle at index build), probes search only their n_probe
+# cells' partitions.
+
+
+def _assign_cells(emb: DataFrame, centroids: DataFrame, n_probe: int) -> DataFrame:
+    """Nearest ``n_probe`` centroids per vector by rounded dot (unit-norm
+    embeddings → max dot = min angle; round(…,6) + cell-id tie keeps the
+    ranking identical in Spark and DuckDB)."""
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        emb.join(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cell", F.round(_dot(F.col("v"), F.col("cv")), 6).alias("sim")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "v", "cell")
+    )
+
+
+def _ivf_search(cells: DataFrame, q_cells: DataFrame) -> DataFrame:
+    """Cell-local scored top-k: probes (broadcast) meet only their cells'
+    corpus partitions."""
+    q = q_cells.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, quantizer: str = "fixed", n_probe: int = 1
+) -> DataFrame:
+    """IVF approximate top-k with a pluggable coarse quantizer
+    ('fixed' | 'kmeans') — the single code path behind ``sim_ivf_ann``
+    and ``sim_ivf_kmeans``."""
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    if quantizer == "fixed":
+        centroids = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        cells = _assign_cells(emb, centroids, n_probe=1)
+    elif quantizer == "kmeans":
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
+        model = KMeans(k=3, seed=42, featuresCol="features", predictionCol="cell").fit(feat)
+        cells = model.transform(feat).select("vec_id", "v", "cell")
+        centroids = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell int, cv array<double>",
+        )
+    else:
+        raise ValueError(f"quantizer must be 'fixed' or 'kmeans', got {quantizer!r}")
+    probes = emb.filter(F.col("vec_id") < N_QUERIES)
+    q_cells = _assign_cells(probes, centroids, n_probe=n_probe)
+    return _ivf_search(cells, q_cells)
+
+
 @register(
     "sim_cosine_topk",
     oracle=f"""
@@ -103,32 +182,12 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the scale path for ANN: the corpus partitions by cell id (one
     shuffle at index build), probes touch only their cell's partition.
     Recall/latency trades via n_centroids and n_probe cells; here 8/1 keeps
-    the oracle tractable.  Centroids from k-means would be a drop-in.
+    the oracle tractable.  Single code path with the k-means variant:
+    ``ivf_topk(quantizer='fixed'|'kmeans')`` — the quantizer is the only
+    difference; both recall-gated against the brute-force baseline in
+    tests/test_operators.py::test_ivf_recall_both_quantizers.
     """
-    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
-    cent = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("c_id"))
-    cells = (
-        emb.join(F.broadcast(cent))
-        .select("vec_id", "v", "c_id", F.round(_dot(F.col("v"), F.col("cv")), 6).alias("sim"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("cell"))
-    )
-    q = cells.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
-    )
-    scored = (
-        cells.join(F.broadcast(q), (F.col("q_id") != F.col("vec_id")) & (q.cell == cells.cell))
-        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
-    )
+    return ivf_topk(spark, sf_dir, quantizer="fixed", n_probe=1)
 
 
 @register("sim_ivf_kmeans", oracle=None)  # JVM k-means iterations → rows-only check
@@ -144,49 +203,14 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold the ≥0.8 recall gate; a production corpus with actual cluster
     structure sizes k ≈ √n and tunes n_probe against a recall target.
 
-    Same scale shape as ``sim_ivf_ann`` (corpus partitions by cell, probes
-    touch only probed cells) with learned centroids — the production
-    index-build path.  K-means iterations are JVM-side and have no DuckDB
-    analog, so the driver records rows-only; quality is gated by the
-    recall test vs the brute-force baseline
-    (tests/test_operators.py::test_ivf_kmeans_recall, recall ≥ 0.8 at
-    n_probe=2).
+    Same scale shape as ``sim_ivf_ann`` — literally the same code path
+    (``ivf_topk``), only the quantizer plug differs.  K-means iterations
+    are JVM-side and have no DuckDB analog, so the driver records
+    rows-only; quality is gated by the recall test vs the brute-force
+    baseline (tests/test_operators.py::test_ivf_recall_both_quantizers,
+    recall ≥ 0.8 at n_probe=2).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    N_PROBE = 2
-    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
-    feat = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
-    model = KMeans(k=3, seed=42, featuresCol="features", predictionCol="cell").fit(feat)
-    cells = model.transform(feat).select("vec_id", "v", "cell")
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, cv array<double>",
-    )
-    # probe assignment: the N_PROBE nearest centroids per query (unit-norm
-    # embeddings → max dot = min euclidean, consistent with the quantizer)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    w_probe = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("cell"))
-    q_cells = (
-        q.join(F.broadcast(centroids))
-        .select("q_id", "qv", "cell", _dot(F.col("qv"), F.col("cv")).alias("c_sim"))
-        .withColumn("p_rn", F.row_number().over(w_probe))
-        .filter(F.col("p_rn") <= N_PROBE)
-        .select("q_id", "qv", "cell")
-    )
-    scored = (
-        cells.join(F.broadcast(q_cells), "cell")
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= TOP_K)
-    )
+    return ivf_topk(spark, sf_dir, quantizer="kmeans", n_probe=2)
 
 
 @register("sim_lsh_ann", oracle=None)  # JVM random hyperplanes → rows-only check

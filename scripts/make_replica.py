@@ -9,9 +9,18 @@ ids but identical content — deliberately: near-dup operators then face a
 corpus whose true duplicate count grows with the replica factor, the
 adversarial case for banding.
 
-Run:  python scripts/make_replica.py [N] [OUT_DIR]
+Run:  python scripts/make_replica.py [N] [OUT_DIR] [--unique-docs]
       (defaults: 10 /tmp/sf1_replica)
 Then: SPARK_GRAFT_SF_DIR=/tmp/sf1_replica python bench.py
+
+``--unique-docs`` is the CONTROLLED-DUP-DENSITY variant: each document
+copy interleaves a per-copy token between every word, so every 3-word
+shingle contains the copy marker — shingle sets are disjoint across
+copies, no cross-copy near-dup pairs exist, and the true-dup density per
+corpus stays constant at the sf0.1 level while the corpus grows N×.
+Comparing dedup timings on the identical-copy replica (dup pairs grow
+~N²·|group|) vs this one separates "the operator scales badly" from "the
+replica contains quadratically more real duplicates" (SCALING.md).
 """
 
 from __future__ import annotations
@@ -25,6 +34,7 @@ STEP = 100_000_000
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_replica"
+    unique_docs = "--unique-docs" in sys.argv[3:]
 
     from pyspark.sql import functions as F
 
@@ -54,6 +64,15 @@ def main() -> None:
             df = base
             for k in keys:
                 df = df.withColumn(k, (F.col(k) + F.lit(i * STEP)).cast(dict(base.dtypes)[k]))
+            if unique_docs and name == "documents" and i > 0:
+                # suffix every word with a copy marker: a bijection on the
+                # vocabulary, so word/shingle COUNTS are unchanged (same
+                # compute per doc) and intra-copy near-dup structure is
+                # exactly preserved, but every shingle differs from every
+                # other copy's → zero cross-copy near-dup pairs
+                df = df.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
+                )
             parts.append(df)
         acc = parts[0]
         for p in parts[1:]:

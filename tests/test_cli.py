@@ -81,6 +81,44 @@ def test_cli_objstore_scheme_lifecycle(tmp_path):
     assert r["pruned"] == 0  # everything referenced by the latest manifest
 
 
+def test_cli_config_file_drives_lifecycle(tmp_path):
+    """Reference --config parity (bin/cassandra-syncer:246-251,
+    contrib/config.json.example): backup and restore driven purely from a
+    JSON config — no positional args; Rackspace auth keys accepted and
+    ignored; explicit positionals still override."""
+    src, store, dst = tmp_path / "src", tmp_path / "store", tmp_path / "dst"
+    (src / "ks1").mkdir(parents=True)
+    (src / "ks1/a-Data.db").write_bytes(b"alpha")
+    cfg = tmp_path / "sync.json"
+    cfg.write_text(json.dumps({
+        "store": f"objstore://{store}",
+        "paths": [str(src)],
+        "container": "cass",
+        "restore_path": str(dst),
+        "RACKSPACE_USERNAME": "ignored",
+        "RACKSPACE_TOKEN": "ignored",
+        "USE_SERVICENET": False,
+        "CACHE_PATH": "/var/cache/cassandra-syncer",
+    }))
+
+    r = run_cli("backup", "--config", str(cfg))
+    assert r["uploaded"] == 1 and r["target"] == "objstore"
+    assert (store / "cass/ks1/a-Data.db").read_bytes() == b"alpha"
+
+    r = run_cli("restore", "--config", str(cfg))
+    assert r["restored"] == 1 and r["missing"] == 0
+    assert (dst / "ks1/a-Data.db").read_bytes() == b"alpha"
+
+    # explicit positional destination overrides the config restore_path
+    dst2 = tmp_path / "dst2"
+    r = run_cli("restore", str(dst2), "--config", str(cfg))
+    assert r["restored"] == 1
+    assert (dst2 / "ks1/a-Data.db").read_bytes() == b"alpha"
+
+    r = run_cli("prune", "--config", str(cfg), "--dry-run")
+    assert r["pruned"] == 0
+
+
 def test_watch_does_no_source_tree_rescan(tmp_path, monkeypatch, spark):
     """Watch's per-batch cost must scale with the batch, not the corpus:
     the sync loop performs ZERO full source-tree scans (the stream's own

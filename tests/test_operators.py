@@ -91,19 +91,31 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
 
-def test_ivf_kmeans_recall(spark, sf_dir):
-    """Learned-centroid IVF (seeded k-means, rows-only in t2) must recover
-    ≥ 0.8 of the true top-5 neighbors at n_probe=2 on the fixture corpus —
-    the quality gate that stands in for an oracle."""
-    from cassandra_syncer_spark.queries.llm_similarity import (
-        sim_cosine_topk,
-        sim_ivf_kmeans,
-    )
+def test_ivf_recall_both_quantizers(spark, sf_dir):
+    """Both quantizer plugs of the unified IVF operator — fixed centroids
+    (n_probe=1, the oracle path) and seeded k-means (n_probe=2, the
+    production path) — measured against the same brute-force baseline in
+    one test.  K-means must recover ≥ 0.8 of the true top-5 (the quality
+    gate that stands in for an oracle); the fixed quantizer's recall is
+    reported alongside (≥ 0.3 sanity floor at n_probe=1 on effectively
+    random unit vectors, where recall tracks probed corpus fraction)."""
+    from cassandra_syncer_spark.queries.llm_similarity import ivf_topk, sim_cosine_topk
 
     truth = {(r.q_id, r.vec_id) for r in sim_cosine_topk(spark, sf_dir).collect()}
-    got = {(r.q_id, r.vec_id) for r in sim_ivf_kmeans(spark, sf_dir).collect()}
-    recall = len(truth & got) / len(truth)
-    assert recall >= 0.8, f"IVF-kmeans recall too low: {recall:.2f}"
+    recalls = {}
+    for quantizer, n_probe in [("fixed", 1), ("kmeans", 2)]:
+        got = {
+            (r.q_id, r.vec_id)
+            for r in ivf_topk(spark, sf_dir, quantizer=quantizer, n_probe=n_probe).collect()
+        }
+        recalls[quantizer] = len(truth & got) / len(truth)
+    assert recalls["kmeans"] >= 0.8, f"IVF recalls: {recalls}"
+    assert recalls["fixed"] >= 0.3, f"IVF recalls: {recalls}"
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_topk(spark, sf_dir, quantizer="nope")
 
 
 def test_connected_components_handcrafted(spark):
