@@ -123,6 +123,65 @@ def banded_range_join(
     )
 
 
+def banded_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    band_width: float,
+    extra_on: list[str] | None = None,
+) -> DataFrame:
+    """Interval×interval OVERLAP join (``a.lo < b.hi AND b.lo < a.hi``,
+    half-open) for two LARGE interval tables, as an equi join on band id.
+
+    Both sides explode to the bands they cover.  A pair overlapping across
+    several shared bands must surface exactly once: the join keeps only
+    the band containing the overlap's START (``floor(max(a.lo, b.lo)/w)``)
+    — that band is unique per pair and covered by both intervals, so no
+    DISTINCT pass is needed.  Like :func:`banded_range_join`, the exact
+    predicate rides inside the join condition; Catalyst extracts the band
+    (+ ``extra_on``) equi keys, so the plan is SMJ/SHJ with a residual —
+    never a nested loop.  Duplication factor is ≤ interval_width/w + 1
+    per side; pick ``band_width`` near the typical interval width.
+    """
+    extra_on = extra_on or []
+    w = float(band_width)
+    if w <= 0:
+        raise ValueError("band_width must be > 0")
+
+    def banded(df: DataFrame, lo: str, hi: str, side: str) -> DataFrame:
+        return df.withColumn(
+            BAND_COL,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(w)).cast("long"),
+                    F.floor(F.col(hi) / F.lit(w)).cast("long"),
+                )
+            ),
+        ).alias(side)
+
+    la = banded(left, left_lo, left_hi, "__bl")
+    ra = banded(right, right_lo, right_hi, "__br")
+    cond = F.col(f"__bl.{BAND_COL}") == F.col(f"__br.{BAND_COL}")
+    for k in extra_on:
+        cond = cond & (F.col(f"__bl.{k}") == F.col(f"__br.{k}"))
+    a_lo, a_hi = F.col(f"__bl.{left_lo}"), F.col(f"__bl.{left_hi}")
+    b_lo, b_hi = F.col(f"__br.{right_lo}"), F.col(f"__br.{right_hi}")
+    cond = cond & (a_lo < b_hi) & (b_lo < a_hi)
+    # first-band-only: count each overlapping pair exactly once
+    cond = cond & (
+        F.col(f"__bl.{BAND_COL}")
+        == F.floor(F.greatest(a_lo, b_lo) / F.lit(w)).cast("long")
+    )
+    keep_right = [c for c in right.columns if c not in set(extra_on)]
+    return la.join(ra, cond, "inner").select(
+        *[F.col(f"__bl.{c}") for c in left.columns],
+        *[F.col(f"__br.{c}") for c in keep_right],
+    )
+
+
 def banded_proximity_join(
     left: DataFrame,
     right: DataFrame,

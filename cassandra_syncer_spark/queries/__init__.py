@@ -2,6 +2,7 @@
 
 from cassandra_syncer_spark.queries import (  # noqa: F401
     analytics_extras,
+    analytics_r3,
     incremental,
     joins,
     llm_dedup,

@@ -1,0 +1,420 @@
+"""Round-3 analytics additions — statistics, feature engineering, funnel
+analysis, canonical dedup, interval overlap.
+
+Reference parity note: these extend SURVEY §2's inventory with the
+operations a training-data/analytics pipeline layers on top of the file
+semantics the reference provides (the reference itself has no relational
+surface; provenance of the *mandated* operators is in SURVEY.md).  Every
+query is oracle-checked; cross-engine numeric stability follows the
+integerize-per-row rule (see agg_group_sum and
+memory: double aggregates are computed FROM exact integer sums so both
+engines evaluate identical doubles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_syncer_spark.operators.banded import banded_interval_join
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+
+@register(
+    "agg_stats_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS sx,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sy,
+             sum(CAST(round(l_quantity * 100.0) AS BIGINT)
+                 * CAST(round(l_quantity * 100.0) AS BIGINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS syy,
+             sum(CAST(round(l_quantity * 100.0) AS BIGINT)
+                 * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+                 sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+             AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4) AS covar_qty_price,
+           round(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 4) AS stddev_qty
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group correlation / covariance / stddev — the statistics layer
+    a feature pipeline runs over raw measures.
+
+    Built-in ``corr``/``covar_samp`` accumulate in engine-specific orders
+    (Welford vs naive) whose low bits differ across engines, so the
+    moments are computed from EXACT integer-unit sums (Σx, Σy, Σxx, Σyy,
+    Σxy as longs — order-independent) and the textbook formulas evaluate
+    over bit-identical doubles on both sides.  Overflow headroom: centi
+    products ≤ 5·10¹⁰/row → exact up to ~10⁸ rows/group; at larger groups
+    switch the sums to DECIMAL(38) (one-line change, noted here for the
+    100 TB posture).
+    """
+    li = T(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity") * 100.0).cast("long")
+    y = F.round(F.col("l_extendedprice") * 100.0).cast("long")
+    staged = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    s = staged.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_num = n * F.col("sxy") - sx * F.col("sy")
+    var_x = n * F.col("sxx") - sx * F.col("sx")
+    var_y = n * F.col("syy") - sy * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round(cov_num / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_num / (n * (F.col("n") - 1)) / 10000.0, 4).alias("covar_qty_price"),
+        F.round(F.sqrt(var_x / (n * (F.col("n") - 1))) / 100.0, 4).alias("stddev_qty"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "win_ntile_bucket",
+    oracle="""
+    WITH b AS (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+      FROM customer
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / (count(*) * 100.0) AS avg_bal
+    FROM b GROUP BY bucket ORDER BY bucket
+    """,
+)
+def win_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing (ntile) + per-bucket profile — how a pipeline
+    splits a population into equal-frequency cohorts.
+
+    Scale note: a global ntile is a total sort; Spark range-partitions it
+    (no single-task sort), and at 100 TB the same cohort split is done
+    with approx_percentile cut points + width_bucket instead — see
+    ``agg_percentile_approx`` for the sketch path.  ntile is int32 in
+    Spark, int64 in DuckDB → cast.
+    """
+    cust = T(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    b = cust.select(
+        "c_acctbal", F.ntile(4).over(w).cast("long").alias("bucket")
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100.0).cast("long"))
+                / (F.count(F.lit(1)) * 100.0)
+            ).alias("avg_bal"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dedup_exact_canonical",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a canonical winner: one row per distinct content,
+    keeping the smallest doc_id — the deterministic-keeper rule a corpus
+    dedup applies before near-dup stages (cf. dedup_apply_clusters for the
+    near-dup analog).  Single hash-aggregate pass; at 100 TB this is one
+    shuffle on the content hash."""
+    docs = T(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").cast("long").alias("keep_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+    )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS BIGINT)
+             AS n_click_after_view,
+           CAST(count(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                                   AND t_purchase > t_click) AS BIGINT)
+             AS n_full_funnel
+    FROM per_user
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase): users whose
+    FIRST click follows their first view, and first purchase follows that
+    click — the sessionized product-analytics staple.
+
+    One groupBy(user_id) with conditional min aggregates (map-side
+    partial), then a single global roll-up — no joins, no window sort; at
+    100 TB the only shuffle is the user_id aggregation.  Timestamps are
+    compared within-engine only (counts cross the oracle boundary), so ns
+    precision differences cannot affect parity.
+    """
+    ev = T(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.when(viewed, 1)).cast("long").alias("n_view"),
+        F.count(F.when(clicked, 1)).cast("long").alias("n_click_after_view"),
+        F.count(F.when(purchased, 1)).cast("long").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "feat_standardize",
+    oracle="""
+    WITH staged AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_quantity * 100.0) AS BIGINT) AS qc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT *,
+             sum(qc) OVER (PARTITION BY l_returnflag) AS s,
+             sum(qc * qc) OVER (PARTITION BY l_returnflag) AS q,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM staged
+    )
+    SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_returnflag,
+           round((CAST(qc AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                 / sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4)
+             AS z_quantity
+    FROM m
+    """,
+)
+def feat_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization of a measure — the feature-
+    engineering normalize step, emitted per ROW (6k rows at sf0.01).
+
+    Group moments come from exact integer window sums (Σqc, Σqc² as
+    longs), so mean and variance are identical doubles in both engines and
+    the per-row z rounds identically.  Scale: one shuffle
+    (window partition by group); no second pass — mean/var/z all derive
+    from the same windowed sums.  DuckDB's integer window-sum returns
+    HUGEINT → both sides cast to double explicitly before dividing.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    staged = li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100.0).cast("long").alias("qc"),
+    )
+    w = Window.partitionBy("l_returnflag")
+    m = staged.select(
+        "*",
+        F.sum("qc").over(w).alias("s"),
+        F.sum(F.col("qc") * F.col("qc")).over(w).alias("q"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    s, q, n = F.col("s").cast("double"), F.col("q").cast("double"), F.col("n")
+    z = (F.col("qc").cast("double") - s / n) / F.sqrt((q - s * F.col("s") / n) / (n - 1))
+    return m.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", F.round(z, 4).alias("z_quantity")
+    )
+
+
+@register(
+    "agg_mode_freq",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY o_orderstatus ORDER BY n DESC, o_orderpriority) AS rn
+      FROM c
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, CAST(n AS BIGINT) AS n
+    FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """,
+)
+def agg_mode_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode (most frequent value) per group with a deterministic tie rule
+    (count desc, then value asc) — two-level aggregation, then a per-group
+    top-1 window over the (small) distinct-combination set, never over raw
+    rows."""
+    orders = T(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), F.asc("o_orderpriority"))
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "text_idf_topterms",
+    oracle="""
+    WITH N AS (SELECT count(*) AS n_docs FROM documents),
+    tokens AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    tf AS (SELECT lang, word, count(*) AS tf FROM tokens GROUP BY lang, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens GROUP BY word),
+    scored AS (
+      SELECT tf.lang, tf.word,
+             round(CAST(tf.tf AS DOUBLE) * (SELECT n_docs FROM N) / df.df, 4) AS score
+      FROM tf JOIN df ON tf.word = df.word
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY lang ORDER BY score DESC, word) AS rn
+      FROM scored
+    )
+    SELECT lang, word, score, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def text_idf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per language: tf · N/df (a log-free tf-idf — the
+    ratio of exact integer counts keeps the score portable; libm ``log``
+    is not bit-identical across engines).
+
+    Scale shape: explode → two aggregations (tf on (lang, word), df on
+    word) → join on word (word-dim is vocabulary-sized → broadcastable) →
+    per-lang top-k window over the aggregated term set, not raw tokens.
+    """
+    docs = T(spark, sf_dir, "documents")
+    # corpus size as a broadcast 1-row dimension — stays a dataflow (no
+    # driver-side collect of the scalar)
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tokens = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tokens.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tokens.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "word",
+            F.round(
+                F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, epoch(l_shipdate) AS lo, epoch(l_shipdate) + 14*86400 AS hi
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    o AS (
+      SELECT o_orderpriority, epoch(o_orderdate) AS lo, epoch(o_orderdate) + 30*86400 AS hi
+      FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(count(DISTINCT li.l_orderkey) AS BIGINT) AS n_lineitems
+    FROM li JOIN o ON li.lo < o.hi AND o.lo < li.hi
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (returned-lineitem transit windows ×
+    finished-order activity windows) — both sides LARGE, executed as a
+    banded equi join (operators/banded.py::banded_interval_join): each
+    interval explodes to its covered bands, pairs join on band id, and the
+    first-band rule keeps each overlapping pair exactly once without a
+    DISTINCT pass.  The naive formulation is a nested loop over
+    |li|×|orders| — fatal at 100 TB; this is shuffle-on-band.
+
+    Band width = 30 days ≈ the wider interval, bounding the explode
+    factor at ~2 per side.  Timestamps band as epoch seconds (UTC pinned
+    in session.py).
+    """
+    day = 86400
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            F.unix_timestamp("l_shipdate").alias("lo"),
+            (F.unix_timestamp("l_shipdate") + 14 * day).alias("hi"),
+        )
+    )
+    orders = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderpriority",
+            F.unix_timestamp("o_orderdate").alias("o_lo"),
+            (F.unix_timestamp("o_orderdate") + 30 * day).alias("o_hi"),
+        )
+    )
+    pairs = banded_interval_join(
+        li,
+        orders,
+        left_lo="lo",
+        left_hi="hi",
+        right_lo="o_lo",
+        right_hi="o_hi",
+        band_width=30.0 * day,
+    )
+    return (
+        pairs.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_overlaps"),
+            F.countDistinct("l_orderkey").cast("long").alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority")
+    )

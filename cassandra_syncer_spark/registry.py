@@ -85,8 +85,16 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embed_cosine",
     "sim_ivf_ann",
-    # -- 2: new in round 3 (12 window slots remain) ----------------------
+    # -- 2: new in round 3 (fills the 50-query window to 47) --------------
     "join_range_banded_anti",
+    "agg_stats_corr",
+    "win_ntile_bucket",
+    "dedup_exact_canonical",
+    "events_funnel",
+    "feat_standardize",
+    "agg_mode_freq",
+    "text_idf_topterms",
+    "join_interval_overlap",
 )
 
 

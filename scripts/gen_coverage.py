@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Regenerate COVERAGE.md from the query registry (run after adding
+queries so the inventory map never drifts from the code)."""
+
+from __future__ import annotations
+
+
+def main() -> None:
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    lines = [
+        "# COVERAGE — SURVEY.md §2 operator inventory → implementation map",
+        "",
+        "Generated from the query registry (`scripts/gen_coverage.py`).  Check",
+        "column: `oracle` = driver t2 hash-compares against the DuckDB SQL;",
+        "`rows-only` = non-SQL-expressible (per __spark_entry__ contract),",
+        "covered by unit tests instead.",
+        "",
+        "| query id | module | check |",
+        "|---|---|---|",
+    ]
+    n_oracle = 0
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        mod = spec.fn.__module__.removeprefix("cassandra_syncer_spark.")
+        check = "oracle" if spec.oracle else "rows-only"
+        n_oracle += bool(spec.oracle)
+        lines.append(f"| `{name}` | {mod} | {check} |")
+    lines += ["", f"Total: {len(REGISTRY)} queries ({n_oracle} oracle-checked)."]
+    with open("COVERAGE.md", "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"COVERAGE.md: {len(REGISTRY)} queries, {n_oracle} oracle-checked")
+
+
+if __name__ == "__main__":
+    main()

@@ -7,7 +7,11 @@ from __future__ import annotations
 
 import random
 
-from cassandra_syncer_spark.operators.banded import banded_proximity_join, banded_range_join
+from cassandra_syncer_spark.operators.banded import (
+    banded_interval_join,
+    banded_proximity_join,
+    banded_range_join,
+)
 from cassandra_syncer_spark.operators.components import connected_components
 
 
@@ -102,6 +106,36 @@ def test_banded_proximity_join_matches_naive(spark):
         if rv - 7.0 <= lv < rv + 7.0
     }
     assert got == want
+
+
+def test_banded_interval_join_matches_naive(spark):
+    """Interval×interval overlap: each overlapping pair surfaces EXACTLY
+    once (the first-band rule replaces DISTINCT), across band widths
+    narrower and wider than the intervals; empty and negative intervals
+    included."""
+    rng = random.Random(31)
+    a_rows, b_rows = [], []
+    for i in range(60):
+        lo = rng.uniform(-100, 100)
+        a_rows.append((i, lo, lo + rng.choice([0.0, 3.0, 20.0, 75.0])))
+    for j in range(50):
+        lo = rng.uniform(-120, 120)
+        b_rows.append((1000 + j, lo, lo + rng.choice([0.0, 5.0, 33.0])))
+    left = spark.createDataFrame(a_rows, "aid long, alo double, ahi double")
+    right = spark.createDataFrame(b_rows, "bid long, blo double, bhi double")
+    want = [
+        (aid, bid)
+        for aid, alo, ahi in a_rows
+        for bid, blo, bhi in b_rows
+        if alo < bhi and blo < ahi
+    ]
+    for band_width in [4.0, 21.0, 80.0]:
+        rows = banded_interval_join(
+            left, right, "alo", "ahi", "blo", "bhi", band_width=band_width
+        ).collect()
+        got = [(r.aid, r.bid) for r in rows]
+        assert sorted(got) == sorted(want), f"band_width={band_width}"
+        assert len(got) == len(set(got)), "pair duplicated across bands"
 
 
 def _naive_components(edges):

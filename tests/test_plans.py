@@ -97,6 +97,20 @@ def test_banded_anti_join_is_equi_large_x_large(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
 
 
+def test_banded_interval_join_is_equi_large_x_large(spark, sf_dir):
+    """Interval×interval overlap (join_interval_overlap) must stay an equi
+    join on the band key with both sides large and broadcast disabled."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_interval_overlap")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in p, "interval join fell back to BNLJ"
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
