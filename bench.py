@@ -30,12 +30,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: headline queries (subset of the registry that maps onto BASELINE.md rows)
 HEADLINE = [
-    "agg_group_sum",        # BASELINE noop-forced: 0.50 s (q1_pricing_exact8 — same query text)
-    "join_3table_topk",     # BASELINE noop-forced: 0.82 s
-    "join_multiway",        # BASELINE noop-forced: 0.76 s
-    "win_running_frame",    # BASELINE noop-forced: 0.19 s
-    "agg_count_distinct",   # BASELINE noop-forced: 0.11 s
-    "agg_approx_distinct",  # BASELINE noop-forced: 0.20 s
+    "agg_group_sum",        # BASELINE noop-forced: 0.41 s (q1_pricing_exact8 — same query text)
+    "join_3table_topk",     # BASELINE noop-forced: 0.53 s
+    "join_multiway",        # BASELINE noop-forced: 0.50 s
+    "win_running_frame",    # BASELINE noop-forced: 0.22 s (window_frames_exact — same query text)
+    "agg_count_distinct",   # BASELINE noop-forced: 0.08 s
+    "agg_approx_distinct",  # BASELINE noop-forced: 0.17 s
     "topk_limit",
     "dedup_exact",
     "text_minhash_dedup",
@@ -49,6 +49,123 @@ HEADLINE = [
 BASELINE_COMPARABLE = HEADLINE[:6]
 
 
+def _vanilla_queries(spark, sf_dir):
+    """The BASELINE.md vanilla-PySpark queries, built fresh in THIS session
+    and timed interleaved with the engine rows.
+
+    Why: sub-second timings on this host swing ±50% between runs
+    (BASELINE.md documents 0.53 s vs 0.82 s for the same join on two clean
+    runs), so a gate comparing this run's engine numbers against a
+    baseline measured at another moment is dominated by host noise.  The
+    `baseline_same_session` block in the JSON line is the noise-cancelled
+    comparison: same JVM, same moment, alternating engine/vanilla.  For
+    `agg_group_sum` and `win_running_frame` the vanilla text is the
+    engine's own query verbatim (the engine query IS plain DataFrame code
+    there — the gate checks the engine adds no overhead); the other four
+    use BASELINE.md's original formulations."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    t = {
+        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in ["lineitem", "orders", "customer", "nation", "region", "events"]
+    }
+    events = t["events"].withColumn(
+        "ts_sec", (F.col("ts") / F.lit(1_000_000_000)).cast("long")
+    )
+
+    def q1_exact8():
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        staged = t["lineitem"].filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ).select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("price_c"),
+            F.round(disc_price * 10000.0).cast("long").alias("disc_price_u"),
+            F.round(charge * 1000000.0).cast("long").alias("charge_u"),
+            F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_c"),
+        )
+        agg = staged.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("qty_c").alias("s_qty"),
+            F.sum("price_c").alias("s_price"),
+            F.sum("disc_price_u").alias("s_disc_price"),
+            F.sum("charge_u").alias("s_charge"),
+            F.sum("disc_c").alias("s_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        n = F.col("count_order")
+        return agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("s_qty") / 100.0).alias("sum_qty"),
+            (F.col("s_price") / 100.0).alias("sum_base_price"),
+            (F.col("s_disc_price") / 10000.0).alias("sum_disc_price"),
+            (F.col("s_charge") / 1000000.0).alias("sum_charge"),
+            (F.col("s_qty") / (n * 100.0)).alias("avg_qty"),
+            (F.col("s_price") / (n * 100.0)).alias("avg_price"),
+            (F.col("s_disc") / (n * 100.0)).alias("avg_disc"),
+            "count_order",
+        ).orderBy("l_returnflag", "l_linestatus")
+
+    def join3():
+        return (
+            t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.desc("revenue"))
+            .limit(10)
+        )
+
+    def star5():
+        return (
+            t["region"]
+            .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+            .orderBy("r_name", "n_name")
+        )
+
+    def window_frames():
+        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        return events.select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.round(
+                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
+            ).alias("running_total"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, Window.currentRow)), 4).alias("moving_avg3"),
+        )
+
+    def distinct_exact():
+        return t["events"].groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    def distinct_approx():
+        return t["events"].groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        )
+
+    return {
+        "agg_group_sum": q1_exact8(),
+        "join_3table_topk": join3(),
+        "join_multiway": star5(),
+        "win_running_frame": window_frames(),
+        "agg_count_distinct": distinct_exact(),
+        "agg_approx_distinct": distinct_approx(),
+    }
+
+
 def main() -> None:
     from cassandra_syncer_spark.registry import REGISTRY, all_queries
     from cassandra_syncer_spark.session import get_spark
@@ -57,21 +174,33 @@ def main() -> None:
     spark = get_spark(app_name="cassandra-syncer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    vanilla = _vanilla_queries(spark, SF_DIR)
     timings: dict[str, float] = {}
     timings_cf: dict[str, float] = {}
+    baseline_ss: dict[str, float] = {}
+    ratios: dict[str, float] = {}
+
+    def noop_time(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
     for name in HEADLINE:
         spec = REGISTRY.get(name)
         if spec is None:
             continue
         df = spec.fn(spark, SF_DIR)
-
-        def run() -> float:
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
-
-        run()  # warm: JIT, shuffle service, file listing
-        timings[name] = round(min(run(), run()), 4)
+        noop_time(df)  # warm: JIT, shuffle service, file listing
+        if name in vanilla:
+            # interleave engine/vanilla so host-load noise hits both alike
+            vdf = vanilla[name]
+            noop_time(vdf)
+            pairs = [(noop_time(df), noop_time(vdf)) for _ in range(2)]
+            timings[name] = round(min(e for e, _ in pairs), 4)
+            baseline_ss[name] = round(min(v for _, v in pairs), 4)
+            ratios[name] = round(timings[name] / baseline_ss[name], 2)
+        else:
+            timings[name] = round(min(noop_time(df), noop_time(df)), 4)
 
         if name in BASELINE_COMPARABLE:
             def run_cf() -> float:
@@ -92,7 +221,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_count_forced": timings_cf,
-                "forcing": "noop-write (honest full materialization); count_forced rows for BASELINE.md method parity",
+                "baseline_same_session": baseline_ss,
+                "ratio_vs_baseline_same_session": ratios,
+                "forcing": "noop-write (honest full materialization); count_forced rows for BASELINE.md method parity; baseline_same_session = vanilla-PySpark counterparts timed interleaved in this same session (noise-cancelled 2x gate)",
                 "sf": float(m.group(1)) if m else SF_DIR,
                 "sf_dir": SF_DIR,
             }

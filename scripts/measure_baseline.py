@@ -140,6 +140,26 @@ def main() -> None:
             .alias("running"),
         )
 
+    def q_window_frames_exact():
+        # the engine's win_running_frame VERBATIM (running total + 3-row
+        # moving average, rounded) — like-for-like row for that gate; the
+        # q_window row above computes row_number+running (different query)
+        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        return events.select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_total"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, Window.currentRow)), 4).alias(
+                "moving_avg3"
+            ),
+        )
+
     def q_distinct_both():
         return t["events"].groupBy("event_type").agg(
             F.countDistinct("user_id").alias("n_users"),
@@ -163,6 +183,7 @@ def main() -> None:
         "join3_topk": q_join3,
         "star5": q_star5,
         "window_rownum_running": q_window,
+        "window_frames_exact": q_window_frames_exact,
         "distinct_both": q_distinct_both,
         "distinct_exact_only": q_distinct_exact,
         "distinct_approx_only": q_distinct_approx,
