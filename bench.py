@@ -50,120 +50,24 @@ BASELINE_COMPARABLE = HEADLINE[:6]
 
 
 def _vanilla_queries(spark, sf_dir):
-    """The BASELINE.md vanilla-PySpark queries, built fresh in THIS session
-    and timed interleaved with the engine rows.
+    """The BASELINE.md vanilla-PySpark counterparts, built fresh in THIS
+    session and timed interleaved with the engine rows.
 
     Why: sub-second timings on this host swing ±50% between runs
     (BASELINE.md documents 0.53 s vs 0.82 s for the same join on two clean
     runs), so a gate comparing this run's engine numbers against a
     baseline measured at another moment is dominated by host noise.  The
     `baseline_same_session` block in the JSON line is the noise-cancelled
-    comparison: same JVM, same moment, alternating engine/vanilla.  For
-    `agg_group_sum` and `win_running_frame` the vanilla text is the
-    engine's own query verbatim (the engine query IS plain DataFrame code
-    there — the gate checks the engine adds no overhead); the other four
-    use BASELINE.md's original formulations."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
+    comparison: same JVM, same moment, alternating engine/vanilla.
 
-    t = {
-        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for name in ["lineitem", "orders", "customer", "nation", "region", "events"]
-    }
-    events = t["events"].withColumn(
-        "ts_sec", (F.col("ts") / F.lit(1_000_000_000)).cast("long")
-    )
+    One definition serves bench.py and scripts/measure_baseline.py
+    (scripts/vanilla_queries.py); the two engine-verbatim rows are
+    result-equality-tested against the engine queries in
+    tests/test_bench_baselines.py so the copies cannot drift silently."""
+    from scripts.vanilla_queries import ENGINE_EQUIV, build_vanilla_queries
 
-    def q1_exact8():
-        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        charge = disc_price * (1 + F.col("l_tax"))
-        staged = t["lineitem"].filter(
-            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
-        ).select(
-            "l_returnflag",
-            "l_linestatus",
-            F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
-            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("price_c"),
-            F.round(disc_price * 10000.0).cast("long").alias("disc_price_u"),
-            F.round(charge * 1000000.0).cast("long").alias("charge_u"),
-            F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_c"),
-        )
-        agg = staged.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum("qty_c").alias("s_qty"),
-            F.sum("price_c").alias("s_price"),
-            F.sum("disc_price_u").alias("s_disc_price"),
-            F.sum("charge_u").alias("s_charge"),
-            F.sum("disc_c").alias("s_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        n = F.col("count_order")
-        return agg.select(
-            "l_returnflag",
-            "l_linestatus",
-            (F.col("s_qty") / 100.0).alias("sum_qty"),
-            (F.col("s_price") / 100.0).alias("sum_base_price"),
-            (F.col("s_disc_price") / 10000.0).alias("sum_disc_price"),
-            (F.col("s_charge") / 1000000.0).alias("sum_charge"),
-            (F.col("s_qty") / (n * 100.0)).alias("avg_qty"),
-            (F.col("s_price") / (n * 100.0)).alias("avg_price"),
-            (F.col("s_disc") / (n * 100.0)).alias("avg_disc"),
-            "count_order",
-        ).orderBy("l_returnflag", "l_linestatus")
-
-    def join3():
-        return (
-            t["customer"]
-            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-            .groupBy("c_custkey", "c_name")
-            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-            .orderBy(F.desc("revenue"))
-            .limit(10)
-        )
-
-    def star5():
-        return (
-            t["region"]
-            .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
-            .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
-            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
-            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
-            .groupBy("r_name", "n_name")
-            .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
-            .orderBy("r_name", "n_name")
-        )
-
-    def window_frames():
-        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
-        return events.select(
-            "event_id",
-            "user_id",
-            "ts_sec",
-            F.round(
-                F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2
-            ).alias("running_total"),
-            F.round(F.avg("value").over(w.rowsBetween(-2, Window.currentRow)), 4).alias("moving_avg3"),
-        )
-
-    def distinct_exact():
-        return t["events"].groupBy("event_type").agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count(F.lit(1)).alias("n_events"),
-        )
-
-    def distinct_approx():
-        return t["events"].groupBy("event_type").agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users")
-        )
-
-    return {
-        "agg_group_sum": q1_exact8(),
-        "join_3table_topk": join3(),
-        "join_multiway": star5(),
-        "win_running_frame": window_frames(),
-        "agg_count_distinct": distinct_exact(),
-        "agg_approx_distinct": distinct_approx(),
-    }
+    all_vanilla = build_vanilla_queries(spark, sf_dir)
+    return {eng: all_vanilla[van] for eng, van in ENGINE_EQUIV.items()}
 
 
 def main() -> None:

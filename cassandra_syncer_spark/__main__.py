@@ -76,18 +76,28 @@ def _resolve_config(args) -> None:
         if cmd == "backup":
             args.src = srcs
         else:
+            if len(srcs) > 1:
+                # never silently watch only paths[0] of a multi-path config
+                raise SystemExit(
+                    "error: watch takes ONE source path; config supplies "
+                    f"{len(srcs)} — run one watch per path (backup accepts all)"
+                )
             args.src = srcs[0] if srcs else None
         if not args.src or args.store is None:
             raise SystemExit(f"error: {cmd} needs source path(s) and a store "
                              "(positionals or --config with paths/store)")
     elif cmd in ("restore", "prune"):
-        if cmd == "restore" and args.dst is None:
-            if "store" in cfg:  # `restore DST --config ...`
-                args.dst = args.store
-                args.store = None
-            elif args.store is not None:
-                raise SystemExit("error: restore needs STORE DST")
-            args.dst = args.dst or cfg.get("restore_path")
+        if cmd == "restore":
+            if args.dst is None and args.store is not None:
+                # one positional: it is the DST when the config supplies the
+                # store, else it is the STORE (dst then comes from config)
+                if "store" in cfg:
+                    args.dst = args.store
+                    args.store = None
+                else:
+                    args.dst = cfg.get("restore_path")
+            elif args.dst is None:
+                args.dst = cfg.get("restore_path")
             if args.dst is None:
                 raise SystemExit("error: restore needs a destination "
                                  "(positional or config restore_path)")
@@ -139,6 +149,30 @@ def _scan(spark, src: str, container: str, scheme: str):
 
 def _manifest_dir(store: str) -> str:
     return os.path.join(store, "__manifests__")
+
+
+def _compact_manifest_log(
+    spark, pipeline, mdir: str, keep_window_ms: int = 24 * 3600 * 1000
+) -> None:
+    """Rewrite the manifest log to latest-per-container + a recent window
+    (``SyncPipeline.compact_manifests``), bounding per-batch log reads
+    under snapshot-per-commit.  Atomic swap via directory renames —
+    correct under the watch loop's single-writer regime (concurrent
+    restore readers should not race a live compaction; run restores
+    against a quiesced store, as with the reference)."""
+    import shutil
+
+    compacted = pipeline.compact_manifests(
+        spark.read.parquet(mdir),
+        keep_since_ms=int(time.time() * 1000) - keep_window_ms,
+    )
+    tmp, old = mdir + ".compact-tmp", mdir + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    compacted.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(mdir, old)   # current log aside…
+    os.replace(tmp, mdir)   # …compacted log in — two cheap renames
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def _spark():
@@ -218,8 +252,19 @@ def cmd_watch(args) -> int:
     Per-batch cost scales with the BATCH, not the source tree: the upload
     plan is the batch's names (the conditional put hashes bytes en route —
     no separate full-tree etag scan), and the manifest is the cumulative
-    live set (previous snapshot ⊎ batch delta) — no rescans of the source
-    at all after the stream's own metadata-only file discovery."""
+    live set (previous snapshot ⊎ batch delta) — between rebaselines, no
+    rescans of the source at all beyond the stream's own metadata-only
+    file discovery.
+
+    Every ``--rebaseline-every``-th data batch (default 16) does two
+    bounded maintenance passes: (a) the manifest is rebuilt from a
+    METADATA-ONLY tree listing (names, no content reads) so files deleted
+    from the source — e.g. compacted-away SSTables — drop out of the
+    snapshot within bounded staleness instead of resurrecting on every
+    restore forever; (b) the manifest log is compacted (latest per
+    container + recent window) so per-batch log reads don't grow without
+    bound under snapshot-per-commit.  The watch loop is the log's single
+    writer, making the compaction swap safe."""
     from cassandra_syncer_spark.streaming.watch import (
         cumulative_live_set,
         run_continuous_sync,
@@ -250,13 +295,27 @@ def cmd_watch(args) -> int:
         last_ts[0] = max(last_ts[0] + 1, int(time.time() * 1000))
         return last_ts[0]
 
+    mdir = _manifest_dir(store_path)
+
     def on_batch(batch_df, batch_id):
+        from cassandra_syncer_spark.sync.targets import scan_directory
+
         names = batch_df.select("name").filter(~F.col("name").contains(p.TEMP_MARKER))
         uploaded.append(target.upload(names, args.src))
-        p.build_manifest(
-            cumulative_live_set(spark, _manifest_dir(store_path), args.container, names),
-            manifest_ts=next_manifest_ts(),
-        ).write.mode("append").parquet(_manifest_dir(store_path))
+        rebaseline = len(uploaded) % args.rebaseline_every == 0
+        if rebaseline:
+            # metadata-only tree listing: deletions drop out of the
+            # snapshot; no file content is read
+            live = p.live_files(
+                scan_directory(spark, args.src, args.container)
+            ).select("name", "container")
+        else:
+            live = cumulative_live_set(spark, mdir, args.container, names)
+        p.build_manifest(live, manifest_ts=next_manifest_ts()).write.mode(
+            "append"
+        ).parquet(mdir)
+        if rebaseline:
+            _compact_manifest_log(spark, p, mdir)
 
     ckpt = os.path.join(store_path, "__checkpoint__")
     if args.follow:
@@ -357,6 +416,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="--follow: stop after N data-carrying microbatches")
     w.add_argument("--timeout-sec", type=float, default=None,
                    help="--follow: stop after this many seconds")
+    w.add_argument("--rebaseline-every", type=int, default=16,
+                   help="every Nth data batch: manifest from a metadata-only "
+                        "tree listing (drops deleted files) + manifest-log "
+                        "compaction (default 16)")
     w.set_defaults(fn=cmd_watch)
 
     r = sub.add_parser("restore", help="restore minimum set from latest manifest")

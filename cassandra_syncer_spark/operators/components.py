@@ -66,7 +66,11 @@ def connected_components(
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     prev_sum = None
     converged = False
-    for _ in range(max_iterations):
+    # max_iterations bounds label-CHANGING rounds; fixpoint is only
+    # observable as a round that changes nothing, so one extra
+    # confirmation round is allowed — a graph converging exactly on round
+    # max_iterations must not raise
+    for _ in range(max_iterations + 1):
         neigh = (
             sym.join(labels, sym["b"] == labels["id"])
             .select(sym["a"].alias("id"), F.col("comp").alias("ncomp"))

@@ -24,19 +24,25 @@ def salted_join(
     on: str,
     how: str = "inner",
     salt: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join robust to hot keys in ``big``.
 
-    ``big`` gets a uniform pseudo-random salt hashed from the FULL row
-    content (``xxhash64`` over every column) — a pure function of the row,
-    so retried tasks, re-shuffled inputs, and re-runs all assign the same
-    salt regardless of partitioning or row order (``rand()`` and
-    ``monotonically_increasing_id`` both break that property).  Identical
-    duplicate rows share a salt, which only narrows the spread if a single
-    key's rows are also byte-identical duplicates; distribution is
-    otherwise uniform.  ``small`` is exploded SALT ways.  Shuffle key
-    becomes (on, salt): a hot key spreads over ``salt`` tasks instead of
-    one.
+    ``big`` gets a uniform pseudo-random salt hashed from row content
+    (``xxhash64`` over ``salt_cols``, default: every hashable column) — a
+    pure function of the row, so retried tasks, re-shuffled inputs, and
+    re-runs all assign the same salt regardless of partitioning or row
+    order (``rand()`` and ``monotonically_increasing_id`` both break that
+    property).  Map-typed columns are excluded automatically (``xxhash64``
+    rejects them).  ``small`` is exploded SALT ways.  Shuffle key becomes
+    (on, salt): a hot key spreads over ``salt`` tasks instead of one.
+
+    Known tradeoff of deterministic content salting: BYTE-IDENTICAL
+    duplicate rows of a hot key necessarily share one salt (any pure
+    function of content maps equal rows together), so a corpus that is
+    both skewed AND exact-duplicated should run ``dedup_exact`` first or
+    pass ``salt_cols`` naming a distinguishing column; non-identical hot
+    rows spread uniformly.
 
     Only inner/left_semi/left supported: those preserve multiplicity under
     small-side replication (an unmatched small row would otherwise surface
@@ -44,8 +50,16 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_semi", "leftsemi"):
         raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
+    from pyspark.sql.types import MapType
+
+    if salt_cols is None:
+        salt_cols = [
+            f.name for f in big.schema.fields if not isinstance(f.dataType, MapType)
+        ]
+    if not salt_cols:
+        raise ValueError("salted_join: no hashable columns to derive the salt from")
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(salt))
     )
     small_exploded = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

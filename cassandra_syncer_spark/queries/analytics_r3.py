@@ -30,12 +30,12 @@ from cassandra_syncer_spark.registry import register
              count(*) AS n,
              sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS sx,
              sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sy,
-             sum(CAST(round(l_quantity * 100.0) AS BIGINT)
-                 * CAST(round(l_quantity * 100.0) AS BIGINT)) AS sxx,
-             sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
-                 * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS syy,
-             sum(CAST(round(l_quantity * 100.0) AS BIGINT)
-                 * CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sxy
+             sum(CAST(round(l_quantity * 100.0) AS HUGEINT)
+                 * CAST(round(l_quantity * 100.0) AS HUGEINT)) AS sxx,
+             sum(CAST(round(l_extendedprice * 100.0) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100.0) AS HUGEINT)) AS syy,
+             sum(CAST(round(l_quantity * 100.0) AS HUGEINT)
+                 * CAST(round(l_extendedprice * 100.0) AS HUGEINT)) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n,
@@ -57,23 +57,27 @@ def agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Built-in ``corr``/``covar_samp`` accumulate in engine-specific orders
     (Welford vs naive) whose low bits differ across engines, so the
     moments are computed from EXACT integer-unit sums (Σx, Σy, Σxx, Σyy,
-    Σxy as longs — order-independent) and the textbook formulas evaluate
-    over bit-identical doubles on both sides.  Overflow headroom: centi
-    products ≤ 5·10¹⁰/row → exact up to ~10⁸ rows/group; at larger groups
-    switch the sums to DECIMAL(38) (one-line change, noted here for the
-    100 TB posture).
+    Σxy — order-independent) and the textbook formulas evaluate over
+    bit-identical doubles on both sides.  The second-moment sums run in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): centi-price squares are
+    ~10¹⁴ per row, so int64 sums would sit at 80% of overflow ALREADY at
+    sf0.1 (measured) and wrap silently on anything larger — 128-bit
+    accumulation is exact to ~10²⁴ rows/group.  Conversion of the exact
+    integer sums to double is the same nearest-even in both engines.
     """
     li = T(spark, sf_dir, "lineitem")
     x = F.round(F.col("l_quantity") * 100.0).cast("long")
     y = F.round(F.col("l_extendedprice") * 100.0).cast("long")
     staged = li.select("l_returnflag", x.alias("x"), y.alias("y"))
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     s = staged.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
     )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")

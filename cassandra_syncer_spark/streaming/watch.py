@@ -70,8 +70,14 @@ def cumulative_live_set(
             .select(F.explode("paths").alias("name"))
         )
         names = names.unionByName(prev)
-    except AnalysisException:
-        pass  # PATH_NOT_FOUND: no manifest yet — first batch IS the live set
+    except AnalysisException as e:
+        # ONLY a missing log means "first batch is the live set".  Any
+        # other read failure (corrupt file, schema inference error) must
+        # surface — swallowing it would silently degrade this manifest to
+        # a batch-delta snapshot and a later restore would drop every
+        # earlier batch's files.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
     return names.distinct().select("name", F.lit(container).alias("container"))
 
 
@@ -97,7 +103,13 @@ def run_incremental_sync(
     manifest per container, so every appended manifest must name the whole
     live set — a batch-delta-only manifest would silently drop earlier
     batches' files from restores.  manifest_ts is strictly monotonic
-    across batches, so latest-manifest selection never faces a tie."""
+    across batches, so latest-manifest selection never faces a tie.
+
+    ADDITIVE-ONLY caveat: the file stream never reports deletions, so a
+    file removed from the source stays in every later manifest until a
+    caller-side rebaseline (cmd_watch re-lists the tree every
+    ``--rebaseline-every`` batches) or prune removes it.  Library callers
+    that need deletions reflected must rebaseline the same way."""
     from cassandra_syncer_spark.sync.pipeline import SyncPipeline
 
     p = SyncPipeline()

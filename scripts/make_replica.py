@@ -32,9 +32,17 @@ STEP = 100_000_000
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_replica"
-    unique_docs = "--unique-docs" in sys.argv[3:]
+    # flags may appear anywhere; positionals are [N] [OUT_DIR] in order
+    # (a naive sys.argv[3:] check would misparse `10 --unique-docs` as an
+    # output directory named '--unique-docs' and silently drop the flag)
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--unique-docs"}
+    if unknown:
+        raise SystemExit(f"unknown flag(s): {sorted(unknown)}")
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n = int(pos[0]) if pos else 10
+    out = pos[1] if len(pos) > 1 else "/tmp/sf1_replica"
+    unique_docs = "--unique-docs" in flags
 
     from pyspark.sql import functions as F
 

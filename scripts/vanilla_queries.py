@@ -1,0 +1,173 @@
+"""The vanilla-PySpark baseline queries — SINGLE definition shared by
+bench.py (same-session interleaved gate) and scripts/measure_baseline.py
+(separate-process cross-check).
+
+Two of these are the engine's own query text verbatim
+(``q1_pricing_exact8`` ↔ ``agg_group_sum``, ``window_frames_exact`` ↔
+``win_running_frame``): the like-for-like gate rows.  Keeping them here —
+plain ``spark.read.parquet``, no engine imports — preserves their role as
+an independent measurement target; tests/test_bench_baselines.py asserts
+they produce byte-identical RESULTS to the engine queries, so any drift
+between the copies fails loudly instead of silently measuring a stale
+formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: engine query id → vanilla counterpart used by the same-session gate
+ENGINE_EQUIV = {
+    "agg_group_sum": "q1_pricing_exact8",
+    "join_3table_topk": "join3_topk",
+    "join_multiway": "star5",
+    "win_running_frame": "window_frames_exact",
+    "agg_count_distinct": "distinct_exact_only",
+    "agg_approx_distinct": "distinct_approx_only",
+}
+
+
+def build_vanilla_queries(spark, sf_dir: str) -> dict:
+    """name → lazily-built DataFrame for every baseline query."""
+    t = {
+        name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        for name in ["lineitem", "orders", "customer", "nation", "region", "events"]
+    }
+    # events.ts is INT64 ns (read as long under nanosAsLong); integer div —
+    # double division loses ns precision (FIXTURES.md)
+    events = t["events"].withColumn("ts_sec", F.expr("ts div 1000000000"))
+
+    def q1_pricing():
+        return (
+            t["lineitem"]
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    def q1_pricing_exact8():
+        # the engine's agg_group_sum VERBATIM (relational.py) — 8 outputs,
+        # exact-integer-unit money sums staged once per row
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        staged = t["lineitem"].filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+        ).select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_c"),
+            F.round(F.col("l_extendedprice") * 100.0).cast("long").alias("price_c"),
+            F.round(disc_price * 10000.0).cast("long").alias("disc_price_u"),
+            F.round(charge * 1000000.0).cast("long").alias("charge_u"),
+            F.round(F.col("l_discount") * 100.0).cast("long").alias("disc_c"),
+        )
+        agg = staged.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("qty_c").alias("s_qty"),
+            F.sum("price_c").alias("s_price"),
+            F.sum("disc_price_u").alias("s_disc_price"),
+            F.sum("charge_u").alias("s_charge"),
+            F.sum("disc_c").alias("s_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        n = F.col("count_order")
+        return agg.select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("s_qty") / 100.0).alias("sum_qty"),
+            (F.col("s_price") / 100.0).alias("sum_base_price"),
+            (F.col("s_disc_price") / 10000.0).alias("sum_disc_price"),
+            (F.col("s_charge") / 1000000.0).alias("sum_charge"),
+            (F.col("s_qty") / (n * 100.0)).alias("avg_qty"),
+            (F.col("s_price") / (n * 100.0)).alias("avg_price"),
+            (F.col("s_disc") / (n * 100.0)).alias("avg_disc"),
+            "count_order",
+        ).orderBy("l_returnflag", "l_linestatus")
+
+    def join3_topk():
+        return (
+            t["customer"]
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("c_custkey", "c_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.desc("revenue"))
+            .limit(10)
+        )
+
+    def star5():
+        return (
+            t["region"]
+            .join(t["nation"], F.col("r_regionkey") == F.col("n_regionkey"))
+            .join(t["customer"], F.col("n_nationkey") == F.col("c_nationkey"))
+            .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+            .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n"))
+            .orderBy("r_name", "n_name")
+        )
+
+    def window_rownum_running():
+        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        return events.select(
+            "event_id",
+            "user_id",
+            F.row_number().over(w).alias("rn"),
+            F.sum("value")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias("running"),
+        )
+
+    def window_frames_exact():
+        # the engine's win_running_frame VERBATIM (windows.py)
+        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        return events.select(
+            "event_id",
+            "user_id",
+            "ts_sec",
+            F.round(
+                F.sum("value").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+                2,
+            ).alias("running_total"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, Window.currentRow)), 4).alias(
+                "moving_avg3"
+            ),
+        )
+
+    def distinct_both():
+        return t["events"].groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        )
+
+    def distinct_exact_only():
+        return t["events"].groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+
+    def distinct_approx_only():
+        return t["events"].groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+        )
+
+    return {
+        "q1_pricing": q1_pricing(),
+        "q1_pricing_exact8": q1_pricing_exact8(),
+        "join3_topk": join3_topk(),
+        "star5": star5(),
+        "window_rownum_running": window_rownum_running(),
+        "window_frames_exact": window_frames_exact(),
+        "distinct_both": distinct_both(),
+        "distinct_exact_only": distinct_exact_only(),
+        "distinct_approx_only": distinct_approx_only(),
+    }

@@ -118,6 +118,15 @@ def test_cli_config_file_drives_lifecycle(tmp_path):
     r = run_cli("prune", "--config", str(cfg), "--dry-run")
     assert r["pruned"] == 0
 
+    # `restore STORE --config` with a config that has restore_path but NO
+    # store: the positional is the store, the destination comes from config
+    cfg2 = tmp_path / "dst_only.json"
+    dst3 = tmp_path / "dst3"
+    cfg2.write_text(json.dumps({"restore_path": str(dst3), "container": "cass"}))
+    r = run_cli("restore", f"objstore://{store}", "--config", str(cfg2))
+    assert r["restored"] == 1
+    assert (dst3 / "ks1/a-Data.db").read_bytes() == b"alpha"
+
 
 def test_watch_does_no_source_tree_rescan(tmp_path, monkeypatch, spark):
     """Watch's per-batch cost must scale with the batch, not the corpus:
@@ -151,6 +160,22 @@ def test_watch_does_no_source_tree_rescan(tmp_path, monkeypatch, spark):
         .collect()[0]
     )
     assert sorted(latest.paths) == ["ks1/a-Data.db", "ks1/b-Data.db"]
+
+    # rebaseline: a file deleted from the source (compacted-away SSTable)
+    # must drop out of the snapshot on a rebaseline batch instead of
+    # resurrecting on every restore forever
+    (src / "ks1/a-Data.db").unlink()
+    (src / "ks1/c-Data.db").write_bytes(b"gamma")
+    assert cli.main(["watch", str(src), str(store), "--rebaseline-every", "1"]) == 0
+    latest = (
+        SyncPipeline()
+        .latest_manifests(spark.read.parquet(str(store / "__manifests__")))
+        .collect()[0]
+    )
+    assert sorted(latest.paths) == ["ks1/b-Data.db", "ks1/c-Data.db"]
+    # and the rebaseline batch compacted the log (latest + 24h window
+    # retained here; the point is the swap left a readable log behind)
+    assert spark.read.parquet(str(store / "__manifests__")).count() >= 1
 
 
 def test_cli_multi_path_backup(tmp_path):
