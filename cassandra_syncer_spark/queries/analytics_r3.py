@@ -13,6 +13,9 @@ engines evaluate identical doubles).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -421,4 +424,124 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").cast("long").alias("n_lineitems"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+def _scratch(sf_dir: str, tag: str) -> str:
+    """Per-sf scratch dir for sink round-trip queries (driver may run the
+    same query at several scale factors in one session)."""
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_sinks")
+    return os.path.join(base, f"{tag}-{os.path.basename(os.path.normpath(sf_dir))}")
+
+
+@register(
+    "sink_partitioned_prune",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_centi
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-PRUNED read-back — the
+    cornerstone 100 TB layout: data written `partitionBy(l_returnflag)`,
+    then a reader filtering on the partition column touches ONLY that
+    partition's directory (plan shows `PartitionFilters`, asserted in
+    tests/test_plans.py::test_partitioned_sink_prunes_partitions; the
+    other partitions are never listed or read).
+
+    The oracle computes the same aggregate straight from the unpartitioned
+    table — equality proves the sink+scan round-trip loses nothing.
+    """
+    out = _scratch(sf_dir, "partitioned")
+    (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("l_quantity") * 100.0).cast("long").alias("qty_centi"),
+        )
+        .write.partitionBy("l_returnflag")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qty_centi").cast("long").alias("qty_centi"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS total_centi
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink coverage (§2.1 breadth): orders written as
+    headered CSV, read back with an EXPLICIT schema (schema inference is
+    a second full scan — never at 100 TB), aggregated; oracle equality
+    against the parquet original proves the text round-trip is lossless
+    for the carried columns.  Money survives CSV exactly because the
+    centi-integerization happens after read — the CSV carries the raw
+    double's shortest repr, which parses back to the identical double.
+    """
+    out = _scratch(sf_dir, "csv")
+    (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.option("header", True)
+        .mode("overwrite")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema("o_orderkey long, o_orderstatus string, o_totalprice double")
+        .option("header", True)
+        .csv(out)
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("total_centi"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_bool_any_all",
+    oracle="""
+    SELECT event_type,
+           bool_or(value > 90.0) AS any_high,
+           bool_and(value >= 0.0) AS all_nonneg,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_bool_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean any/all aggregates per group (data-quality assertions as a
+    dataflow: 'does any row exceed the threshold', 'are all values
+    valid').  Plain hash aggregation with map-side partials."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_or(F.col("value") > 90.0).alias("any_high"),
+            F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
     )

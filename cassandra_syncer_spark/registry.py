@@ -95,6 +95,9 @@ PRIORITY: tuple[str, ...] = (
     "agg_mode_freq",
     "text_idf_topterms",
     "join_interval_overlap",
+    "sink_partitioned_prune",
+    "scan_csv_roundtrip",
+    "agg_bool_any_all",
 )
 
 

@@ -111,6 +111,15 @@ def test_banded_interval_join_is_equi_large_x_large(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
 
 
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """The hive-partitioned read-back must push the partition predicate
+    into PartitionFilters (directory-level pruning — the non-'R'
+    partitions are never listed into the scan), not just DataFilters."""
+    p = plan_of(spark, sf_dir, "sink_partitioned_prune")
+    assert "PartitionFilters" in p
+    assert "l_returnflag" in p.split("PartitionFilters", 1)[1][:200], p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
