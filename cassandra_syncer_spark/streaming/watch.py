@@ -195,6 +195,41 @@ def run_continuous_sync(
     return q
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream equi join bounded by an event-time interval: right
+    rows with ``right_ts`` in ``[left_ts, left_ts + within]`` for the
+    matching key.
+
+    Both sides carry a watermark and the join condition carries the time
+    range — the two things Structured Streaming needs to know WHEN a
+    buffered row can never match again, so join state is evicted as the
+    watermark advances instead of growing forever (the unbounded-state
+    failure mode of a naive stream join at 100 TB of stream history).
+    Column names must be disjoint across the two sides (rename before
+    calling) — Spark's stream-stream join output cannot qualify
+    duplicate names."""
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"stream_interval_join: overlapping columns {sorted(overlap)}")
+    lhs = left.withWatermark(left_ts, watermark)
+    rhs = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(left_key) == F.col(right_key))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return lhs.join(rhs, cond)
+
+
 def streaming_dedup(stream: DataFrame, watermark_col: str = "ts") -> DataFrame:
     """Stateful streaming dedup on content identity (etag) — the
     only-new-files invariant enforced inside the stream.  The watermark

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from cassandra_syncer_spark.streaming.watch import (
     run_continuous_sync,
     run_incremental_sync,
+    stream_interval_join,
     streaming_dedup,
     tumbling_counts,
     watch_files,
@@ -169,6 +170,56 @@ def test_streaming_dedup_by_etag(spark, tmp_path):
     q.awaitTermination()
     etags = [r.etag for r in spark.table("dedup_sink").collect()]
     assert sorted(etags) == ["other", "same"]  # duplicate etag dropped in-stream
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two live streams (views, clicks) joined on user within a 15-minute
+    event-time window: attributed clicks surface, late/out-of-window
+    clicks don't, and the watermarked time-range condition bounds state."""
+    _stage(
+        tmp_path / "views",
+        [[
+            {"name": "v1", "etag": "u1", "ts": "2024-01-01T00:00:00"},
+            {"name": "v2", "etag": "u2", "ts": "2024-01-01T01:00:00"},
+        ]],
+    )
+    _stage(
+        tmp_path / "clicks",
+        [[
+            {"name": "c1", "etag": "u1", "ts": "2024-01-01T00:10:00"},  # in window
+            {"name": "c2", "etag": "u1", "ts": "2024-01-01T00:40:00"},  # too late
+            {"name": "c3", "etag": "u2", "ts": "2024-01-01T00:50:00"},  # before view
+        ]],
+    )
+    views = watch_files(spark, str(tmp_path / "views"), FILE_EVENT_SCHEMA).select(
+        F.col("name").alias("view_id"),
+        F.col("etag").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    clicks = watch_files(spark, str(tmp_path / "clicks"), FILE_EVENT_SCHEMA).select(
+        F.col("name").alias("click_id"),
+        F.col("etag").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = stream_interval_join(
+        views, clicks, "v_user", "c_user", "v_ts", "c_ts", within="15 minutes"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    pairs = {(r.view_id, r.click_id) for r in spark.table("ssj_sink").collect()}
+    assert pairs == {("v1", "c1")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="overlapping"):
+        stream_interval_join(views, views, "v_user", "v_user", "v_ts", "v_ts")
 
 
 def test_tumbling_counts_with_watermark(spark, tmp_path):
