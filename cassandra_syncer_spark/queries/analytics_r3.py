@@ -545,3 +545,53 @@ def agg_bool_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(round(l.l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_centi
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join — THE shuffle-elimination layout for
+    repeated large×large equi joins: both tables written `bucketBy(8,
+    orderkey)` + sorted, so the join consumes the bucket layout directly
+    and plans with ZERO exchange under the join (asserted in
+    tests/test_plans.py::test_bucketed_join_has_no_join_exchange; an
+    unbucketed SMJ shuffles both sides every query).  At 100 TB this is
+    the difference between paying the fact-fact shuffle once at write
+    time vs on every join.
+
+    Tables are external (data under the scratch dir) and rebuilt per
+    call; oracle equality against the unbucketed originals proves the
+    bucketed layout is lossless.
+    """
+    scratch = _scratch(sf_dir, "bucketed")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    for name, df, key in [("b_lineitem", li, "l_orderkey"), ("b_orders", orders, "o_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(scratch, name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.round(F.col("l_quantity") * 100.0).cast("long"))
+            .cast("long")
+            .alias("qty_centi"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -98,6 +98,8 @@ PRIORITY: tuple[str, ...] = (
     "sink_partitioned_prune",
     "scan_csv_roundtrip",
     "agg_bool_any_all",
+    # beyond the 50-query window — verified next round; plan-tested now
+    "join_bucketed_colocated",
 )
 
 

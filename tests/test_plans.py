@@ -120,6 +120,24 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
     assert "l_returnflag" in p.split("PartitionFilters", 1)[1][:200], p
 
 
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key: the sort-merge join must
+    consume the bucket layout directly — no shuffle exchange on either
+    join input (the only hashpartitioning exchange left is the small
+    post-join aggregation)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p, p
+    assert "Exchange hashpartitioning(l_orderkey" not in p, "left side shuffled"
+    assert "Exchange hashpartitioning(o_orderkey" not in p, "right side shuffled"
+    # bucketed scans are visible in the plan
+    assert "Bucketed: true" in p, p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
