@@ -595,3 +595,107 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH kept AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS copy_rn
+      FROM documents
+      WHERE n_chars BETWEEN 50 AND 100000
+        AND len(string_split(text, ' ')) >= 10
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+    FROM kept WHERE copy_rn = 1
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as ONE dataflow — the composition a
+    training-data pipeline actually runs: length/quality gates → exact
+    dedup with deterministic keeper → per-language corpus stats.  Filters
+    evaluate in the scan stage (pushdown), the dedup is one window over
+    the content hash, and nothing materializes between stages — Catalyst
+    fuses the whole pipeline.  (Near-dup stages chain the same way via
+    dedup_apply_clusters.)"""
+    docs = T(spark, sf_dir, "documents")
+    kept = (
+        docs.filter(
+            (F.col("n_chars").between(50, 100000))
+            & (F.size(F.split("text", " ")) >= 10)
+        )
+        .withColumn(
+            "copy_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("copy_rn") == 1)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "shard_pack_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             CAST((sum(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens) // 20000 AS BIGINT) AS shard_id
+      FROM toks
+    )
+    SELECT shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def shard_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget shard packing — the write-side layout step of a
+    training pipeline: documents fill shards of ~20k tokens in doc_id
+    order (shard = floor(preceding-token-sum / budget); a doc never
+    splits).  Deterministic integer math end-to-end.
+
+    Scale note: the running sum here is a single total-order window
+    (range-partitioned sort).  At 100 TB, pack per partition instead:
+    distribute docs by hash, run the same greedy fill within each
+    partition, and namespace shard ids by partition — embarrassingly
+    parallel, same output contract; the global-order variant is the
+    oracle-tractable form.
+    """
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = (
+        toks.withColumn("running", F.sum("n_tokens").over(w))
+        # integer div on longs, exact at any corpus size (double division
+        # would round above 2^53 total tokens)
+        .withColumn("shard_id", F.expr("(running - n_tokens) div 20000"))
+        .drop("running")
+    )
+    return (
+        packed.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("shard_id")
+    )

@@ -100,6 +100,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_bool_any_all",
     # beyond the 50-query window — verified next round; plan-tested now
     "join_bucketed_colocated",
+    "pipeline_clean_corpus",
+    "shard_pack_tokens",
 )
 
 
