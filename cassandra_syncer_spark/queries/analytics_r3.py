@@ -699,3 +699,117 @@ def shard_pack_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ns(ts) // 1000000000 AS ts_sec
+      FROM events
+    )
+    SELECT user_id, event_id, event_type,
+           ts_sec AS valid_from,
+           lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+             AS valid_to,
+           CAST(lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM e
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each event becomes a
+    validity interval ``[valid_from, valid_to)`` closed by the next event
+    for the same key, the latest row flagged current — the standard
+    warehouse history-table construction, as one window pass (shuffle on
+    user_id only).  Timestamps compared as epoch seconds (ns-precision
+    trap, FIXTURES.md)."""
+    from cassandra_syncer_spark.queries.windows import events_with_sec
+
+    ev = events_with_sec(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    nxt = F.lead("ts_sec").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts_sec").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "win_streak_islands",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS rn_all,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY epoch_ns(ts) // 1000000000, event_id) AS rn_type
+      FROM events
+    ),
+    streaks AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS streak_len
+      FROM e GROUP BY user_id, event_type, rn_all - rn_type
+    )
+    SELECT event_type, streak_len, CAST(count(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY event_type, streak_len
+    ORDER BY event_type, streak_len
+    """,
+)
+def win_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: consecutive same-type event runs per user via the
+    row_number-difference trick (rn_overall − rn_within_type is constant
+    across a run), rolled up to a streak-length histogram per type.  Two
+    windows over one shuffle key + two aggregations — no self-joins."""
+    from cassandra_syncer_spark.queries.windows import events_with_sec
+
+    ev = events_with_sec(spark, sf_dir)
+    w_all = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts_sec", "event_id")
+    e = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    streaks = e.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_len")
+    )
+    return (
+        streaks.groupBy("event_type", "streak_len")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_streaks"))
+        .orderBy("event_type", "streak_len")
+    )
+
+
+@register(
+    "sample_stratified_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+)
+def sample_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with an EXACT per-group quota: 20 docs per
+    language, selected by content-independent hash order — deterministic
+    (re-runs pick the same sample; no rand()), unbiased within each
+    stratum, and bounded output per group regardless of stratum size.
+    The per-group top-k is a window over the group key — at 100 TB this
+    is the standard quota-sampling shape for building eval slices."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).cast("long").alias("rn"))
+        .filter(F.col("rn") <= 20)
+    )

@@ -102,6 +102,9 @@ PRIORITY: tuple[str, ...] = (
     "join_bucketed_colocated",
     "pipeline_clean_corpus",
     "shard_pack_tokens",
+    "scd2_history",
+    "win_streak_islands",
+    "sample_stratified_exact",
 )
 
 
