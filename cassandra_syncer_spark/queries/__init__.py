@@ -3,6 +3,7 @@
 from cassandra_syncer_spark.queries import (  # noqa: F401
     analytics_extras,
     analytics_r3,
+    analytics_r3b,
     incremental,
     joins,
     llm_dedup,

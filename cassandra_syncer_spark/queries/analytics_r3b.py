@@ -1,0 +1,295 @@
+"""Round-3 second batch — time-range window frames, cohort retention,
+winsorization, PII scrubbing, mergeable-sketch distinct counts, and
+window-function breadth (cume_dist / nth_value).
+
+Same contract as every query module: each query is registered with a
+DuckDB oracle (value-hash parity locally via tests/test_oracle_parity.py)
+unless the operator is approximate by construction (``agg_hll_union`` —
+sketch estimates cannot hash-match an exact oracle; accuracy is gated by
+tests/test_operators.py instead).  Cross-engine float discipline follows
+the integerize-per-row rule used throughout (exact integer sums →
+identical doubles on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.queries.windows import events_with_sec
+from cassandra_syncer_spark.registry import register
+
+
+@register(
+    "win_range_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_ns(ts) // 1000000000 AS ts_sec,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) OVER w AS BIGINT)
+             AS val_centi_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing time-RANGE window frame: per event, activity count and
+    value sum over the PRECEDING HOUR of the same user — the value-based
+    frame (`rangeBetween`) that `win_running_frame`'s row-based frame
+    cannot express (a row frame counts N rows back regardless of how much
+    wall-clock they span).
+
+    Scale shape: one shuffle on user_id, then a per-partition sort; the
+    range frame is evaluated with a sliding two-pointer over the sorted
+    run (no per-row rescan, no self-join — the naive `e1 ⋈ e2 ON e2.ts
+    BETWEEN e1.ts-1h AND e1.ts` formulation is O(n·k) with a join; this
+    is O(n log n) in the sort).  Equal-timestamp peers are included by
+    value in both engines (RANGE frame semantics).
+    """
+    ev = events_with_sec(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    centi = F.round(F.col("value") * 100.0).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_1h"),
+        F.sum(centi).over(w).cast("long").alias("val_centi_1h"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 // 86400 AS day FROM events
+    ),
+    c AS (
+      SELECT user_id, day,
+             min(day) OVER (PARTITION BY user_id) AS cohort_day
+      FROM e
+    )
+    SELECT cohort_day, day - cohort_day AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM c GROUP BY cohort_day, day_offset
+    ORDER BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their first-activity day
+    (the cohort), counted on each subsequent day-offset they return — the
+    product-analytics staple behind every retention curve.
+
+    The cohort day comes from a min() window over user_id (one shuffle);
+    the (cohort, offset) roll-up is a second aggregation.  No join of the
+    user dimension back to the fact — the window keeps it a two-stage
+    dataflow, and at 100 TB both stages partition cleanly (user_id, then
+    the small (cohort, offset) grid).  Days are integer epoch-day indices
+    (ns-timestamp trap, FIXTURES.md).
+    """
+    ev = events_with_sec(spark, sf_dir).withColumn("day", F.expr("ts_sec div 86400"))
+    w = Window.partitionBy("user_id")
+    c = ev.select(
+        "user_id", "day", F.min("day").over(w).alias("cohort_day")
+    )
+    return (
+        c.groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "feat_winsorize",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ),
+    cuts AS (
+      SELECT lang,
+             min(CASE WHEN rn = greatest(CAST(ceil(0.05 * n) AS BIGINT), 1)
+                      THEN n_chars END) AS lo,
+             min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN n_chars END) AS hi
+      FROM ranked GROUP BY lang
+    )
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE d.n_chars < c.lo) AS BIGINT) AS n_clip_lo,
+           CAST(count(*) FILTER (WHERE d.n_chars > c.hi) AS BIGINT) AS n_clip_hi,
+           round(CAST(sum(greatest(c.lo, least(c.hi, d.n_chars))) AS DOUBLE)
+                 / count(*), 4) AS mean_winsorized
+    FROM documents d JOIN cuts c USING (lang)
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clamping) of a measure at the per-group
+    5th/95th percentile — the robust-statistics step a feature pipeline
+    runs before normalization, using NEAREST-RANK percentiles (pure
+    integer selection: the k=⌈p·n⌉-th smallest value) so both engines pick
+    the identical cut row; interpolating percentile_cont's float
+    arithmetic is not bit-portable across engines.
+
+    Scale shape: the cut computation is a window + tiny per-group
+    aggregate (one row per group); the clamp pass broadcasts the cuts
+    table back onto the corpus — percentiles of a 100 TB fact cost one
+    shuffle plus a broadcast join, never a second global sort.  (The
+    sketch path for when even the per-group sort is too hot is
+    ``agg_percentile_approx``.)
+    """
+    docs = T(spark, sf_dir, "documents")
+    w_rn = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w_rn).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    k_lo = F.greatest(F.ceil(0.05 * F.col("n")).cast("long"), F.lit(1).cast("long"))
+    k_hi = F.ceil(0.95 * F.col("n")).cast("long")
+    cuts = ranked.groupBy("lang").agg(
+        F.min(F.when(F.col("rn") == k_lo, F.col("n_chars"))).alias("lo"),
+        F.min(F.when(F.col("rn") == k_hi, F.col("n_chars"))).alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("n_chars")))
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("n_chars") < F.col("lo"), 1))
+            .cast("long")
+            .alias("n_clip_lo"),
+            F.count(F.when(F.col("n_chars") > F.col("hi"), 1))
+            .cast("long")
+            .alias("n_clip_hi"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("lang")
+    )
+
+
+#: PII-ish patterns, deliberately simple enough to mean the same thing in
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+_NUM_RE = "[0-9]{4,}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(regexp_extract_all(text, '{_NUM_RE}')) AS BIGINT) AS n_num_runs,
+           CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_NUM_RE}', '<NUM>', 'g')) AS scrub_md5
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing as a dataflow: redact email-shaped tokens and long
+    digit runs (IDs, phone-ish numbers) from every document, reporting
+    per-doc redaction counts and the content hash of the scrubbed text —
+    the pre-training compliance pass every corpus pipeline runs.
+
+    The md5 of the scrubbed text crossing the oracle boundary proves the
+    REPLACEMENT itself (not just the counts) is byte-identical across
+    engines.  All JVM-side `regexp_replace`/`regexp_count` — scan-fused,
+    embarrassingly parallel, no shuffle at any scale.
+    """
+    docs = T(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"), _NUM_RE, "<NUM>"
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(_NUM_RE)).cast("long").alias("n_num_runs"),
+        F.regexp_count(F.col("text"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )
+
+
+@register("agg_hll_union")  # rows-only: sketch estimates can't hash-match
+def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch count-distinct — THE 100 TB distinct-count shape:
+    each (lang, source) partition builds an HLL sketch of its word set
+    (`hll_sketch_agg`, one pass, fixed memory), and per-language totals
+    come from UNIONING the partial sketches (`hll_union_agg`) — never
+    re-scanning raw data.  This is how a 1000-executor job counts
+    distincts per shard and folds them: sketches are partials, so daily /
+    per-shard sketches can be persisted and merged incrementally without
+    touching history.
+
+    Driver check is rows-only by contract (an estimate cannot hash-match
+    an exact oracle); accuracy is gated by
+    tests/test_operators.py::test_hll_union_accuracy (≤5% error vs exact
+    at sf0.01 — HLL++'s documented envelope at this cardinality).
+    """
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    partials = words.groupBy("lang", "source").agg(
+        F.hll_sketch_agg("word").alias("sk")
+    )
+    return (
+        partials.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_partials"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_words"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100.0) AS BIGINT) AS acct_centi,
+           round(cume_dist() OVER w, 6) AS cd,
+           nth_value(CAST(round(c_acctbal * 100.0) AS BIGINT), 2) OVER w
+             AS second_lowest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY CAST(round(c_acctbal * 100.0) AS BIGINT), c_custkey)
+    """,
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: cume_dist (fraction of the segment at
+    or below each customer's balance) and nth_value (the segment's
+    second-lowest balance, null until two rows are in frame) — the
+    remaining ranking-family coverage beyond rank/dense_rank/percent_rank/
+    ntile.  Balance is centi-integerized so the ordering key (and thus
+    cume_dist's tie groups) is identical across engines; the ordering is
+    made total with the customer key so nth_value's default growing frame
+    sees the same row sequence in both.
+    """
+    cust = T(spark, sf_dir, "customer")
+    centi = F.round(F.col("c_acctbal") * 100.0).cast("long")
+    staged = cust.select(
+        "c_custkey", "c_mktsegment", centi.alias("acct_centi")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("acct_centi", "c_custkey")
+    return staged.select(
+        "c_custkey",
+        "c_mktsegment",
+        "acct_centi",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("acct_centi", 2).over(w).alias("second_lowest"),
+    )

@@ -105,6 +105,12 @@ PRIORITY: tuple[str, ...] = (
     "scd2_history",
     "win_streak_islands",
     "sample_stratified_exact",
+    "win_range_interval",
+    "events_retention",
+    "feat_winsorize",
+    "text_pii_scrub",
+    "agg_hll_union",
+    "win_cume_dist",
 )
 
 

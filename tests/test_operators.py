@@ -167,6 +167,31 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
             assert abs(a - e) / e < 0.02, f"{k}: approx {a} vs exact {e}"
 
 
+def test_hll_union_accuracy(spark, sf_dir):
+    """Unioning per-(lang,source) HLL sketches must estimate per-lang
+    distinct word counts within 5% of exact — the accuracy contract that
+    makes the mergeable-partials path (agg_hll_union, rows-only in t2)
+    substitutable for exact countDistinct at scale."""
+    from cassandra_syncer_spark.queries.analytics_r3b import agg_hll_union
+    from cassandra_syncer_spark.queries.relational import T
+
+    est = {r.lang: r.est_words for r in agg_hll_union(spark, sf_dir).collect()}
+    words = T(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    exact = {
+        r.lang: r.n
+        for r in words.groupBy("lang")
+        .agg(F.countDistinct("word").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.05, (
+            f"{k}: HLL {est[k]} vs exact {exact[k]}"
+        )
+
+
 def test_filter_commutes_and_semi_subset(spark, sf_dir):
     from cassandra_syncer_spark.session import load_table
 
