@@ -138,6 +138,33 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     assert "Bucketed: true" in p, p
 
 
+def test_winsorize_broadcasts_cuts(spark, sf_dir):
+    """feat_winsorize's clamp pass must broadcast the per-group cuts
+    table back onto the corpus — a shuffled join here would re-shuffle
+    the full fact for a group-count-sized dimension."""
+    p = plan_of(spark, sf_dir, "feat_winsorize")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_range_interval_single_shuffle(spark, sf_dir):
+    """The trailing-hour RANGE frame is one shuffle on user_id and a
+    window over the sorted runs — no join anywhere in the plan (the
+    naive self-join formulation would BNLJ)."""
+    p = plan_of(spark, sf_dir, "win_range_interval")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    """PII scrubbing is a pure per-row map — any Exchange in this plan
+    means something is forcing a shuffle onto an embarrassingly parallel
+    scan."""
+    p = plan_of(spark, sf_dir, "text_pii_scrub")
+    assert "Exchange" not in p, p
+    # '*(n)' prefixes mark whole-stage-codegen stages in the string form
+    assert "*(1)" in p, p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
