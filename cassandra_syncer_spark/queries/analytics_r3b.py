@@ -279,6 +279,13 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cume_dist's tie groups) is identical across engines; the ordering is
     made total with the customer key so nth_value's default growing frame
     sees the same row sequence in both.
+
+    Scale note: parallelism is capped by the partition count (5 market
+    segments here), so each segment is a single-task sort — measured 2.5×
+    at the 10× replica (SCALING.md).  At 100 TB, per-segment position
+    fractions come from a rank join against approx_percentile cut points
+    (the ``agg_percentile_approx`` sketch path) instead of an exact
+    per-segment sort.
     """
     cust = T(spark, sf_dir, "customer")
     centi = F.round(F.col("c_acctbal") * 100.0).cast("long")
