@@ -165,6 +165,46 @@ def test_pii_scrub_is_shuffle_free(spark, sf_dir):
     assert "*(1)" in p, p
 
 
+def test_runtime_bloom_filter_injects(spark, sf_dir):
+    """Runtime bloom-filter pruning — the 100 TB shuffle-reduction lever:
+    when one join side carries a selective filter, Spark builds a bloom
+    filter from it at runtime and applies it to the big side's scan,
+    shrinking shuffle input before the join.  Local fixtures sit under the
+    default 10 GB application-side threshold, so the test lowers it to
+    prove the rewrite fires on our join shape; at production scale the
+    defaults trigger it with no code change (the engine never disables
+    runtime filtering)."""
+    from cassandra_syncer_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        p = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_might_contain" in p.lower() or "bloomfilter" in p.lower(), p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
