@@ -258,6 +258,132 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontam_ngram_overlap",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, w,
+             unnest(range(1, greatest(len(w) - 7, 1) + 1)) AS i
+      FROM w
+    ),
+    grams AS (
+      SELECT doc_id, md5(array_to_string(w[i:i+7], ' ')) AS g FROM idx
+    ),
+    ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+    tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM tr JOIN ev USING (g)
+    GROUP BY tr.doc_id ORDER BY tr.doc_id
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination — the standard pre-training hygiene
+    stage: flag training documents sharing any 8-word n-gram with the
+    held-out eval set (here the deterministic doc_id%20 slice), reporting
+    how many distinct grams leak.  8 is the n used by the published
+    decontamination recipes (GPT-3 appendix C; Dolma) — long enough that
+    chance collisions vanish, short enough to catch quote-level leakage.
+
+    Scale shape: grams live as md5 hashes (fixed width, not text); the
+    train side dedups (doc_id, gram) before the join; the eval gram set —
+    benchmark-suite-sized, vastly smaller than the corpus — broadcasts,
+    so the corpus-side gram stream never shuffles: explode → local
+    semi-probe → per-doc count.  A full-corpus×corpus variant instead
+    shuffles on the gram hash (same plan as text_minhash_dedup's bands).
+    """
+    docs = T(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)), "
+                "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+            )
+        ).alias("g"),
+    )
+    ev = grams.filter(F.col("doc_id") % 20 == 0).select("g").distinct()
+    tr = grams.filter(F.col("doc_id") % 20 != 0).distinct()
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mix_sample_weighted",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4 AS m,
+             CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) AS BIGINT) % 10000 AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT *, CASE m WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                       WHEN 2 THEN 0.25 ELSE 0.1 END AS rate
+      FROM d
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE bucket < rate * 10000) AS BIGINT) AS n_kept,
+           CAST(coalesce(sum(n_tokens) FILTER (WHERE bucket < rate * 10000), 0)
+                AS BIGINT) AS tokens_kept
+    FROM r GROUP BY source ORDER BY source
+    """,
+)
+def mix_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing — the domain-reweighting stage of training-
+    data assembly: each source is downsampled to its mix rate (here a
+    deterministic rate per source family: 1.0 / 0.5 / 0.25 / 0.1) via
+    content-independent key-hash bucketing, reporting kept docs and the
+    token budget each source contributes.
+
+    The keep decision is pure per-row math on a portable md5-derived
+    bucket (operators/fingerprint.py::hash32 — no rand(), identical
+    across engines and re-runs, stable under repartitioning), so the mix
+    is reproducible and joins consistently with any other hash-sampled
+    artifact of the same keys.  One scan + one aggregation; no shuffle
+    before the per-source roll-up at any corpus size.
+    """
+    from cassandra_syncer_spark.operators import fingerprint as fp
+
+    docs = T(spark, sf_dir, "documents")
+    m = F.regexp_extract("source", "[0-9]+", 0).cast("long") % 4
+    rate = (
+        F.when(m == 0, F.lit(1.0))
+        .when(m == 1, F.lit(0.5))
+        .when(m == 2, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    bucket = F.expr(fp.hash32("CAST(doc_id AS STRING)", duck=False)) % 10000
+    keep = bucket < rate * 10000
+    return (
+        docs.select(
+            "source",
+            keep.alias("keep"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+            F.count(F.when(F.col("keep"), 1)).cast("long").alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("keep"), F.col("n_tokens"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "win_cume_dist",
     oracle="""
     SELECT c_custkey, c_mktsegment,

@@ -111,6 +111,8 @@ PRIORITY: tuple[str, ...] = (
     "text_pii_scrub",
     "agg_hll_union",
     "win_cume_dist",
+    "decontam_ngram_overlap",
+    "mix_sample_weighted",
 )
 
 
