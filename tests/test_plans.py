@@ -205,6 +205,34 @@ def test_runtime_bloom_filter_injects(spark, sf_dir):
             spark.conf.set(k, v)
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning — the partition-level counterpart of the
+    bloom-filter test above: joining a hive-partitioned fact on its
+    partition column against a filtered dimension must inject a
+    dynamicpruningexpression into PartitionFilters, so only the
+    dimension-selected partitions are listed and read.  At 100 TB this is
+    the difference between scanning one date/flag partition and scanning
+    the table."""
+    from cassandra_syncer_spark.session import load_table
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "dpp_fact")
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .write.partitionBy("l_returnflag")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("N", "kept")], "flag string, label string"
+    ).filter(F.col("label") == "returned")
+    j = fact.join(dim, fact.l_returnflag == dim.flag).groupBy("flag").count()
+    p = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in p.lower(), p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
