@@ -384,6 +384,68 @@ def mix_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             greatest(list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS max_abs
+      FROM embeddings
+    )
+    SELECT vec_id, CAST(label AS INTEGER) AS label, max_abs,
+           array_to_string(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INTEGER)), ',')
+             AS q8_csv,
+           CAST(list_sum(list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS INTEGER)))
+             AS BIGINT) AS q_sum
+    FROM m
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of embeddings (per-vector absmax
+    scaling) — the 4× compression step a vector store applies before
+    indexing billions of embeddings; the returned ``max_abs`` is the
+    dequantization scale (·max_abs/127).
+
+    All math stays JVM-side in higher-order array functions (one
+    `transform` per vector, no UDF, no shuffle).  Cross-engine parity of
+    the full quantized vector: floats upcast to double BEFORE arithmetic
+    (float32 ops differ across engines; double ops on float-derived
+    values do not), both engines round halves away from zero, and the
+    vector crosses the oracle boundary serialized as a CSV string (the
+    driver's value-hash handles scalars, not arrays — repo convention).
+    The 1e-30 floor makes the zero-vector a defined no-op instead of a
+    division by zero — same guard both sides.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        "embedding",
+        F.greatest(
+            F.array_max(
+                F.transform("embedding", lambda x: F.abs(x.cast("double")))
+            ),
+            F.lit(1e-30),
+        ).alias("max_abs"),
+    )
+    q8 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("int"),
+    )
+    return m.select(
+        "vec_id",
+        "label",
+        "max_abs",
+        F.array_join(F.transform(q8, lambda x: x.cast("string")), ",").alias("q8_csv"),
+        F.aggregate(
+            q8, F.lit(0).cast("long"), lambda acc, v: acc + v.cast("long")
+        ).alias("q_sum"),
+    )
+
+
+@register(
     "win_cume_dist",
     oracle="""
     SELECT c_custkey, c_mktsegment,

@@ -113,6 +113,7 @@ PRIORITY: tuple[str, ...] = (
     "win_cume_dist",
     "decontam_ngram_overlap",
     "mix_sample_weighted",
+    "embed_quantize_int8",
 )
 
 
