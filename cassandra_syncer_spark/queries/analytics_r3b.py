@@ -384,6 +384,78 @@ def mix_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_filter",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, lang, w,
+             unnest(range(1, greatest(len(w) - 1, 1) + 1)) AS i
+      FROM w
+    ),
+    bi AS (
+      SELECT doc_id, lang, array_to_string(w[i:i+1], ' ') AS g FROM idx
+    ),
+    cnt AS (
+      SELECT doc_id, lang, g, count(*) AS c FROM bi GROUP BY doc_id, lang, g
+    ),
+    per_doc AS (
+      SELECT doc_id, lang, max(c) AS top_c, sum(c) AS total
+      FROM cnt GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE top_c * 5 > total) AS BIGINT) AS n_repetitive,
+           round(CAST(sum(top_c) AS DOUBLE) / sum(total), 6) AS mean_top_share
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality gate (the Gopher/Dolma rule family): per
+    document, the share of all word 2-grams taken by the single most
+    frequent 2-gram; documents where that share exceeds 20% (top·5 >
+    total — exact integer comparison, no float threshold) are flagged
+    repetitive, rolled up per language.
+
+    Scale shape: explode to 2-grams → count per (doc, gram) → per-doc
+    max/total → per-lang roll-up; every stage is a hash aggregation
+    keyed by doc_id (+gram), partial-aggregated map-side.  No windows,
+    no joins; the gram stream never crosses executors un-aggregated.
+    The mean share divides two exact integer sums, so the double is
+    identical cross-engine.
+    """
+    docs = T(spark, sf_dir, "documents")
+    bi = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+            )
+        ).alias("g"),
+    )
+    cnt = bi.groupBy("doc_id", "lang", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = cnt.groupBy("doc_id", "lang").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("total")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("top_c") * 5 > F.col("total"), 1))
+            .cast("long")
+            .alias("n_repetitive"),
+            F.round(
+                F.sum("top_c").cast("double") / F.sum("total"), 6
+            ).alias("mean_top_share"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
     "embed_quantize_int8",
     oracle="""
     WITH m AS (

@@ -114,6 +114,7 @@ PRIORITY: tuple[str, ...] = (
     "decontam_ngram_overlap",
     "mix_sample_weighted",
     "embed_quantize_int8",
+    "text_repetition_filter",
 )
 
 
