@@ -87,10 +87,9 @@ _MINHASH_SQL_TEMPLATE = """
 """
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared MinHash candidate-pair dataflow: (doc_a, doc_b,
-    n_shared_bands) — the body of ``text_minhash_dedup``, reused by the
-    cluster query."""
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_key) dataflow — the shared LSH-banding
+    front end of every MinHash dedup variant."""
     # signature math is the expensive per-row stage — fan it out across all
     # cores (no-op at scale where the scan is already wide, see session.fan_out)
     docs = fan_out(T(spark, sf_dir, "documents"), spark)
@@ -112,9 +111,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.band_key_expr([f"mh{p}" for p in range(fp.NUM_PERMS)], b, duck=False)
         for b in range(fp.BANDS)
     ]
-    bands = sig.selectExpr(
+    return sig.selectExpr(
         "doc_id", f"posexplode(array({', '.join(band_keys)})) AS (band_id, band_key)"
     )
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash candidate-pair dataflow: (doc_a, doc_b,
+    n_shared_bands) — the body of ``text_minhash_dedup``, reused by the
+    cluster query."""
+    bands = _minhash_bands(spark, sf_dir)
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -150,6 +156,53 @@ def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     math in operators/fingerprint.py.
     """
     return _minhash_pairs(spark, sf_dir)
+
+
+_INCREMENTAL_SQL = f"""
+    {_minhash_cte(True)},
+    bands AS ({_band_union(True)})
+    SELECT b.doc_id AS doc_id,
+           CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_matches,
+           CAST(min(a.doc_id) AS BIGINT) AS first_match
+    FROM bands b JOIN bands a
+      ON b.band_id = a.band_id AND b.band_key = a.band_key
+    WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0
+    GROUP BY b.doc_id ORDER BY doc_id
+"""
+
+
+@register("dedup_incremental_minhash", oracle=_INCREMENTAL_SQL)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch of documents (here doc_id % 5 = 0,
+    standing in for today's crawl) checked against the EXISTING corpus
+    (the rest) via the shared MinHash band index — each new doc that
+    shares any LSH band with an existing doc reports how many existing
+    docs it collides with and the smallest such doc_id.
+
+    Scale shape: this is the steady-state 100 TB dedup pattern — the
+    existing side's (band_id, band_key, doc_id) index is computed once and
+    persisted (bucketed by band_key), so each incoming batch only
+    signatures its own docs and equi-joins on the band key; shuffle volume
+    is O(batch + matched buckets), never O(corpus).  Here both sides
+    derive from one scan so the signature stage is shared and computed
+    once.
+    """
+    bands = _minhash_bands(spark, sf_dir)
+    new_b = bands.filter(F.col("doc_id") % 5 == 0).alias("n")
+    old_b = bands.filter(F.col("doc_id") % 5 != 0).alias("e")
+    return (
+        new_b.join(
+            old_b,
+            (F.col("n.band_id") == F.col("e.band_id"))
+            & (F.col("n.band_key") == F.col("e.band_key")),
+        )
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct(F.col("e.doc_id")).cast("long").alias("n_matches"),
+            F.min(F.col("e.doc_id")).cast("long").alias("first_match"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 _COMPONENTS_SQL = (

@@ -169,3 +169,223 @@ def win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "q5_local_volume",
+    oracle="""
+    SELECT n.n_name,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q5_local_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join (region → nation → supplier ⋈
+    lineitem ⋈ orders ⋈ customer) with the local-supplier correlation
+    (c_nationkey = s_nationkey) and a per-nation revenue roll-up.
+
+    Scale shape: region/nation/supplier are genuinely dimension-sized and
+    broadcast; lineitem ⋈ orders is the one big shuffle (both sides
+    pre-filtered by pushed-down predicates).  The customer join carries no
+    broadcast hint — Catalyst/AQE picks broadcast at bench scale and
+    shuffle join when customer outgrows the threshold at 100 TB.
+    """
+    cutoff_lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    cutoff_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = T(spark, sf_dir, "nation")
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= cutoff_lo) & (F.col("o_orderdate") < cutoff_hi)
+    )
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer over one
+    quarter, top-20 — join-heavy agg with a selective fact filter.
+
+    The l_returnflag and date predicates push to the scans; nation
+    broadcasts; the final top-20 is TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    lo = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-10-01 00:00:00").cast("timestamp")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice,
+           CAST(round(sum(l.l_quantity) * 100.0) AS BIGINT) / 100.0 AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 250
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — an aggregated HAVING
+    subquery restricts the fact table via a semi join, then the survivors
+    re-aggregate with their customer.
+
+    Scale shape: the subquery is a partial-aggregated groupBy on the fact
+    key (map-side combine shrinks it before the shuffle); its output is
+    order-key-sized and joins back left_semi on the same key, so AQE can
+    reuse the exchange.  Top-100 via TakeOrderedAndProject.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o_base = T(spark, sf_dir, "orders")
+    o = o_base.join(big, o_base.o_orderkey == big.big_orderkey, "left_semi")
+    c = T(spark, sf_dir, "customer")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            (F.sum("l_quantity") * 100.0).cast("long").alias("q100"),
+        )
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            (F.round(F.col("q100")) / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive_pushdown",
+    oracle="""
+    SELECT sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)) / 10000.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — the
+    disjunctive-predicate benchmark.
+
+    Catalyst extracts the common single-side conjuncts from the
+    disjunction: l_quantity <= 30 pushes to the lineitem scan and
+    p_brand IN (...) to the part scan before the join, so the broadcast
+    hash join sees pre-pruned inputs and only the mixed residual runs
+    post-join.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    qty, brand, size = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((brand == "Brand#12") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#23") & size.between(10, 30) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(20, 50) & qty.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (
+                F.sum(
+                    F.round(
+                        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )

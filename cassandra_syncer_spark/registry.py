@@ -115,6 +115,11 @@ PRIORITY: tuple[str, ...] = (
     "mix_sample_weighted",
     "embed_quantize_int8",
     "text_repetition_filter",
+    "q5_local_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "dedup_incremental_minhash",
 )
 
 
