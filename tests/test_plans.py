@@ -240,3 +240,27 @@ def test_no_cartesian_anywhere(spark, sf_dir):
         if "CartesianProduct" in p:
             offenders.append(name)
     assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    # region/nation/supplier broadcast by hint; customer is unhinted so
+    # Catalyst/AQE is free to pick SMJ when it outgrows the threshold —
+    # at fixture scale everything resolves to broadcast and the only
+    # shuffle is lineitem ⋈ orders + the final agg
+    p = plan_of(spark, sf_dir, "q5_local_volume")
+    assert p.count("BroadcastHashJoin") >= 4, "q5 lost dimension broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_q19_disjunction_pushes_per_side_conjuncts(spark, sf_dir):
+    # the OR-of-ANDs must split: the quantity-only disjunction reaches the
+    # lineitem scan and the brand/size disjunction reaches the part scan,
+    # so the join sees pre-pruned inputs (the Q19 benchmark property)
+    p = plan_of(spark, sf_dir, "q19_disjunctive_pushdown")
+    assert "OR ((l_quantity#" in p, "quantity disjunction not pushed to lineitem scan"
+    assert "= Brand#12)" in p and "p_size#" in p, "brand/size disjunction not pushed to part scan"
+
+
+def test_q10_q18_topk_short_circuit(spark, sf_dir):
+    for name in ["q10_returned_items", "q18_large_orders"]:
+        assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, name), name
