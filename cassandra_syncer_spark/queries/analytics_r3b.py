@@ -560,3 +560,57 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("acct_centi", 2).over(w).alias("second_lowest"),
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS attributed
+      FROM events
+    )
+    SELECT coalesce(attributed, 'none') AS attributed,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) / 100.0
+             AS revenue
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding touch event (click or view); attributed revenue
+    rolls up per touch channel ('none' = purchase with no prior touch).
+
+    Scale shape: one shuffle on user_id, then a running last-non-null
+    over each user's time-sorted run — the same single-window pattern as
+    win_rownum_latest, no self-join against the touch set (the naive
+    formulation is a per-purchase theta join, quadratic per user).
+    Revenue integerizes per-row before summing (cross-engine exact).
+    """
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type").isin("click", "view"), F.col("event_type"))
+    return (
+        ev.withColumn("attributed", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("attributed", F.lit("none")).alias("attributed"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            (
+                F.sum(F.round(F.col("value") * 100.0).cast("long")).cast("long")
+                / 100.0
+            ).alias("revenue"),
+        )
+        .orderBy("attributed")
+    )

@@ -120,6 +120,7 @@ PRIORITY: tuple[str, ...] = (
     "q18_large_orders",
     "q19_disjunctive_pushdown",
     "dedup_incremental_minhash",
+    "events_attribution",
 )
 
 
