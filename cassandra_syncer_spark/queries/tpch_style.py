@@ -328,14 +328,14 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(
-            (F.sum("l_quantity") * 100.0).cast("long").alias("q100"),
+            F.round(F.sum("l_quantity") * 100.0).cast("long").alias("q100"),
         )
         .select(
             "c_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             "o_totalprice",
-            (F.round(F.col("q100")) / 100.0).alias("total_qty"),
+            (F.col("q100") / 100.0).alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
