@@ -272,3 +272,85 @@ def multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(_dot(F.col("v"), F.col("v"))), 4).alias("emb_norm"),
         F.round(F.element_at("v", 1), 6).alias("dim0"),
     )
+
+
+@register(
+    "sim_ann_int8",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                               x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS max_abs
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / max_abs) AS BIGINT)) AS q8
+      FROM m
+    ),
+    pairs AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             CAST(list_sum(list_transform(range(1, len(a.q8) + 1),
+                                          i -> a.q8[i] * b.q8[i])) AS BIGINT) AS dot_q
+      FROM q a JOIN q b ON b.vec_id >= 5
+      WHERE a.vec_id < 5
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, dot_q,
+             row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, vec_id) AS rn
+      FROM pairs
+    )
+    SELECT q_id, CAST(rn AS BIGINT) AS rn, vec_id, dot_q
+    FROM ranked WHERE rn <= 5 ORDER BY q_id, rn
+    """,
+)
+def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval over int8-quantized embeddings — the memory-bound
+    100 TB scan form: the index holds 4×-compressed vectors (per-vector
+    absmax scaling, exactly ``embed_quantize_int8``'s formula) and scores
+    with INTEGER dot products, which are exact in any engine (max
+    |term| = 127² · 64 dims ≪ 2⁵³), so unlike float cosine the ranking
+    needs no rounding discipline at all.
+
+    Scale shape: probes broadcast against the corpus scan (same as
+    sim_cosine_topk) with per-probe top-k via window; at full scale the
+    same scoring drops into the IVF cell-local search (_ivf_search) —
+    quantization and cell routing compose.  Quantization is per-row
+    higher-order array math, no UDF, no extra shuffle.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        "embedding",
+        F.greatest(
+            F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-30),
+        ).alias("max_abs"),
+    )
+    q8 = m.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 127.0 / F.col("max_abs")).cast("long"),
+        ).alias("q8"),
+    )
+    probes = q8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("q8").alias("pq8")
+    )
+    corpus = q8.filter(F.col("vec_id") >= 5)
+    dot_q = F.aggregate(
+        F.zip_with("pq8", "q8", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus.join(F.broadcast(probes)).select(
+        "q_id", "vec_id", dot_q.alias("dot_q")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("dot_q"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("q_id", "rn", "vec_id", "dot_q")
+        .orderBy("q_id", "rn")
+    )

@@ -121,6 +121,7 @@ PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_pushdown",
     "dedup_incremental_minhash",
     "events_attribution",
+    "sim_ann_int8",
 )
 
 

@@ -227,3 +227,52 @@ def test_malformed_json_props_yield_null(spark):
     ).select("tag", F.from_json("props", "struct<k:int>").getField("k").alias("k"))
     out = {r.tag: r.k for r in df.collect()}
     assert out == {"ok": 5, "bad": None, "empty": None}
+
+
+def test_int8_ann_recall_vs_float(spark, duck, sf_dir):
+    """Quantization quality gate.  The fixture embeddings are near-random
+    unit vectors (the IVF tests document the same property), so exact
+    top-5 margins are at quantization-noise scale and strict top5-vs-top5
+    recall is the worst case — gate it loosely (≥0.4), and gate the
+    metric that actually matters for a quantized index (does int8 keep
+    the true neighborhood?) tightly: every int8 top-5 hit should sit in
+    the float top-20 (recall ≥0.8).  Oracle parity proves the int8
+    ranking is computed correctly; this proves quantization doesn't
+    wreck retrieval."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    got: dict[int, set[int]] = {}
+    for r in REGISTRY["sim_ann_int8"].fn(spark, sf_dir).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+
+    truth_rows = duck.execute(
+        """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+                 list_sum(list_transform(range(1, len(a.v) + 1),
+                                         i -> a.v[i] * b.v[i])) AS cos
+          FROM e a JOIN e b ON b.vec_id >= 5
+          WHERE a.vec_id < 5
+        ),
+        ranked AS (
+          SELECT q_id, vec_id,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+          FROM pairs
+        )
+        SELECT q_id, vec_id, rn FROM ranked WHERE rn <= 20
+        """
+    ).fetchall()
+    top5: dict[int, set[int]] = {}
+    top20: dict[int, set[int]] = {}
+    for q_id, vec_id, rn in truth_rows:
+        top20.setdefault(q_id, set()).add(vec_id)
+        if rn <= 5:
+            top5.setdefault(q_id, set()).add(vec_id)
+
+    n = sum(len(v) for v in top5.values())
+    strict = sum(len(got[q] & top5[q]) for q in top5) / n
+    neighborhood = sum(len(got[q] & top20[q]) for q in top20) / n
+    assert neighborhood >= 0.8, f"int8 top-5 escaped the float top-20: {neighborhood:.2f}"
+    assert strict >= 0.4, f"int8 strict top-5 recall collapsed: {strict:.2f}"
