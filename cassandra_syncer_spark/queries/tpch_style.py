@@ -389,3 +389,159 @@ def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_items"),
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count histogram INCLUDING zero-order
+    customers — the left-outer + double-aggregation pattern (count of
+    counts).  The join predicate on the outer side's non-key column
+    filters matches without dropping unmatched customers.
+
+    Scale shape: one shuffle on custkey for join+first agg (AQE reuses
+    the exchange), then the second agg's key space is tiny (distinct
+    order counts) — partials collapse map-side.
+    """
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH lq AS (
+      SELECT l_partkey, l_extendedprice,
+             CAST(round(l_quantity) AS BIGINT) AS qty_units
+      FROM lineitem
+    ),
+    per_part AS (
+      SELECT l_partkey, sum(qty_units) AS qty_sum,
+             count(*) AS qty_cnt
+      FROM lq GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(round(l.l_extendedprice * 10000.0) AS BIGINT))
+                 AS BIGINT) / 10000.0 / 7.0, 4) AS avg_yearly
+    FROM lq l
+    JOIN per_part a ON l.l_partkey = a.l_partkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.qty_units * 5 * a.qty_cnt < a.qty_sum
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated-average subquery (lineitems below
+    20% of their part's mean quantity), decorrelated into a per-part
+    aggregate joined back — Spark's standard rewrite of a correlated
+    scalar subquery.
+
+    The threshold test is EXACT integer math: qty·5·count < sum avoids
+    the float division `0.2 · avg` whose last-ulp could flip a boundary
+    row differently per engine.  Scale shape: both the per-part agg and
+    the join share the l_partkey shuffle key; the part filter broadcasts.
+    """
+    lq = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_extendedprice",
+        F.round("l_quantity").cast("long").alias("qty_units"),
+    )
+    per_part = lq.groupBy("l_partkey").agg(
+        F.sum("qty_units").alias("qty_sum"), F.count(F.lit(1)).alias("qty_cnt")
+    ).withColumnRenamed("l_partkey", "a_partkey")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    return (
+        lq.join(per_part, lq.l_partkey == per_part.a_partkey)
+        .join(F.broadcast(p), lq.l_partkey == p.p_partkey)
+        .filter(F.col("qty_units") * 5 * F.col("qty_cnt") < F.col("qty_sum"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 10000.0).cast("long"))
+                .cast("long")
+                / 10000.0
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q22_dormant_customers",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_centi
+      FROM customer
+    ),
+    pos AS (
+      SELECT sum(bal_centi) AS s, count(*) AS n FROM c WHERE bal_centi > 0
+    )
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(c.bal_centi) AS BIGINT) / 100.0 AS totacctbal
+    FROM c, pos
+    WHERE c.bal_centi * pos.n > pos.s
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-06-01 00:00:00')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global-scalar-subquery threshold (balance above
+    the mean positive balance) + anti join (customers with no RECENT
+    order — the fixture has no never-ordered customers, so dormancy is
+    defined against the last two years to keep the anti join non-trivial),
+    rolled up per segment.
+
+    The mean test is exact integer math (bal·n > sum — no float mean),
+    the one-row aggregate crosses as a broadcast nested-loop join of a
+    single row (the Spark form of a scalar subquery), and the anti join
+    shuffles on custkey only.
+    """
+    c = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100.0).cast("long").alias("bal_centi"),
+    )
+    pos = c.filter(F.col("bal_centi") > 0).agg(
+        F.sum("bal_centi").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    o = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-06-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(pos))
+        .filter(F.col("bal_centi") * F.col("n") > F.col("s"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            (F.sum("bal_centi").cast("long") / 100.0).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -122,6 +122,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "events_attribution",
     "sim_ann_int8",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
 )
 
 
