@@ -545,3 +545,99 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(round((l_extendedprice * (1 - l_discount)) * 10000.0)
+                 AS BIGINT)) AS rev_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rev_units / 10000.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_units = (SELECT max(rev_units) FROM rev)
+    ORDER BY s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + argmax-by-equality against the
+    view's own global max (the scalar-subquery-over-aggregate pattern).
+
+    Equality against a float max is engine-fragile; revenue stays in
+    exact integer units until after the max test, so the argmax is
+    deterministic in both engines.  Scale shape: the view aggregates on
+    l_suppkey (map-side partials), the 1-row max broadcasts back, and
+    supplier joins broadcast — no second shuffle of the view.
+    """
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000.0
+            ).cast("long")
+        ).alias("rev_units")
+    )
+    mx = rev.agg(F.max("rev_units").alias("max_units"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", (F.col("rev_units") / 10000.0).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-pair reconstruction (the fixture has no
+    partsupp, so supplier×part comes from lineitem), a NOT-IN exclusion
+    (anti join — negative-balance suppliers stand in for the complaints
+    filter), and a multi-key count-distinct with top-50.
+
+    Scale shape: the DISTINCT pair projection collapses the fact table
+    once on (partkey, suppkey); the exclusion list is dimension-sized and
+    broadcast-anti; count_distinct re-shuffles only the collapsed pairs.
+    """
+    pairs = (
+        T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    bad = T(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(50)
+    )

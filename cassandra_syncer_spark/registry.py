@@ -125,6 +125,8 @@ PRIORITY: tuple[str, ...] = (
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q22_dormant_customers",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
 )
 
 
