@@ -264,3 +264,18 @@ def test_q19_disjunction_pushes_per_side_conjuncts(spark, sf_dir):
 def test_q10_q18_topk_short_circuit(spark, sf_dir):
     for name in ["q10_returned_items", "q18_large_orders"]:
         assert "TakeOrderedAndProject" in plan_of(spark, sf_dir, name), name
+
+
+def test_tpch_batch4_plan_shapes(spark, sf_dir):
+    # q13: left outer keeps zero-order customers, no cartesian
+    p = plan_of(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in p or "BroadcastHashJoin LeftOuter".lower() in p.lower()
+    # q16/q22: exclusion must be an anti join, not a filter over a cross
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q16_supplier_part_counts")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q22_dormant_customers")
+    # q15: the view's max must come back as a broadcast — Catalyst turns the
+    # equality filter into an equi BroadcastHashJoin on the 1-row max
+    p15 = plan_of(spark, sf_dir, "q15_top_supplier")
+    assert p15.count("BroadcastHashJoin") >= 2 and "CartesianProduct" not in p15
+    # q17: the decorrelated per-part agg must not produce a cartesian
+    assert "CartesianProduct" not in plan_of(spark, sf_dir, "q17_small_quantity_revenue")
