@@ -46,7 +46,52 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:   3. everything verified in round 2 rotates to the tail (unlisted ids
 #:      keep registration order after the listed ones).
 PRIORITY: tuple[str, ...] = (
-    # -- 1: last verified in round 1 (CORRECTNESS_r01 ∖ r02) -------------
+    # -- 1: new in round 3, never driver-checked (local oracle parity green
+    #       for all; the ~50-query window must catch as many as possible —
+    #       never-checked is a worse state than verified-in-round-1) --------
+    "join_range_banded_anti",
+    "agg_stats_corr",
+    "win_ntile_bucket",
+    "dedup_exact_canonical",
+    "events_funnel",
+    "feat_standardize",
+    "agg_mode_freq",
+    "text_idf_topterms",
+    "join_interval_overlap",
+    "sink_partitioned_prune",
+    "scan_csv_roundtrip",
+    "agg_bool_any_all",
+    "join_bucketed_colocated",
+    "pipeline_clean_corpus",
+    "shard_pack_tokens",
+    "scd2_history",
+    "win_streak_islands",
+    "sample_stratified_exact",
+    "win_range_interval",
+    "events_retention",
+    "feat_winsorize",
+    "text_pii_scrub",
+    "agg_hll_union",
+    "win_cume_dist",
+    "decontam_ngram_overlap",
+    "mix_sample_weighted",
+    "embed_quantize_int8",
+    "text_repetition_filter",
+    "q5_local_volume",
+    "q10_returned_items",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "dedup_incremental_minhash",
+    "events_attribution",
+    "sim_ann_int8",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_dormant_customers",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    # -- 2: last verified in round 1 (CORRECTNESS_r01 ∖ r02); the first
+    #       ~10 of these still fit the round-3 window, the rest rotate to
+    #       round 4 (each retains an r1 hash-pass + continuous local parity)
     "agg_count_distinct",
     "scan_parquet",
     "scan_listing",
@@ -85,48 +130,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embed_cosine",
     "sim_ivf_ann",
-    # -- 2: new in round 3 (fills the 50-query window to 47) --------------
-    "join_range_banded_anti",
-    "agg_stats_corr",
-    "win_ntile_bucket",
-    "dedup_exact_canonical",
-    "events_funnel",
-    "feat_standardize",
-    "agg_mode_freq",
-    "text_idf_topterms",
-    "join_interval_overlap",
-    "sink_partitioned_prune",
-    "scan_csv_roundtrip",
-    "agg_bool_any_all",
-    # beyond the 50-query window — verified next round; plan-tested now
-    "join_bucketed_colocated",
-    "pipeline_clean_corpus",
-    "shard_pack_tokens",
-    "scd2_history",
-    "win_streak_islands",
-    "sample_stratified_exact",
-    "win_range_interval",
-    "events_retention",
-    "feat_winsorize",
-    "text_pii_scrub",
-    "agg_hll_union",
-    "win_cume_dist",
-    "decontam_ngram_overlap",
-    "mix_sample_weighted",
-    "embed_quantize_int8",
-    "text_repetition_filter",
-    "q5_local_volume",
-    "q10_returned_items",
-    "q18_large_orders",
-    "q19_disjunctive_pushdown",
-    "dedup_incremental_minhash",
-    "events_attribution",
-    "sim_ann_int8",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q22_dormant_customers",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
 )
 
 
