@@ -6,10 +6,14 @@ a SparkSession.  All scale-relevant defaults (AQE, shuffle partitions, Arrow)
 live here so every entry point — driver contract, tests, bench — gets the
 same tuned session.
 
-Known fixture gotcha (FIXTURES.md): ``events.parquet`` stores ``ts`` as
-INT64 TIMESTAMP(NANOS), which Spark cannot read natively.  We set
-``spark.sql.legacy.parquet.nanosAsLong=true`` and rebuild the column as a
-microsecond timestamp in :func:`load_table`.
+Known fixture gotcha (FIXTURES.md): ``events.parquet`` has shipped ``ts``
+in two physical shapes across driver rounds — INT64 TIMESTAMP(NANOS)
+(rounds 1–2) and plain ``timestamp[us]`` (round 3+).  :func:`load_table`
+normalizes BOTH to the same logical schema: ``ts`` as a microsecond
+timestamp plus a derived ``ts_ns`` bigint (nanosecond epoch) for
+exact-epoch arithmetic.  ``spark.sql.legacy.parquet.nanosAsLong=true``
+stays set so the old shape remains loadable; it is a no-op for the new
+shape.  tests/test_fixture_schema_canary.py exercises both branches.
 """
 
 from __future__ import annotations
@@ -53,7 +57,8 @@ def get_spark(
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
-        # fixture requirement: events.ts is INT64 TIMESTAMP(NANOS)
+        # back-compat: lets the old INT64 TIMESTAMP(NANOS) events fixture
+        # load (as bigint); no-op for the current timestamp[us] fixture
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # scale posture: adaptive execution re-plans partition counts,
         # converts to broadcast joins at runtime, and splits skewed joins
@@ -80,10 +85,17 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical-type quirks.
 
-    ``events.ts`` arrives as nanosecond epoch longs (because of the
-    ``nanosAsLong`` session flag); rebuild it as a proper microsecond
-    ``timestamp`` and keep the raw value as ``ts_ns`` for exact-epoch
-    comparisons against the DuckDB oracle (which reads ns natively).
+    ``events.ts`` has two known physical shapes (see module docstring):
+
+    - INT64 TIMESTAMP(NANOS) → read as bigint under ``nanosAsLong``; we
+      keep the raw value as ``ts_ns`` and rebuild ``ts`` as a microsecond
+      timestamp (integer ``div``, not ``/`` — ns epochs overflow doubles).
+    - ``timestamp[us]`` (current fixtures) → ``ts`` loads natively; we
+      derive ``ts_ns = unix_micros(ts) * 1000``.
+
+    Either way callers see the same logical schema: ``ts: timestamp`` +
+    ``ts_ns: bigint``.  The DuckDB oracles use ``epoch_ns(ts)``, which is
+    shape-agnostic, so only this Spark-side loader needs the dual branch.
     """
     # defensive session-conf pinning: the driver may call queries with its
     # own SparkSession.  Timestamp rendering (date_format/year/month) is
@@ -91,15 +103,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # pin UTC so results agree regardless of the caller's JVM default.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # without this runtime-settable conf the ns-timestamp parquet fails
-        # to load at all (PARQUET_TYPE_ILLEGAL, FIXTURES.md)
+        # back-compat with the old ns-timestamp fixture shape, which fails
+        # to load at all without this (PARQUET_TYPE_ILLEGAL, FIXTURES.md);
+        # harmless no-op for the current timestamp[us] shape
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division (`div`), not `/`: ns epochs overflow double precision
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # old INT64-nanos shape: integer division (`div`), not `/` —
+            # ns epochs overflow double precision
+            df = df.withColumn("ts_ns", F.col("ts")).withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type is not None and ts_type.startswith("timestamp"):
+            # current timestamp[us] shape (reads as TIMESTAMP_NTZ); the
+            # NTZ→LTZ cast is a wall-clock reinterpret under the UTC
+            # session tz pinned above, and unix_micros needs LTZ
+            ts_ltz = F.col("ts").cast("timestamp")
+            df = df.withColumn("ts", ts_ltz).withColumn(
+                "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
+            )
     return df
 
 

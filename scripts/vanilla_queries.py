@@ -34,9 +34,17 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in ["lineitem", "orders", "customer", "nation", "region", "events"]
     }
-    # events.ts is INT64 ns (read as long under nanosAsLong); integer div —
-    # double division loses ns precision (FIXTURES.md)
-    events = t["events"].withColumn("ts_sec", F.expr("ts div 1000000000"))
+    # events.ts has two known physical shapes (FIXTURES.md): INT64-nanos
+    # (reads as bigint under nanosAsLong → integer div, double division
+    # loses ns precision) or timestamp[us] (current fixtures → unix epoch)
+    if dict(t["events"].dtypes).get("ts") == "bigint":
+        events = t["events"].withColumn("ts_sec", F.expr("ts div 1000000000"))
+    else:
+        # timestamp[us] reads as TIMESTAMP_NTZ; cast to LTZ (UTC session tz
+        # → wall-clock reinterpret) so unix epoch extraction resolves
+        events = t["events"].withColumn(
+            "ts_sec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+        )
 
     def q1_pricing():
         return (
