@@ -368,6 +368,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     - band width is the scale lever: 256 buckets/band keeps buckets
       ~corpus/256 so the verify join stays near-linear (4-bit nibble bands
       measured 19 s from quadratic bucket pairs).
+
+    Scale shape: candidate pairs come from a bucket-local SELF-JOIN on
+    (band_id, band_val) — never a per-bucket ``collect_list``, which would
+    pack a hot band value into one unbounded array row (single-task OOM at
+    100 TB).  The join keeps every bucket's pair expansion distributed and
+    AQE skew-split applies; both join inputs are the identical banded
+    subplan shuffled on the same key, so Spark plans ONE signature pass and
+    a ReusedExchange for the other side (asserted in tests/test_plans.py).
     """
     # fan the signature computation out across all cores — the md5 + 32
     # filter passes were measured serialized onto one task at sf0.1 (one
@@ -383,23 +391,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT doc_id, sh, k AS band_id,
                  (sh div cast(pow(256, k) as bigint)) % 256 AS band_val
           FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k
-        ),
-        buckets AS (
-          SELECT sort_array(collect_list(struct(doc_id, sh))) AS ids
-          FROM bands GROUP BY band_id, band_val
-          HAVING size(collect_list(doc_id)) > 1
-        ),
-        pairs AS (
-          SELECT inline(flatten(transform(
-            sequence(1, size(ids) - 1),
-            i -> transform(slice(ids, i + 1, size(ids) - i),
-                           y -> named_struct(
-                             'doc_a', ids[i-1].doc_id, 'doc_b', y.doc_id,
-                             'hamming', CAST(bit_count(ids[i-1].sh ^ y.sh) AS BIGINT)))
-          ))) AS (doc_a, doc_b, hamming)
-          FROM buckets
         )
-        SELECT DISTINCT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(a.sh ^ b.sh) <= 3
         """
     )
 

@@ -1,10 +1,15 @@
 #!/usr/bin/env python
 """Regenerate PLANS.md: the formatted physical plan of each flagship
 query with a one-line reading of why the shape survives 100 TB.
-Run from the repo root: PYTHONPATH=. python scripts/gen_plans.py
+Run from the repo root: python scripts/gen_plans.py
 """
 
 from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 

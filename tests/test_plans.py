@@ -233,6 +233,21 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in p.lower(), p
 
 
+def test_simhash_pairs_join_not_bucket_materialization(spark, sf_dir):
+    """dedup_simhash must expand candidate pairs via the bucket-local
+    self-join, never a per-bucket collect_list (a hot band value would
+    pack into ONE unbounded array row → single-task OOM at 100 TB).  The
+    two join inputs are the identical banded subplan shuffled on the same
+    key, so Spark must also plan the signature stage once (ReusedExchange
+    on the other side — only visible in the post-execution AQE final
+    plan, so force via collect like test_flagship_stays_in_codegen)."""
+    df = REGISTRY["dedup_simhash"].fn(spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in p, "simhash pairs regressed to bucket materialization"
+    assert "ReusedExchange" in p, "signature stage computed twice — exchange reuse lost"
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
