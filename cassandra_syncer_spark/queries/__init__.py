@@ -4,6 +4,7 @@ from cassandra_syncer_spark.queries import (  # noqa: F401
     analytics_extras,
     analytics_r3,
     analytics_r3b,
+    approx_bounds,
     incremental,
     joins,
     llm_dedup,

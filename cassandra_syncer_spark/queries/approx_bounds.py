@@ -1,0 +1,147 @@
+"""Deterministic bounds-oracles for the sketch-based operators.
+
+The sketch estimators (HLL++ count-distinct, Greenwald-Khanna
+percentiles, HLL sketch union) can never hash-match a DuckDB oracle —
+each engine's sketch yields different estimates — so their primary
+queries are rows-only by contract.  These companion queries convert each
+family to a HASH-CHECKED driver row anyway, by emitting only values both
+engines can reproduce exactly:
+
+- the group key and the EXACT statistic (computable in both engines), and
+- a boolean asserting the Spark sketch satisfies its documented accuracy
+  guarantee against that exact value.
+
+The boolean is computed genuinely on the Spark side (estimate vs exact);
+the oracle emits the literal ``true`` the guarantee demands.  Sketches
+with fixed parameters on fixed data are deterministic, so the check is
+stable — if a Spark upgrade or a query edit ever breaks an estimator's
+envelope, the driver row flips red.
+
+Reference parity: the reference ships no sketches (its manifest dedup is
+exact, ``bin/cassandra-syncer:83-110``); these operators are part of the
+100 TB extension surface where exact distincts/percentiles stop scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.registry import register
+from cassandra_syncer_spark.session import load_table as T
+
+
+@register(
+    "agg_approx_distinct_bounds",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           true AS approx_within_5pct
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ count-distinct checked against its accuracy envelope.
+
+    ``approx_count_distinct(rsd=0.02)`` is a ~2%-relative-stddev
+    estimator; 5% is 2.5σ, comfortably inside the envelope at this
+    cardinality.  One pass over events either way — the exact distinct is
+    affordable at fixture scale and IS the point: prove the estimator,
+    then at 100 TB run only the estimator (``agg_approx_distinct``).
+    """
+    ev = T(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", 0.02).alias("appx"),
+    )
+    err = F.abs(F.col("appx") - F.col("n_users_exact"))
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (err <= 0.05 * F.col("n_users_exact")).alias("approx_within_5pct"),
+    ).orderBy("event_type")
+
+
+@register(
+    "agg_percentile_approx_bounds",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           true AS p50_in_rank_window,
+           true AS p95_in_rank_window
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approx percentile checked against its RANK-error
+    guarantee: ``approx_percentile(x, p, acc)`` returns a value whose rank
+    is within 1/acc of p.  With acc=1000 (ε=0.001) we assert the estimate
+    lies between the exact percentiles at p±0.01 — a 10× margin, so the
+    check is robust to interpolation differences while still catching any
+    real envelope violation.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("a95"),
+        F.expr("percentile(l_extendedprice, 0.49)").alias("lo50"),
+        F.expr("percentile(l_extendedprice, 0.51)").alias("hi50"),
+        F.expr("percentile(l_extendedprice, 0.94)").alias("lo95"),
+        F.expr("percentile(l_extendedprice, 0.96)").alias("hi95"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_in_rank_window"
+        ),
+        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
+            "p95_in_rank_window"
+        ),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_hll_union_bounds",
+    oracle="""
+    WITH w AS (
+      SELECT lang, source, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_partials,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words_exact,
+           true AS union_within_5pct
+    FROM w GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_hll_union_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch union checked against the exact distinct count.
+
+    Mirrors ``agg_hll_union`` (per-(lang, source) HLL partials unioned
+    per lang) but emits only the cross-engine-reproducible pieces: the
+    partial count, the exact distinct word count, and whether the unioned
+    estimate lands within 5% of exact (HLL++'s documented envelope at
+    this cardinality).  The union-of-partials path — the 100 TB shape —
+    is what the boolean certifies.
+    """
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select("lang", "source", F.explode(F.split("text", " ")).alias("word"))
+    partials = words.groupBy("lang", "source").agg(F.hll_sketch_agg("word").alias("sk"))
+    merged = partials.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partials"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est"),
+    )
+    exact = words.groupBy("lang").agg(F.countDistinct("word").alias("n_words_exact"))
+    err = F.abs(F.col("est") - F.col("n_words_exact"))
+    return (
+        merged.join(exact, "lang")
+        .select(
+            "lang",
+            "n_partials",
+            "n_words_exact",
+            (err <= 0.05 * F.col("n_words_exact")).alias("union_within_5pct"),
+        )
+        .orderBy("lang")
+    )

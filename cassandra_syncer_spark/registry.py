@@ -78,6 +78,9 @@ PRIORITY: tuple[str, ...] = (
     "q11_important_stock",
     "q20_potential_promotion",
     "q21_late_suppliers",
+    "agg_approx_distinct_bounds",
+    "agg_percentile_approx_bounds",
+    "agg_hll_union_bounds",
     # -- 2: last verified in round 1 only (never re-checked since; each
     #       retains an r1 hash-pass + continuous local oracle parity) -------
     "agg_approx_distinct",

@@ -167,6 +167,24 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
             assert abs(a - e) / e < 0.02, f"{k}: approx {a} vs exact {e}"
 
 
+def test_approx_distinct_tracks_exact(spark, sf_dir):
+    """The HLL++ count-distinct (rows-only in t2) must sit within 5%
+    (2.5σ at rsd=0.02) of the exact per-group distinct — the accuracy
+    contract that justifies swapping it in at scale.  Also pins the row
+    count to the event-type cardinality so the driver's rows-only check
+    has a documented expectation."""
+    from cassandra_syncer_spark.queries.relational import agg_approx_distinct, agg_count_distinct
+
+    exact = {r.event_type: r.n_users for r in agg_count_distinct(spark, sf_dir).collect()}
+    approx = {r.event_type: r.approx_users for r in agg_approx_distinct(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    assert len(approx) == 5  # one row per event_type at every sf
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] < 0.05, (
+            f"{k}: approx {approx[k]} vs exact {exact[k]}"
+        )
+
+
 def test_hll_union_accuracy(spark, sf_dir):
     """Unioning per-(lang,source) HLL sketches must estimate per-lang
     distinct word counts within 5% of exact — the accuracy contract that
