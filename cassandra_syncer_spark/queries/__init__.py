@@ -4,6 +4,7 @@ from cassandra_syncer_spark.queries import (  # noqa: F401
     analytics_extras,
     analytics_r3,
     analytics_r3b,
+    analytics_r4,
     approx_bounds,
     incremental,
     joins,
@@ -16,5 +17,6 @@ from cassandra_syncer_spark.queries import (  # noqa: F401
     scalar_funcs,
     streaming_source,
     tpch_style,
+    tpch_style_r4,
     windows,
 )

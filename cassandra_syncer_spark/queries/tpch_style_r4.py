@@ -1,0 +1,506 @@
+"""TPC-H shapes q2/q4/q7/q8/q9/q11/q20/q21 — the round-4 batch that
+completes the 22-query family (q1 ≙ agg_group_sum; q3/q5/q6/q10/q12/q13/
+q14/q15/q16/q17/q18/q19/q22 in tpch_style.py).
+
+The fixture star schema has no ``partsupp`` table and no
+commit/receipt-date columns, so the queries that need them are re-derived
+against what the fixtures carry, preserving each query's PLAN SHAPE (the
+thing that matters at 100 TB):
+
+- supply cost (q2/q9/q11/q20) ⇒ observed unit price / retail-price proxy
+  aggregated from lineitem per (part, supplier);
+- late delivery (q4/q21) ⇒ ``l_shipdate`` more than a margin after
+  ``o_orderdate``.
+
+Determinism discipline (same as tpch_style.py): money sums staged as
+round(x*10000) bigint on BOTH engines, years cast to int, shares divided
+from exact integer sums then rounded — so the driver's value hash is
+stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+_CENT = 10000.0  # integer staging unit for money sums
+
+
+def _volume_cents() -> F.Column:
+    return F.round((F.col("l_extendedprice") * (1 - F.col("l_discount"))) * _CENT).cast("long")
+
+
+_VOLUME_SQL = "CAST(round((l.l_extendedprice * (1 - l.l_discount)) * 10000.0) AS BIGINT)"
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             min(round(l_extendedprice / l_quantity, 4)) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    cand AS (
+      SELECT p.p_partkey, p.p_brand, eu.s_name, eu.n_name, eu.s_acctbal,
+             c.unit_cost,
+             min(c.unit_cost) OVER (PARTITION BY p.p_partkey) AS best_cost
+      FROM part p
+      JOIN cost c ON c.l_partkey = p.p_partkey
+      JOIN eu ON eu.s_suppkey = c.l_suppkey
+      WHERE p.p_type = 'LARGE'
+    )
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+           p_partkey, p_brand, round(unit_cost, 4) AS unit_cost
+    FROM cand WHERE unit_cost = best_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 20
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part within a region.
+
+    No partsupp fixture ⇒ supply cost := min observed unit price
+    (l_extendedprice/l_quantity) per (part, supplier) from lineitem.  The
+    correlated min-cost subquery becomes a per-part window min — one
+    shuffle on partkey instead of TPC-H's correlated rescan; supplier /
+    nation / region dims broadcast.
+    """
+    cost = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias("unit_cost"))
+    )
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    from pyspark.sql.window import Window
+
+    cand = (
+        cost.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("best_cost", F.min("unit_cost").over(Window.partitionBy("p_partkey")))
+    )
+    return (
+        cand.filter(F.col("unit_cost") == F.col("best_cost"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarter window + EXISTS semi-join + priority count.
+
+    No commit/receipt dates ⇒ "late" := shipped >30 days after the order
+    date.  The correlated EXISTS is a left-semi join on orderkey with the
+    date comparison as a join-side predicate — one shuffle, no subquery
+    rescan.
+    """
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           sum({_VOLUME_SQL}) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_8')
+        OR (ns.n_name = 'NATION_8' AND nc.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bi-directional nation-pair trade volume by year.
+
+    The fact (lineitem⋈orders) is the only big join; customer, supplier
+    and both nation aliases broadcast; the OR'd nation-pair predicate
+    evaluates after those broadcasts, before the final group-by shuffle.
+    """
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    ns = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+    ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg((F.sum(_volume_cents()) / _CENT).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             {_VOLUME_SQL} AS vol_c,
+             ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+      JOIN region r   ON nc.n_regionkey = r.r_regionkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol_c ELSE 0 END) AS DOUBLE)
+                 / sum(vol_c), 6) AS mkt_share
+    FROM v GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's market share of a region's imports by
+    year — conditional-sum / sum over the same joined fact, so ONE plan
+    serves numerator and denominator (no second scan).  Share divided
+    from exact integer-cent sums, then rounded, for a stable hash.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region")
+    )
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = T(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _volume_cents()
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("vol_c"),
+            "supp_nation",
+        )
+    )
+    national = F.sum(F.when(F.col("supp_nation") == "NATION_2", F.col("vol_c")).otherwise(F.lit(0)))
+    return (
+        joined.groupBy("o_year")
+        .agg(F.round(national.cast("double") / F.sum("vol_c"), 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT ns.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                           - 0.6 * p.p_retailprice * l.l_quantity) * 10000.0) AS BIGINT))
+             / 10000.0 AS sum_profit
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2 ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per year over a
+    part-name pattern.
+
+    No partsupp ⇒ supply cost := 0.6 × p_retailprice per unit (a fixed
+    cost model keeps the profit expression deterministic on both
+    engines).  The name LIKE filter prunes part BEFORE its broadcast;
+    profit staged integer-cents pre-sum.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    profit_c = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * _CENT
+    ).cast("long")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg((F.sum(profit_c) / _CENT).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             sum(CAST(round(l.l_extendedprice * 100.0) AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value_c / 100.0 AS value
+    FROM val
+    WHERE value_c > (SELECT 0.001 * sum(value_c) FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value within one nation, kept only above
+    a fraction of the nation's grand total.
+
+    No partsupp ⇒ value := Σ l_extendedprice per part from that nation's
+    suppliers.  The grand-total scalar is a 1-row broadcast crossJoin —
+    the aggregated per-part frame is computed ONCE and reused for both
+    the per-part rows and the scalar (no second scan of lineitem).
+    """
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        T(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.round(F.col("l_extendedprice") * 100.0).cast("long")).alias("value_c"))
+    )
+    total = val.agg((F.sum("value_c") * 0.001).alias("threshold"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c") > F.col("threshold"))
+        .select("l_partkey", (F.col("value_c") / 100.0).alias("value"))
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+      HAVING sum(l.l_quantity) > 30
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_3'
+      AND s.s_suppkey IN (SELECT l_suppkey FROM shipped)
+    ORDER BY s_suppkey
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who moved significant
+    volume of a name-patterned part line in a year.
+
+    No partsupp availability ⇒ "significant" := >30 units of one part in
+    the window.  Chain: part-name filter broadcasts into lineitem, the
+    HAVING aggregates on (suppkey, partkey), and the supplier side
+    consumes it as a left-semi join — each stage strictly shrinks the
+    data, nothing is rescanned.
+    """
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    shipped = (
+        T(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 30)
+        .select("l_suppkey")
+    )
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_late_suppliers",
+    oracle="""
+    WITH lo AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY AS is_late
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    waiters AS (
+      SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      FROM lo l1
+      WHERE l1.is_late
+        AND EXISTS (SELECT 1 FROM lo l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lo l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM waiters w JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 20
+    """,
+)
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on
+    multi-supplier finished orders.
+
+    No receipt/commit dates ⇒ "late" := shipped >45 days after the order
+    date.  The (orderkey, suppkey, is_late) frame is defined once; the
+    EXISTS becomes a left-semi and the NOT EXISTS a left-anti join, both
+    equi on orderkey with the suppkey inequality as a join predicate —
+    the classic double-semi-join plan, no correlated rescans and no
+    nested-loop joins (all three branches shuffle on orderkey; SMJ at
+    scale, AQE-converted to broadcast at fixture scale).
+    """
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")).alias(
+                "is_late"
+            ),
+        )
+    )
+    l1 = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").alias("l1")
+    l2 = lo.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    ).alias("l2")
+    l3 = (
+        lo.filter(F.col("is_late"))
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        .alias("l3")
+    )
+    waiters = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+        .distinct()
+    )
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiters.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

@@ -81,6 +81,11 @@ PRIORITY: tuple[str, ...] = (
     "agg_approx_distinct_bounds",
     "agg_percentile_approx_bounds",
     "agg_hll_union_bounds",
+    "sim_range_search",
+    "corpus_token_histogram",
+    "mix_temperature_sampling",
+    "text_contamination_exact",
+    "scan_jsonl_roundtrip",
     # -- 2: last verified in round 1 only (never re-checked since; each
     #       retains an r1 hash-pass + continuous local oracle parity) -------
     "agg_approx_distinct",
