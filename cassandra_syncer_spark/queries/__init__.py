@@ -5,6 +5,7 @@ from cassandra_syncer_spark.queries import (  # noqa: F401
     analytics_r3,
     analytics_r3b,
     analytics_r4,
+    analytics_r4b,
     approx_bounds,
     incremental,
     joins,

@@ -1,0 +1,209 @@
+"""Round-4 batch 2: time-series gap-fill resampling, statistical anomaly
+flagging, RAG-style document chunking, and Matryoshka embedding
+truncation — four more pipeline shapes a 100 TB curation / analytics
+stack runs routinely, each oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.queries.llm_similarity import _dot, _vec
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+_HOUR_NS = 3600 * 1_000_000_000
+
+
+@register(
+    "events_resample_gapfill",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type, epoch_ns(ts) // {_HOUR_NS} AS hour,
+             CAST(round(value * 100.0) AS BIGINT) AS vc
+      FROM events
+    ),
+    span AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM ev),
+    spine AS (
+      SELECT t.event_type, g.h AS hour
+      FROM (SELECT DISTINCT event_type FROM ev) t,
+           (SELECT unnest(generate_series(h0, h1)) AS h FROM span) g
+    ),
+    agg AS (
+      SELECT event_type, hour, count(*) AS n, sum(vc) AS vsum
+      FROM ev GROUP BY event_type, hour
+    )
+    SELECT s.event_type AS event_type, s.hour AS hour,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(a.vsum, 0) AS BIGINT) AS value_centi
+    FROM spine s LEFT JOIN agg a
+      ON s.event_type = a.event_type AND s.hour = a.hour
+    ORDER BY s.event_type, s.hour
+    """,
+)
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with GAP FILLING: every (event_type, hour) bucket
+    in the observed span gets a row, zero-filled where no events landed —
+    the dense-grid shape charting and downstream window math require
+    (a sparse group-by silently skips empty buckets).
+
+    Scale shape: the dense spine is generated (types × hours — tiny
+    relative to events) and LEFT-joins the aggregated facts; the raw
+    table is touched once.  At 100 TB the spine stays broadcastable
+    (cardinality = |types| × span-hours, independent of event count).
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts_ns") / F.lit(_HOUR_NS)).cast("long").alias("hour"),
+        F.round(F.col("value") * 100.0).cast("long").alias("vc"),
+    )
+    agg = ev.groupBy("event_type", "hour").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vsum")
+    )
+    span = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hour"))
+    )
+    return (
+        spine.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("vsum"), F.lit(0)).cast("long").alias("value_centi"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH staged AS (
+      SELECT event_id, event_type, CAST(round(value * 100.0) AS BIGINT) AS vc
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(sum(vc) AS DOUBLE) AS s,
+             CAST(sum(vc * vc) AS DOUBLE) AS q,
+             count(*) AS n
+      FROM staged GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round((CAST(e.vc AS DOUBLE) - t.s / t.n)
+                 / sqrt((t.q - t.s * t.s / t.n) / (t.n - 1)), 4) AS z
+    FROM staged e JOIN stats t ON e.event_type = t.event_type
+    WHERE abs((CAST(e.vc AS DOUBLE) - t.s / t.n)
+              / sqrt((t.q - t.s * t.s / t.n) / (t.n - 1))) > 3.0
+    ORDER BY event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly flagging: events whose value is >3σ from their
+    type's mean — the data-quality tripwire run before any corpus enters
+    a training mix.
+
+    Determinism discipline (same as ``feat_standardize``): moments from
+    exact integer sums (Σvc, Σvc² as longs) so mean/σ/z are identical
+    doubles in both engines; the 3σ cut applies to the UNROUNDED z on
+    both sides.  Scale: per-type stats are a tiny broadcast join-back —
+    one scan + one 5-row agg, no window over raw rows.
+    """
+    staged = T(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100.0).cast("long").alias("vc")
+    )
+    stats = staged.groupBy("event_type").agg(
+        F.sum("vc").cast("double").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).cast("double").alias("q"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    s, qq, n = F.col("s"), F.col("q"), F.col("n")
+    z = (F.col("vc").cast("double") - s / n) / F.sqrt((qq - s * s / n) / (n - 1))
+    return (
+        staged.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3.0)
+        .select("event_id", "event_type", F.round(z, 4).alias("z"))
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "doc_chunk_split",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    c AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_id,
+             substr(text, CAST(i * 400 + 1 AS BIGINT), 500) AS chunk
+      FROM d, LATERAL (
+        SELECT unnest(range(0, (greatest(L, 1) - 1) // 400 + 1)) AS i)
+    )
+    SELECT doc_id, chunk_id, md5(chunk) AS chunk_md5,
+           CAST(length(chunk) AS BIGINT) AS chunk_len
+    FROM c ORDER BY doc_id, chunk_id
+    """,
+)
+def doc_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style document chunking: 500-char windows every 400 chars
+    (100-char overlap so no boundary sentence is lost), emitted as
+    (doc_id, chunk_id, md5, len) — md5 instead of the text itself keeps
+    the verification row narrow; a real pipeline carries the substring.
+
+    Scale shape: pure per-row explode (sequence + substring) fused into
+    the scan — no shuffle at all; chunk count is ⌈len/stride⌉ per doc, so
+    output bytes ≈ 1.25× input bytes regardless of corpus size.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").alias("L")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr("sequence(0, int((greatest(L, 1) - 1) div 400))")
+            ).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.expr("substring(text, chunk_id * 400 + 1, 500)").alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.md5("chunk").alias("chunk_md5"),
+            F.length("chunk").cast("long").alias("chunk_len"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "embed_matryoshka_truncate",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT vec_id, label,
+           round(list_inner_product(v[1:8], v[1:8]), 6) AS energy_8d
+    FROM e ORDER BY vec_id
+    """,
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: the energy (squared norm)
+    retained by the first 8 dimensions of each unit-norm embedding — the
+    number that decides whether a cheap truncated index is good enough
+    before re-embedding a 100 TB corpus.
+
+    Higher-order array functions only (slice + zip_with/aggregate fold),
+    no UDF, no shuffle — the plan is a pure scan map like
+    ``embed_quantize_int8``.
+    """
+    emb = _vec(T(spark, sf_dir, "embeddings"))
+    v8 = F.slice("v", 1, 8)
+    return emb.select(
+        "vec_id", "label", F.round(_dot(v8, v8), 6).alias("energy_8d")
+    ).orderBy("vec_id")

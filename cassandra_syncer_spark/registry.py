@@ -86,6 +86,10 @@ PRIORITY: tuple[str, ...] = (
     "mix_temperature_sampling",
     "text_contamination_exact",
     "scan_jsonl_roundtrip",
+    "events_resample_gapfill",
+    "events_anomaly_zscore",
+    "doc_chunk_split",
+    "embed_matryoshka_truncate",
     # -- 2: last verified in round 1 only (never re-checked since; each
     #       retains an r1 hash-pass + continuous local oracle parity) -------
     "agg_approx_distinct",

@@ -233,6 +233,46 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir, tmp_path):
     assert "dynamicpruningexpression" in p.lower(), p
 
 
+def test_tpch_r4_star_joins_broadcast_dims(spark, sf_dir):
+    """q7/q8/q9: every dimension side must resolve to a broadcast hash
+    join at fixture scale — a lost hint here means a full dim shuffle per
+    join at 100 TB."""
+    for name, min_bc in [
+        ("q7_volume_shipping", 4),
+        ("q8_market_share", 6),
+        ("q9_product_profit", 3),
+    ]:
+        p = plan_of(spark, sf_dir, name)
+        assert p.count("BroadcastHashJoin") >= min_bc, f"{name} lost dim broadcasts"
+
+
+def test_q21_semi_anti_are_hash_joins(spark, sf_dir):
+    """q21's EXISTS/NOT-EXISTS must plan as equi semi/anti hash joins on
+    orderkey (suppkey inequality as join predicate) — never a nested-loop
+    over the fact."""
+    p = plan_of(spark, sf_dir, "q21_late_suppliers")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p, "q21 correlated EXISTS fell to nested-loop"
+
+
+def test_q2_correlated_min_is_window(spark, sf_dir):
+    """q2's per-part min-cost subquery must be a window min sharing the
+    partkey partitioning — not a re-aggregated self-join of the cost
+    frame (two shuffles + a join at scale)."""
+    p = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q11_threshold_is_scalar_broadcast(spark, sf_dir):
+    """q11's fraction-of-total threshold must reach the per-part rows as
+    a 1-row broadcast (BroadcastNestedLoopJoin over a single scalar row is
+    the intended cheap shape), never a shuffled join or a second scan of
+    lineitem."""
+    p = plan_of(spark, sf_dir, "q11_important_stock")
+    assert p.count("Relation [l_orderkey") <= 2  # val frame + its scalar agg, no 3rd scan
+
+
 def test_simhash_pairs_join_not_bucket_materialization(spark, sf_dir):
     """dedup_simhash must expand candidate pairs via the bucket-local
     self-join, never a per-bucket collect_list (a hot band value would
