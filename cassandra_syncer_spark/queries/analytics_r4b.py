@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_syncer_spark.operators.asof import asof_join
 from cassandra_syncer_spark.queries.llm_similarity import _dot, _vec
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
@@ -207,3 +208,106 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", "label", F.round(_dot(v8, v8), 6).alias("energy_8d")
     ).orderBy("vec_id")
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH lft AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec
+      FROM events WHERE event_type = 'click'
+    ), rgt AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+             max(event_id) AS r_event_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts_sec,
+           min_by(r.r_event_id, r.ts_sec) AS matched_event_id,
+           min(r.ts_sec) AS matched_ts_sec
+    FROM lft l
+    LEFT JOIN rgt r ON l.user_id = r.user_id AND r.ts_sec >= l.ts_sec
+    GROUP BY l.event_id, l.user_id, l.ts_sec
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each click, the EARLIEST purchase at-or-
+    after it — the time-to-conversion lookup (``join_asof`` answers the
+    backward "state as of" question; this answers "what happened next").
+
+    Implemented as the backward as-of over NEGATED timestamps — zero new
+    operator code, so both directions share the one-shuffle union+window
+    dataflow (operators/asof.py) and its scale posture.  The oracle keeps
+    the O(n·m)-per-key join+argmin formulation, fine at sf0.01 only.
+    """
+    ev = T(spark, sf_dir, "events").withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts_sec")
+        .withColumn("ts_neg", -F.col("ts_sec"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_sec", "event_id")
+        .withColumn("ts_neg", -F.col("ts_sec"))
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_neg",
+        right_ts="ts_neg",
+        value_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.col("matched_event_id"),
+        (-F.col("matched_ts")).alias("matched_ts_sec"),
+    )
+
+
+@register(
+    "agg_partial_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_centi
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial aggregation — the incremental-rollup pattern for
+    plain sums/counts: each data shard (here orders split by key parity,
+    standing in for daily partitions) aggregates INDEPENDENTLY, and the
+    final totals come from merging the partial rows — proven equal to the
+    direct aggregation by the oracle.
+
+    This is the 100 TB continuous-rollup story for the 99% of metrics
+    that are algebraic (sum/count/min/max): persist per-partition partial
+    rows (cheap, shard-local), answer totals by re-aggregating partials
+    (cardinality = groups × shards, not raw rows), never rescan history —
+    the plain-agg sibling of ``agg_hll_union``'s sketch partials.
+    """
+    orders = T(spark, sf_dir, "orders")
+
+    def partial(shard: DataFrame) -> DataFrame:
+        return shard.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100.0).cast("long")).alias("tc"),
+        )
+
+    shards = [
+        partial(orders.filter(F.col("o_orderkey") % 2 == i)) for i in (0, 1)
+    ]
+    merged = shards[0].unionByName(shards[1])
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("tc").cast("long").alias("total_centi"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -90,6 +90,8 @@ PRIORITY: tuple[str, ...] = (
     "events_anomaly_zscore",
     "doc_chunk_split",
     "embed_matryoshka_truncate",
+    "join_asof_forward",
+    "agg_partial_merge",
     # -- 2: last verified in round 1 only (never re-checked since; each
     #       retains an r1 hash-pass + continuous local oracle parity) -------
     "agg_approx_distinct",
