@@ -55,6 +55,23 @@ FLAGSHIPS = [
         "connected components: one equi-join + min-agg per round, driver sees "
         "one convergence scalar per round",
     ),
+    (
+        "dedup_simhash",
+        "r4 rewrite: candidate pairs via bucket-local SELF-JOIN on "
+        "(band_id, band_val) — no per-bucket collect_list row, ReusedExchange "
+        "plans the signature stage once, AQE skew-split applies to hot bands",
+    ),
+    (
+        "q21_late_suppliers",
+        "correlated EXISTS/NOT-EXISTS as equi semi+anti hash joins on "
+        "orderkey (suppkey inequality as join predicate) — no nested-loop, "
+        "no correlated rescans",
+    ),
+    (
+        "events_resample_gapfill",
+        "generated dense spine (types × hours) LEFT-joins the aggregated "
+        "facts: raw table scanned once, spine broadcastable at any scale",
+    ),
 ]
 
 
