@@ -294,3 +294,36 @@ def test_int8_ann_recall_vs_float(spark, duck, sf_dir):
     neighborhood = sum(len(got[q] & top20[q]) for q in top20) / n
     assert neighborhood >= 0.8, f"int8 top-5 escaped the float top-20: {neighborhood:.2f}"
     assert strict >= 0.4, f"int8 strict top-5 recall collapsed: {strict:.2f}"
+
+
+def test_doc_chunks_reconstruct_documents(spark, sf_dir):
+    """doc_chunk_split invariant: chunks are substr(text, i*400+1, 500),
+    so stitching the first 400 chars of every chunk plus the final
+    chunk's tail reproduces the document exactly — verified against an
+    independent Python reimplementation via the emitted md5s (the chunk
+    hashes are the operator's output contract)."""
+    import hashlib
+
+    from cassandra_syncer_spark.queries.analytics_r4b import doc_chunk_split
+    from cassandra_syncer_spark.queries.relational import T
+
+    texts = {
+        r.doc_id: r.text
+        for r in T(spark, sf_dir, "documents").select("doc_id", "text").limit(25).collect()
+    }
+    got = {}
+    for r in doc_chunk_split(spark, sf_dir).collect():
+        if r.doc_id in texts:
+            got.setdefault(r.doc_id, {})[r.chunk_id] = (r.chunk_md5, r.chunk_len)
+    for doc_id, text in texts.items():
+        l = max(len(text), 1)
+        expected = {
+            i: (
+                hashlib.md5(text[i * 400 : i * 400 + 500].encode()).hexdigest(),
+                len(text[i * 400 : i * 400 + 500]),
+            )
+            for i in range((l - 1) // 400 + 1)
+        }
+        assert got[doc_id] == expected, f"doc {doc_id} chunking mismatch"
+        # coverage invariant: chunks tile the text with 100-char overlap
+        assert sum(n for _, n in expected.values()) >= len(text)
