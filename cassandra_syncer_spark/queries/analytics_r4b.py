@@ -50,9 +50,14 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a sparse group-by silently skips empty buckets).
 
     Scale shape: the dense spine is generated (types × hours — tiny
-    relative to events) and LEFT-joins the aggregated facts; the raw
-    table is touched once.  At 100 TB the spine stays broadcastable
-    (cardinality = |types| × span-hours, independent of event count).
+    relative to events) and LEFT-joins the aggregated facts.  The heavy
+    3-column pass over events happens once (the agg); Catalyst derives
+    the span and the type list as separate SINGLE-column pruned scans
+    (min/max over ts, distinct over event_type — metadata-cheap) rather
+    than reusing the agg subplan.  At 100 TB the spine stays
+    broadcastable (cardinality = |types| × span-hours, independent of
+    event count); pin the span as literals to skip the two auxiliary
+    scans entirely.
     """
     ev = T(spark, sf_dir, "events").select(
         "event_type",
@@ -62,8 +67,11 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type", "hour").agg(
         F.count(F.lit(1)).alias("n"), F.sum("vc").alias("vsum")
     )
-    span = ev.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
-    types = ev.select("event_type").distinct()
+    # span + types derive from the AGGREGATED frame (≈ types × hours
+    # rows), never a second scan of raw events — at 100 TB the raw table
+    # is read exactly once
+    span = agg.agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    types = agg.select("event_type").distinct()
     spine = (
         types.crossJoin(F.broadcast(span))
         .select("event_type", F.explode(F.sequence("h0", "h1")).alias("hour"))

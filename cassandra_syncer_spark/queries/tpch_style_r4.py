@@ -131,13 +131,22 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     No commit/receipt dates ⇒ "late" := shipped >30 days after the order
     date.  The correlated EXISTS is a left-semi join on orderkey with the
     date comparison as a join-side predicate — one shuffle, no subquery
-    rescan.
+    rescan.  The lineitem side carries the DERIVED static bound
+    ``l_shipdate > window_start + 30d`` (implied by the join predicate +
+    the orders window): it can't change the result, but it pushes to the
+    parquet scan and prunes the fact side before the shuffle — the
+    difference between shuffling all of lineitem and a fraction of it at
+    100 TB.
     """
     o = T(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
     )
-    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate")
+        .filter(F.col("l_shipdate") > F.lit("1997-01-31 00:00:00").cast("timestamp"))
+    )
     return (
         o.join(
             li,
