@@ -98,11 +98,13 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, count(*) AS n FROM documents GROUP BY source
     ),
     w AS (
-      SELECT source, n, sqrt(CAST(n AS DOUBLE)) AS wt FROM cnt
+      SELECT source, n,
+             CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+      FROM cnt
     ),
     quota AS (
       SELECT source,
-             CAST(floor(100.0 * wt / (SELECT sum(wt) FROM w)) AS BIGINT) AS n_take
+             CAST((100 * wt) // (SELECT sum(wt) FROM w) AS BIGINT) AS n_take
       FROM w
     ),
     ranked AS (
@@ -128,20 +130,25 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``md5(doc_id)`` — a seedless, engine-portable "random" order — with
     quotas floored from exact counts, so Spark and DuckDB pick the SAME
     document set (no rand(), reproducible across reruns and engines: a
-    later audit can re-derive exactly which docs entered the mix).
+    later audit can re-derive exactly which docs entered the mix).  The
+    weights are made integer-exact (``round(sqrt(n)·10⁶)`` as bigint)
+    BEFORE summation: a double Σ√n depends on partial-agg addition order
+    (engine- and run-varying), and a quotient at an integer boundary
+    would flip the floor; integer wt + integer div make the quota a pure
+    function of the per-source counts.
     Scale: quotas are a tiny broadcast; one window shuffle on source —
     salting the window key is the escape hatch for a mega-source.
     """
     docs = T(spark, sf_dir, "documents")
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    w = cnt.select("source", F.sqrt(F.col("n").cast("double")).alias("wt"))
+    w = cnt.select(
+        "source",
+        F.round(F.sqrt(F.col("n").cast("double")) * 1_000_000).cast("long").alias("wt"),
+    )
     total = w.agg(F.sum("wt").alias("wt_sum"))
     quota = (
         w.crossJoin(F.broadcast(total))
-        .select(
-            "source",
-            F.floor(100.0 * F.col("wt") / F.col("wt_sum")).cast("long").alias("n_take"),
-        )
+        .select("source", F.expr("(100 * wt) div wt_sum").alias("n_take"))
     )
     rk = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
@@ -213,10 +220,13 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the parquet original proves the JSON round-trip is lossless
     for the carried columns (JSON string escaping covers arbitrary text).
     """
+    # sink path keyed by the Spark application id: two concurrent sessions
+    # on the same fixture (driver + local test run) must not race one
+    # shared overwrite directory
     out = os.path.join(
         tempfile.gettempdir(),
         "spark_graft_sinks",
-        f"jsonl-{os.path.basename(os.path.normpath(sf_dir))}",
+        f"jsonl-{os.path.basename(os.path.normpath(sf_dir))}-{spark.sparkContext.applicationId}",
     )
     (
         T(spark, sf_dir, "documents")

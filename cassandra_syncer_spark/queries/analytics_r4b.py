@@ -59,9 +59,12 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     event count); pin the span as literals to skip the two auxiliary
     scans entirely.
     """
+    # integer div, not float `/` + cast — under the legacy INT64-nanos
+    # fixture shape a ts within ~128 ns of an hour boundary would round
+    # up in double and land in the wrong bucket vs the oracle's exact //
     ev = T(spark, sf_dir, "events").select(
         "event_type",
-        (F.col("ts_ns") / F.lit(_HOUR_NS)).cast("long").alias("hour"),
+        F.expr(f"ts_ns div {_HOUR_NS}").alias("hour"),
         F.round(F.col("value") * 100.0).cast("long").alias("vc"),
     )
     agg = ev.groupBy("event_type", "hour").agg(

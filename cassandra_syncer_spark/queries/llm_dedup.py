@@ -119,22 +119,28 @@ def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared MinHash candidate-pair dataflow: (doc_a, doc_b,
     n_shared_bands) — the body of ``text_minhash_dedup``, reused by the
-    cluster query."""
+    cluster query.
+
+    Scale shape (same rewrite as ``dedup_simhash``): candidate pairs come
+    from a bucket-local SELF-JOIN on (band_id, band_key) — never a
+    per-bucket ``collect_list``, which would pack a hot band key's whole
+    bucket into ONE unbounded array row (single-task OOM at 100 TB;
+    dup-heavy crawls make hot bands the norm).  The join keeps every
+    bucket's pair expansion distributed and AQE skew-split applies; both
+    join inputs are the identical banded subplan shuffled on the same
+    key, so Spark plans ONE signature pass and a ReusedExchange for the
+    other side (asserted in tests/test_plans.py).  For pathologically hot
+    buckets beyond AQE's reach, :func:`cassandra_syncer_spark.operators.
+    skew.salted_self_pairs` is the documented cap rule.
+    """
     bands = _minhash_bands(spark, sf_dir)
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = buckets.selectExpr(
-        """
-        inline(flatten(transform(
-            sequence(1, size(ids) - 1),
-            i -> transform(slice(ids, i + 1, size(ids) - i),
-                           y -> named_struct('doc_a', ids[i-1], 'doc_b', y))
-        ))) AS (doc_a, doc_b)
-        """
-    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band_id") == F.col("b.band_id"))
+        & (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     return pairs.groupBy("doc_a", "doc_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_shared_bands")
     )
@@ -151,8 +157,9 @@ def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the md5 pass happens exactly once (staged projections keep
     Catalyst from inlining the hash array into its 8 consumers), the only
-    shuffle is groupBy(band_key), and pairs are expanded from each bucket's
-    sorted id array — cost bounded by bucket size², never corpus².  Banding
+    shuffle is on (band_id, band_key), and pairs are expanded by a
+    bucket-local self-join — cost bounded by bucket size², never corpus²,
+    and never one task per bucket (see ``_minhash_pairs``).  Banding
     math in operators/fingerprint.py.
     """
     return _minhash_pairs(spark, sf_dir)

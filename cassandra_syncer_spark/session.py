@@ -138,14 +138,28 @@ def fan_out(df: DataFrame, spark: SparkSession, min_partitions: int | None = Non
     so it fans the work out.
 
     Scale posture: at 100 TB the scan already has ≥ defaultParallelism
-    partitions and this is a no-op — the guard checks the planned partition
-    count and never *reduces* parallelism, so no shuffle is added on big
-    inputs.
+    partitions and this is a no-op — the guard never *reduces* parallelism,
+    so no shuffle is added on big inputs.
+
+    The guard reads scan metadata the planner already has — file list
+    (``df.inputFiles()``) and optimizer size stats — NOT
+    ``df.rdd.getNumPartitions()``, which would convert the whole plan to
+    an RDD on the driver per call (wasted planning work at scale).  The
+    scan is under-parallel only when BOTH hold: fewer files than cores
+    (small files pack, so many files ⇒ many partitions) AND total bytes
+    under ``n × maxPartitionBytes`` (big files split, so big bytes ⇒ many
+    partitions).  Callers only pass raw scans here.
     """
     n = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # non-file-backed / stat-less plan: fan out
         return df.repartition(n)
-    return df
+    if size >= n * 128 * 1024 * 1024:  # spark.sql.files.maxPartitionBytes default
+        return df
+    return df.repartition(n)
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -288,6 +288,28 @@ def test_simhash_pairs_join_not_bucket_materialization(spark, sf_dir):
     assert "ReusedExchange" in p, "signature stage computed twice — exchange reuse lost"
 
 
+def test_minhash_pairs_join_not_bucket_materialization(spark, sf_dir):
+    """Same posture as the simhash test for the MinHash family: every
+    query fed by ``_minhash_pairs`` must expand candidate pairs via the
+    bucket-local self-join, never a per-bucket collect_list (agg_collect
+    in the plan).  The banded subplan must also be planned once with a
+    ReusedExchange for the join's other side."""
+    for name in (
+        "text_minhash_dedup",
+        "dedup_cluster_components",
+        "dedup_apply_clusters",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in p, f"{name} regressed to bucket materialization"
+    # the pair front end itself: one signature pass, exchange reused
+    df = REGISTRY["text_minhash_dedup"].fn(spark, sf_dir)
+    df.collect()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p, "minhash band stage computed twice — exchange reuse lost"
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
