@@ -6,6 +6,7 @@ from cassandra_syncer_spark.queries import (  # noqa: F401
     analytics_r3b,
     analytics_r4,
     analytics_r4b,
+    analytics_r5,
     approx_bounds,
     incremental,
     joins,

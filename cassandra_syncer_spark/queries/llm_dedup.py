@@ -339,6 +339,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VERIFY_JACCARD_SQL = f"""
+    {_minhash_cte(True)},
+    bands AS ({_band_union(True)}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS uw FROM documents)
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(da.uw, db.uw)) AS DOUBLE)
+                 / len(list_distinct(list_concat(da.uw, db.uw))), 4) AS jaccard
+    FROM cand c
+    JOIN d da ON c.doc_a = da.doc_id
+    JOIN d db ON c.doc_b = db.doc_id
+    WHERE round(CAST(len(list_intersect(da.uw, db.uw)) AS DOUBLE)
+                / len(list_distinct(list_concat(da.uw, db.uw))), 4) >= 0.5
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_verify_jaccard", oracle=_VERIFY_JACCARD_SQL)
+def dedup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed two-stage near-dup pipeline the docstrings promise:
+    MinHash band buckets as the BLOCKING key (candidate generation, from
+    ``_minhash_pairs``'s bucket-local self-join) followed by exact
+    word-set Jaccard on the candidates only, keeping pairs ≥ 0.5 — i.e.
+    ``dedup_ngram_jaccard``'s verify stage running on its production
+    blocking key instead of the (lang, n_chars) demo key.
+
+    Scale shape: candidate volume is bounded by the banding math (bucket-
+    local, never corpus²); the verify stage joins each candidate pair
+    back to the two word sets by doc_id — two hash joins on the corpus
+    key, each touching only candidate docs after the semi-join pushdown.
+    The threshold applies to the ROUNDED value on both engines so the
+    cut is identical.
+    """
+    cand = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("uw")
+    )
+    da, db = docs.alias("da"), docs.alias("db")
+    inter = F.size(F.array_intersect(F.col("da.uw"), F.col("db.uw")))
+    union = F.size(F.array_union(F.col("da.uw"), F.col("db.uw")))
+    return (
+        cand.join(da, cand.doc_a == F.col("da.doc_id"))
+        .join(db, cand.doc_b == F.col("db.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _SIMHASH_CTE_DUCK = f"""
     WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=True)} AS words FROM documents),
     sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=True)} AS sh0 FROM w),

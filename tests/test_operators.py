@@ -327,3 +327,40 @@ def test_doc_chunks_reconstruct_documents(spark, sf_dir):
         assert got[doc_id] == expected, f"doc {doc_id} chunking mismatch"
         # coverage invariant: chunks tile the text with 100-char overlap
         assert sum(n for _, n in expected.values()) >= len(text)
+
+
+def test_contamination_prefiltered_equals_exact(spark, sf_dir):
+    """text_contamination_prefiltered's contract: the gram prefilter is a
+    candidate SUPERSET on this corpus, so after the exact contains verify
+    its output must equal text_contamination_exact's row for row."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    exact = {
+        (r.doc_id, r.n_hits)
+        for r in REGISTRY["text_contamination_exact"].fn(spark, sf_dir).collect()
+    }
+    pre = {
+        (r.doc_id, r.n_hits)
+        for r in REGISTRY["text_contamination_prefiltered"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "exact query found no contamination — fixture drifted?"
+    assert pre == exact
+
+
+def test_verify_jaccard_subset_of_candidates(spark, sf_dir):
+    """dedup_verify_jaccard keeps only candidate pairs from the MinHash
+    banding front end, and every kept pair's exact word-set Jaccard is
+    ≥ 0.5 — the two-stage candidate→verify contract."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in REGISTRY["text_minhash_dedup"].fn(spark, sf_dir).collect()
+    }
+    kept = REGISTRY["dedup_verify_jaccard"].fn(spark, sf_dir).collect()
+    assert kept, "verify stage kept nothing — banding or threshold drifted"
+    for r in kept:
+        assert (r.doc_a, r.doc_b) in cand
+        assert r.jaccard >= 0.5
