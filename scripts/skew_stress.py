@@ -69,4 +69,52 @@ for name, fn in [("plain", plain), ("salted", salted)]:
 
 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
 spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+# ---------------------------------------------------------------------------
+# LSH hot-band pair expansion: plain bucket-local self-join vs
+# salted_self_pairs under ONE planted hot band bucket (8k ids → 32M pairs
+# on a single join task for the plain shape).  Evidence for the cap rule
+# documented in operators/skew.py / _minhash_pairs.
+# ---------------------------------------------------------------------------
+from cassandra_syncer_spark.operators.skew import salted_self_pairs  # noqa: E402
+
+HOT, COLD_BUCKETS, COLD_SZ = 40_000, 20_000, 4
+bands = (
+    spark.range(HOT + COLD_BUCKETS * COLD_SZ)
+    .select(
+        F.when(F.col("id") < HOT, F.lit(-1))
+        .otherwise((F.col("id") - HOT) % COLD_BUCKETS)
+        .alias("band_key"),
+        F.col("id").alias("doc_id"),
+    )
+)
+bands.write.mode("overwrite").parquet("/tmp/skew_bands")
+bandsp = spark.read.parquet("/tmp/skew_bands")
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+
+
+def plain_pairs():
+    a, b = bandsp.alias("a"), bandsp.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.band_key").alias("band_key"))
+
+
+def salted_pairs():
+    return salted_self_pairs(bandsp, key_cols=["band_key"], id_col="doc_id", cap=2_000)
+
+
+expect = HOT * (HOT - 1) // 2 + COLD_BUCKETS * (COLD_SZ * (COLD_SZ - 1) // 2)
+for name, fn in [("plain_pairs", plain_pairs), ("salted_pairs", salted_pairs)]:
+    n = fn().count()  # warm + correctness
+    assert n == expect, f"{name}: {n} != {expect}"
+    t = min(
+        (lambda: (lambda t0: (fn().count(), time.perf_counter() - t0))(time.perf_counter()))()[1]
+        for _ in range(2)
+    )
+    print(f"{name}: {t:.2f} s  ({n} pairs, hot bucket {HOT})")
+
 spark.stop()

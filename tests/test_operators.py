@@ -364,3 +364,47 @@ def test_verify_jaccard_subset_of_candidates(spark, sf_dir):
     for r in kept:
         assert (r.doc_a, r.doc_b) in cand
         assert r.jaccard >= 0.5
+
+
+def test_salted_self_pairs_equals_plain_join(spark, sf_dir):
+    """salted_self_pairs contract: exact pair-set equality with the plain
+    bucket-local self-join, under a planted hot bucket that forces S > 1
+    salt groups (and small buckets that degenerate to S = 1)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_syncer_spark.operators.skew import salted_self_pairs
+
+    # 3 buckets: hot (500 ids -> S=10 at cap 50), warm (60 -> S=2), cold (7 -> S=1)
+    rows = (
+        [(0, "hot", i) for i in range(500)]
+        + [(1, "warm", 10_000 + i) for i in range(60)]
+        + [(0, "cold", 20_000 + i) for i in range(7)]
+    )
+    bands = spark.createDataFrame(rows, "band_id int, band_key string, doc_id long")
+    a, b = bands.alias("a"), bands.alias("b")
+    plain = {
+        (r.band_id, r.band_key, r.doc_a, r.doc_b)
+        for r in a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.band_id").alias("band_id"),
+            F.col("a.band_key").alias("band_key"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .collect()
+    }
+    salted = [
+        (r.band_id, r.band_key, r.doc_a, r.doc_b)
+        for r in salted_self_pairs(
+            bands, key_cols=["band_id", "band_key"], id_col="doc_id", cap=50
+        ).collect()
+    ]
+    assert len(salted) == len(set(salted)), "salted pair expansion duplicated pairs"
+    assert set(salted) == plain
+    # sanity: the hot bucket really exercised the multi-salt path
+    assert 500 * 499 // 2 == sum(1 for p in salted if p[1] == "hot")
