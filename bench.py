@@ -42,6 +42,10 @@ HEADLINE = [
     "dedup_simhash",
     "sim_cosine_topk",
     "sim_ivf_ann",
+    # round-5 gate additions: TPC-H heavies vs same-session vanilla ports
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_late_suppliers",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

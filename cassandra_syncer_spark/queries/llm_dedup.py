@@ -339,6 +339,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_minhash_salted",
+    oracle=_MINHASH_SQL_TEMPLATE.format(cte=_minhash_cte(True), bands=_band_union(True)),
+)
+def dedup_minhash_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``text_minhash_dedup`` routed through the hot-bucket cap rule:
+    pair expansion via :func:`~cassandra_syncer_spark.operators.skew.
+    salted_self_pairs` (cap 1000) instead of the plain bucket-local
+    self-join.  Same oracle as text_minhash_dedup — the salting is
+    pair-set-exact by construction, and this query proves it on the real
+    banding dataflow under the driver's hash check.
+
+    At fixture scale every bucket sits under the cap, so S=1 everywhere
+    and the plan degenerates to the plain join plus one window count —
+    the overhead a production pipeline pays for hot-bucket immunity.
+    """
+    from cassandra_syncer_spark.operators.skew import salted_self_pairs
+
+    bands = _minhash_bands(spark, sf_dir)
+    pairs = salted_self_pairs(
+        bands, key_cols=["band_id", "band_key"], id_col="doc_id", cap=1000
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared_bands")
+    )
+
+
 _VERIFY_JACCARD_SQL = f"""
     {_minhash_cte(True)},
     bands AS ({_band_union(True)}),

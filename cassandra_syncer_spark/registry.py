@@ -61,6 +61,7 @@ PRIORITY: tuple[str, ...] = (
     # -- 1: new in round 5, never driver-checked ----------------------------
     "dedup_verify_jaccard",
     "text_contamination_prefiltered",
+    "dedup_minhash_salted",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

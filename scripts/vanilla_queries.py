@@ -25,6 +25,9 @@ ENGINE_EQUIV = {
     "win_running_frame": "window_frames_exact",
     "agg_count_distinct": "distinct_exact_only",
     "agg_approx_distinct": "distinct_approx_only",
+    "q7_volume_shipping": "q7_volume_vanilla",
+    "q9_product_profit": "q9_profit_vanilla",
+    "q21_late_suppliers": "q21_late_vanilla",
 }
 
 
@@ -32,7 +35,10 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
     """name → lazily-built DataFrame for every baseline query."""
     t = {
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        for name in ["lineitem", "orders", "customer", "nation", "region", "events"]
+        for name in [
+            "lineitem", "orders", "customer", "nation", "region", "events",
+            "supplier", "part",
+        ]
     }
     # events.ts has two known physical shapes (FIXTURES.md): INT64-nanos
     # (reads as bigint under nanosAsLong → integer div, double division
@@ -168,6 +174,107 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             F.approx_count_distinct("user_id", 0.02).alias("approx_users")
         )
 
+    def q7_volume_vanilla():
+        # the formulation a user ports straight from TPC-H Q7 SQL: six
+        # unhinted joins, double-precision revenue sum
+        ns = t["nation"].select(
+            F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+        )
+        nc = t["nation"].select(
+            F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+        )
+        pair = (
+            (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
+        ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        return (
+            t["lineitem"]
+            .filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            )
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+            .join(nc, F.col("c_nationkey") == F.col("nc_key"))
+            .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+            .filter(pair)
+            .groupBy(
+                "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+            )
+            .agg(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            )
+            .orderBy("supp_nation", "cust_nation", "l_year")
+        )
+
+    def q9_profit_vanilla():
+        ns = t["nation"].select(
+            F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+        )
+        profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.6 * F.col(
+            "p_retailprice"
+        ) * F.col("l_quantity")
+        return (
+            t["lineitem"]
+            .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(t["part"].filter(F.col("p_name").like("%red%")), F.col("l_partkey") == F.col("p_partkey"))
+            .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(ns, F.col("s_nationkey") == F.col("ns_key"))
+            .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.sum(profit).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year"))
+        )
+
+    def q21_late_vanilla():
+        # naive port of Q21's EXISTS/NOT EXISTS: each branch re-derives the
+        # lineitem⋈orders frame (no shared definition, no hints)
+        def lo():
+            return (
+                t["lineitem"]
+                .select("l_orderkey", "l_suppkey", "l_shipdate")
+                .join(
+                    t["orders"]
+                    .filter(F.col("o_orderstatus") == "F")
+                    .select("o_orderkey", "o_orderdate"),
+                    F.col("l_orderkey") == F.col("o_orderkey"),
+                )
+                .select(
+                    "l_orderkey",
+                    "l_suppkey",
+                    (
+                        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+                    ).alias("is_late"),
+                )
+            )
+
+        l1 = lo().filter(F.col("is_late")).select("l_orderkey", "l_suppkey")
+        l2 = lo().select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+        l3 = (
+            lo()
+            .filter(F.col("is_late"))
+            .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+        )
+        waiters = (
+            l1.join(
+                l2,
+                (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+                "left_semi",
+            )
+            .join(
+                l3,
+                (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+                "left_anti",
+            )
+            .distinct()
+        )
+        return (
+            waiters.join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(20)
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -178,4 +285,7 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "distinct_both": distinct_both(),
         "distinct_exact_only": distinct_exact_only(),
         "distinct_approx_only": distinct_approx_only(),
+        "q7_volume_vanilla": q7_volume_vanilla(),
+        "q9_profit_vanilla": q9_profit_vanilla(),
+        "q21_late_vanilla": q21_late_vanilla(),
     }
