@@ -341,6 +341,50 @@ class HttpObjectStoreTarget:
         ]
         return spark.createDataFrame(rows, schema=schema)
 
+    def list_files_sharded(self, spark: SparkSession, prefixes: list[str]) -> DataFrame:
+        """Prefix-sharded DISTRIBUTED listing — the 100 TB shape of
+        ``list_files``: each shard pages marker-wise through one name
+        prefix on an executor, so a 10⁹-object container lists in
+        parallel and no page stream serializes on the driver.
+
+        The prefix set is the same per-prefix sharding the manifest
+        container key already uses (object_store.py); for Cassandra
+        backups the natural shards are keyspace/table directories.
+        Shards must partition the namespace (disjoint prefixes covering
+        all names) — the caller owns that contract; a name matching no
+        prefix is simply not listed.
+        """
+        client, container = self.client, self.container
+        schema = (
+            "name string, container string, bytes long, etag string, "
+            "last_modified timestamp, content_type string, is_temp boolean"
+        )
+
+        def list_shard(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                for prefix in pdf["prefix"]:
+                    page = [
+                        {
+                            "name": m["name"],
+                            "container": container,
+                            "bytes": int(m["bytes"]),
+                            "etag": m["hash"],
+                            "last_modified": datetime.fromisoformat(m["last_modified"]),
+                            "content_type": m["content_type"],
+                            "is_temp": "-tmp" in m["name"],
+                        }
+                        for m in client.list_objects(container, prefix=prefix)
+                    ]
+                    if page:
+                        yield pd.DataFrame(page)
+
+        shards = spark.createDataFrame(
+            [(p,) for p in prefixes], "prefix string"
+        ).repartition(max(len(prefixes), 1))
+        return shards.mapInPandas(list_shard, schema=schema)
+
     def upload(self, plan: DataFrame, src_root: str | None = None) -> int:
         """Distributed conditional streamed PUT (see SwiftClient.put_file);
         same contract as ObjectStoreTarget.upload."""

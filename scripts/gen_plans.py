@@ -38,7 +38,10 @@ FLAGSHIPS = [
     (
         "text_minhash_dedup",
         "one md5 per shingle, banding via posexplode, single shuffle on "
-        "(band_id, band_key), bucket-local pair expansion — never corpus²",
+        "(band_id, band_key); r5: pair expansion is a bucket-local SELF-JOIN "
+        "(no per-bucket collect_list row, ReusedExchange plans the signature "
+        "stage once); salted_self_pairs (dedup_minhash_salted) is the "
+        "hot-bucket cap rule",
     ),
     (
         "join_range_banded",
@@ -71,6 +74,18 @@ FLAGSHIPS = [
         "events_resample_gapfill",
         "generated dense spine (types × hours) LEFT-joins the aggregated "
         "facts: raw table scanned once, spine broadcastable at any scale",
+    ),
+    (
+        "dedup_verify_jaccard",
+        "two-stage near-dup: banding candidates (the minhash pair join) "
+        "then exact Jaccard verify via two doc_id hash joins — verify cost "
+        "bounded by candidate volume, never corpus²",
+    ),
+    (
+        "text_contamination_prefiltered",
+        "gram-hash equi prefilter (eval side broadcast, corpus grams never "
+        "shuffle) then exact contains() verify on candidates only — replaces "
+        "the corpus × |eval| nested-loop of text_contamination_exact",
     ),
 ]
 

@@ -210,3 +210,19 @@ def test_http_upload_skips_vanished_source(spark, tmp_path, client):
     (src / "b").unlink()
     assert target.upload(plan, str(src)) == 1  # ENOENT skip, not an error
     assert client.stat_object("c1", "b") is None
+
+
+def test_list_files_sharded_matches_driver_listing(spark, tmp_path, client):
+    """The prefix-sharded distributed listing must return exactly the
+    driver-paginated listing's rows when the prefixes partition the
+    namespace."""
+    src = tmp_path / "src"
+    for i in range(5):
+        _write(src, f"f{i}", bytes([i]) * (i + 1))
+        client.put_file("c1", f"ks{i % 2}/obj-{i}", str(src / f"f{i}"))
+    target = HttpObjectStoreTarget(client, "c1")
+    driver_rows = {tuple(r) for r in target.list_files(spark).collect()}
+    sharded_rows = {
+        tuple(r) for r in target.list_files_sharded(spark, ["ks0/", "ks1/"]).collect()
+    }
+    assert sharded_rows == driver_rows and len(sharded_rows) == 5

@@ -310,6 +310,29 @@ def test_minhash_pairs_join_not_bucket_materialization(spark, sf_dir):
     assert "ReusedExchange" in p, "minhash band stage computed twice — exchange reuse lost"
 
 
+def test_contamination_prefilter_broadcasts_eval_grams(spark, sf_dir):
+    """text_contamination_prefiltered: the eval gram side and the verify
+    join-back must both be broadcasts (the corpus gram stream never
+    shuffles on the prefilter key), and the plan must contain no
+    BroadcastNestedLoopJoin — that's exactly the shape this query
+    replaces."""
+    p = plan_of(spark, sf_dir, "text_contamination_prefiltered")
+    assert p.count("BroadcastHashJoin") >= 1, p
+    assert "BroadcastNestedLoopJoin" not in p, "prefilter degenerated to the exact NL shape"
+    # the exact companion IS the broadcast nested-loop (documented regime)
+    p_exact = plan_of(spark, sf_dir, "text_contamination_exact")
+    assert "BroadcastNestedLoopJoin" in p_exact
+
+
+def test_verify_jaccard_no_cartesian_no_collect(spark, sf_dir):
+    """dedup_verify_jaccard: candidates come from the minhash pair join
+    (no collect_list bucket materialization) and the verify stage is
+    equi-join only."""
+    p = plan_of(spark, sf_dir, "dedup_verify_jaccard")
+    assert "collect_list" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
