@@ -1,0 +1,319 @@
+"""Round-5 batch 2: corpus LM quality scoring, lexical-diversity gating,
+chunk-level exact dedup, nearest-in-time as-of join, and ORC format
+coverage — five more shapes a 100 TB curation / analytics stack runs
+routinely, each oracle-checked.
+
+Determinism discipline follows the repo rule set: no libm ``log`` in
+checked outputs (ratios of exact integer counts instead — cf.
+``text_idf_topterms``), per-term quantization to integer micro-units
+BEFORE any cross-row summation so aggregation order can't flip a float,
+and identical operation order in both engines for every double division.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.operators.asof import nearest_join
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+
+@register(
+    "corpus_bigram_lm_score",
+    oracle="""
+    WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      FROM tw, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    ),
+    cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+    cpre AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cp FROM cbg GROUP BY 1),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(round(1000000.0 * c.c / p.cp) AS BIGINT) AS m
+      FROM bg b JOIN cbg c USING (w1, w2) JOIN cpre p USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(m) // count(*) AS BIGINT) AS lm_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM document quality score (CCNet-style): train a bigram
+    model ON the corpus itself, then score each document by its mean
+    bigram conditional probability — low scores flag gibberish /
+    boilerplate / wrong-language docs before they enter a training mix.
+
+    Log-free determinism: per-bigram probability c(w1,w2)/c(w1·) is one
+    IEEE division of exact integer counts, quantized to micro-units
+    (``round(1e6·p)`` as bigint) BEFORE summation, and the per-doc mean
+    uses integer division — no float accumulates across rows, so
+    partial-agg order can't flip the hash (libm ``ln`` would also not be
+    bit-identical across engines; the repo rule since
+    ``text_idf_topterms``).
+
+    Scale shape: the token stream explodes scan-side (no shuffle), then
+    shuffles on gram keys for the two count aggs and the score join —
+    all fixed-width keys, all combiner-friendly.  The count tables are
+    vocabulary-bounded (≪ corpus; Zipf caps distinct bigrams), so at
+    100 TB they behave as dimensions against the stream: broadcastable
+    when the vocab is capped, ordinary hash joins otherwise.  The final
+    agg keys on doc_id — the stream's natural partitioning.
+    """
+    docs = T(spark, sf_dir, "documents")
+    # bigrams built scan-side via transform over an index sequence —
+    # Spark lambda indexing w[i] is 0-based (DuckDB's is 1-based; both
+    # enumerate pairs (w_j, w_{j+1}))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cpre = cbg.groupBy("w1").agg(F.sum("c").cast("long").alias("cp"))
+    scored = (
+        bg.join(cbg, ["w1", "w2"])
+        .join(cpre, "w1")
+        .select(
+            "doc_id",
+            F.round(F.lit(1000000.0) * F.col("c") / F.col("cp")).cast("long").alias("m"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.expr("sum(m) div count(*)").cast("long").alias("lm_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_diversity_gini",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    cw AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * c) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS nw
+      FROM cw GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens, nw AS n_distinct,
+           CAST(round(1000000.0 * (n * n - s2) / (n * n)) AS BIGINT) AS gini_micro
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity gate: per-document Gini–Simpson index
+    1 − Σpᵢ² over the word distribution — the log-free complement to a
+    Shannon-entropy filter (same monotone "repetitive doc → low score"
+    signal, but exactly computable from integer moments: Σc² and n are
+    exact longs, so the single double division is bit-identical across
+    engines; ``text_repetition_filter`` gates on the top 2-gram, this
+    gates on the whole distribution).
+
+    Scale shape: explode → (doc_id, word) count agg → per-doc moment
+    agg.  Two shuffles, both on shrinking key spaces: the heavy first
+    leg moves only distinct (doc, word) pairs thanks to map-side
+    combine (Zipf makes pairs ≪ tokens — the reason this beats a
+    single-shuffle repartition-by-doc variant, which would move every
+    raw token uncombined), and the second moves one row per pair down
+    to one per doc.  No joins, no windows.
+    """
+    tok = T(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    cw = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    d = cw.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("long").alias("nw"),
+    )
+    n, s2 = F.col("n"), F.col("s2")
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.col("nw").alias("n_distinct"),
+        F.round(F.lit(1000000.0) * (n * n - s2) / (n * n)).cast("long").alias("gini_micro"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_chunk_exact",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    c AS (
+      SELECT doc_id, substr(text, CAST(i * 400 + 1 AS BIGINT), 500) AS chunk
+      FROM d, LATERAL (
+        SELECT unnest(range(0, (greatest(L, 1) - 1) // 400 + 1)) AS i)
+    )
+    SELECT md5(chunk) AS chunk_md5,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM c GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY chunk_md5
+    """,
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/chunk-level exact dedup: chunks (same 500-char/100-
+    overlap grid as ``doc_chunk_split``) appearing verbatim in ≥2
+    documents — the sub-document dedup pass (C4/RefinedWeb-style) that
+    whole-doc dedup misses: boilerplate headers, license blocks, and
+    syndicated passages shared across otherwise-distinct docs.
+
+    Scale shape: chunking is scan-fused (sequence+substring explode,
+    zero shuffle — cf. ``doc_chunk_split``), identity is the fixed-width
+    md5 of the chunk, and the one shuffle aggregates on that hash with
+    map-side combine.  Output is bounded by the duplicated-chunk count,
+    not the corpus; the downstream removal join is a broadcast/semi on
+    ``chunk_md5`` exactly like ``dedup_exact``'s etag path.
+    """
+    chunks = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, int((greatest(length(text), 1) - 1) div 400))")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr("substring(text, i * 400 + 1, 500)")).alias("chunk_md5"),
+        )
+    )
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_md5")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH lft AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec
+      FROM events WHERE event_type = 'click'
+    ), rgt AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+             max(event_id) AS r_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), cand AS (
+      SELECT l.event_id, l.user_id, l.ts_sec, r.r_event_id,
+             r.ts_sec AS r_ts, abs(r.ts_sec - l.ts_sec) AS d
+      FROM lft l JOIN rgt r ON l.user_id = r.user_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, r_ts) AS rn
+      FROM cand
+    )
+    SELECT event_id, user_id, ts_sec,
+           r_event_id AS matched_event_id,
+           r_ts AS matched_ts_sec,
+           CAST(d AS BIGINT) AS delta_sec
+    FROM ranked WHERE rn = 1 ORDER BY event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-in-time as-of join: for each click, the purchase closest
+    in time in either direction (tie → the at-or-before row) — the
+    sensor-alignment / sessionless-attribution variant completing the
+    as-of family (backward ``join_asof``, forward ``join_asof_forward``).
+
+    Scale: operators/asof.py::nearest_join — the backward and forward
+    candidates are two window FRAMES over ONE key-sorted shuffle (last()
+    over preceding, first() over following), then a per-row distance
+    compare picks the side.  No second pass, no range-join blowup; the
+    oracle keeps the O(n·m)-per-key join+rank formulation, fine at
+    sf0.01 only.
+    """
+    ev = T(spark, sf_dir, "events").withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_sec", "event_id"
+    )
+    out = nearest_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="ts_sec",
+        value_cols=["event_id"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.col("matched_event_id"),
+        F.col("matched_ts").alias("matched_ts_sec"),
+        F.abs(F.col("matched_ts") - F.col("ts_sec")).cast("long").alias("delta_sec"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(p_retailprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS retail_centi
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink coverage (§2.1 breadth, beside the Parquet/CSV/
+    JSONL round-trips): part written as ORC, read back with an EXPLICIT
+    schema, aggregated; oracle equality against the Parquet original
+    proves the columnar round-trip is lossless.  ORC is the second
+    splittable columnar format a mixed lake job must read — same
+    pushdown/pruning posture as Parquet on the Spark side.
+
+    Sink path carries the application id (cf. ``scan_jsonl_roundtrip``)
+    so concurrent sessions on the same fixture can't race the
+    mode('overwrite') rewrite.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_sinks",
+        f"orc-{os.path.basename(os.path.normpath(sf_dir))}-{spark.sparkContext.applicationId}",
+    )
+    (
+        T(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand", "p_retailprice")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    back = spark.read.schema("p_partkey long, p_brand string, p_retailprice double").orc(out)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("p_retailprice") * 100.0).cast("long"))
+            .cast("long")
+            .alias("retail_centi"),
+        )
+        .orderBy("p_brand")
+    )

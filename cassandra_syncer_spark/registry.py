@@ -62,6 +62,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_verify_jaccard",
     "text_contamination_prefiltered",
     "dedup_minhash_salted",
+    "corpus_bigram_lm_score",
+    "text_diversity_gini",
+    "dedup_chunk_exact",
+    "join_asof_nearest",
+    "scan_orc_roundtrip",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

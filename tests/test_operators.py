@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from cassandra_syncer_spark.operators.asof import asof_join
+from cassandra_syncer_spark.operators.asof import asof_join, nearest_join
 from cassandra_syncer_spark.operators.multimodal import (
     attach_fake_payload,
     decode_media,
@@ -46,6 +46,55 @@ def test_asof_join_tie_determinism(spark):
         value_cols=["event_id"],
     ).collect()
     assert row.matched_event_id == 2  # max tiebreak, deterministically
+
+
+def test_nearest_join_handcrafted(spark):
+    left = spark.createDataFrame(
+        [("u1", 10), ("u1", 14), ("u1", 100), ("u2", 7), ("u3", 1)],
+        "user_id string, ts_sec long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 8, 80), ("u1", 15, 150), ("u2", 99, 990)],
+        "user_id string, ts_sec long, event_id long",
+    )
+    out = {
+        (r.user_id, r.ts_sec): (r.matched_event_id, r.matched_ts)
+        for r in nearest_join(
+            left, right, on="user_id", left_ts="ts_sec", right_ts="ts_sec",
+            value_cols=["event_id"],
+        ).collect()
+    }
+    assert out[("u1", 10)] == (80, 8)    # backward 2 < forward 5
+    assert out[("u1", 14)] == (150, 15)  # forward 1 < backward 6
+    assert out[("u1", 100)] == (150, 15) # forward empty → backward
+    assert out[("u2", 7)] == (990, 99)   # backward empty → forward
+    assert ("u3", 1) not in out          # no right rows for key → dropped
+
+
+def test_nearest_join_tie_prefers_backward(spark):
+    left = spark.createDataFrame([("u1", 10)], "user_id string, ts_sec long")
+    right = spark.createDataFrame(
+        [("u1", 7, 70), ("u1", 13, 130)], "user_id string, ts_sec long, event_id long"
+    )
+    [row] = nearest_join(
+        left, right, on="user_id", left_ts="ts_sec", right_ts="ts_sec",
+        value_cols=["event_id"],
+    ).collect()
+    assert (row.matched_event_id, row.matched_ts) == (70, 7)  # equal d=3 → backward
+
+
+def test_nearest_join_exact_ts_wins_with_zero_distance(spark):
+    left = spark.createDataFrame([("u1", 10)], "user_id string, ts_sec long")
+    right = spark.createDataFrame(
+        [("u1", 10, 1), ("u1", 10, 2), ("u1", 11, 3)],
+        "user_id string, ts_sec long, event_id long",
+    )
+    [row] = nearest_join(
+        left, right, on="user_id", left_ts="ts_sec", right_ts="ts_sec",
+        value_cols=["event_id"],
+    ).collect()
+    # exact-ts rows collapse deterministically (max event_id) and beat d=1
+    assert (row.matched_event_id, row.matched_ts) == (2, 10)
 
 
 def test_multimodal_decode_fake_and_stub(spark, sf_dir):

@@ -333,6 +333,34 @@ def test_verify_jaccard_no_cartesian_no_collect(spark, sf_dir):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
 
 
+def test_nearest_join_is_one_window_no_joins(spark, sf_dir):
+    """join_asof_nearest: both directions must ride ONE window sort
+    (two frames over the same spec), with no join operator anywhere —
+    a second Window or any *Join means the fused union+window shape
+    regressed to a per-direction pass or a range join."""
+    p = plan_of(spark, sf_dir, "join_asof_nearest")
+    assert p.count("Window ") == 1, p
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin", "ShuffledHashJoin"):
+        assert op not in p, f"join_asof_nearest grew a {op}:\n{p}"
+
+
+def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
+    """corpus_bigram_lm_score: the bigram/prefix count tables are
+    vocabulary-bounded and must join the token stream as broadcasts at
+    fixture scale (hash joins at worst at 100 TB) — never a nested
+    loop; the stream itself must not shuffle on doc_id more than once."""
+    p = plan_of(spark, sf_dir, "corpus_bigram_lm_score")
+    assert p.count("BroadcastHashJoin") >= 2, p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_chunk_dedup_is_pure_hash_agg(spark, sf_dir):
+    """dedup_chunk_exact: chunk explode is scan-fused and identity is a
+    hash agg — no joins, no windows, no collect_list buckets."""
+    p = plan_of(spark, sf_dir, "dedup_chunk_exact")
+    assert "Join" not in p and "Window" not in p and "collect_list" not in p, p
+
+
 def test_no_cartesian_anywhere(spark, sf_dir):
     offenders = []
     for name in REGISTRY:
