@@ -1,7 +1,7 @@
 """Round-5 batch 2: corpus LM quality scoring, lexical-diversity gating,
-chunk-level exact dedup, nearest-in-time as-of join, and ORC format
-coverage — five more shapes a 100 TB curation / analytics stack runs
-routinely, each oracle-checked.
+chunk-level exact dedup, nearest-in-time as-of join, ORC format
+coverage, and a count-min frequency sketch — more shapes a 100 TB
+curation / analytics stack runs routinely, each oracle-checked.
 
 Determinism discipline follows the repo rule set: no libm ``log`` in
 checked outputs (ratios of exact integer counts instead — cf.
@@ -18,9 +18,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_syncer_spark.operators import fingerprint as fp
 from cassandra_syncer_spark.operators.asof import nearest_join
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
+
+#: count-min sketch geometry: depth 4 (independent hash rows), width 8192
+#: buckets — 32k counters total, a fixed-size mergeable structure
+_CMS_D = 4
+_CMS_W = 8192
 
 
 @register(
@@ -271,6 +277,106 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("matched_ts").alias("matched_ts_sec"),
         F.abs(F.col("matched_ts") - F.col("ts_sec")).cast("long").alias("delta_sec"),
     ).orderBy("event_id")
+
+
+_CMS_DUCK_HASH = (
+    "CAST(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', k)), 1, 8)) "
+    "AS UBIGINT) AS BIGINT)"
+)
+
+
+@register(
+    "agg_countmin_freq",
+    oracle=f"""
+    WITH li AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+    cells AS (
+      SELECT j, {_CMS_DUCK_HASH} % {_CMS_W} AS b, CAST(count(*) AS BIGINT) AS c
+      FROM li, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS j)
+      GROUP BY 1, 2
+    ),
+    exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM li GROUP BY 1),
+    top5 AS (
+      SELECT k, exact_n FROM (
+        SELECT k, exact_n,
+               row_number() OVER (ORDER BY exact_n DESC, CAST(k AS BIGINT)) AS rn
+        FROM exact) WHERE rn <= 5
+    ),
+    probe AS (
+      SELECT t.k, t.exact_n, j, {_CMS_DUCK_HASH.replace('k)', 't.k)')} % {_CMS_W} AS b
+      FROM top5 t, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS j)
+    )
+    SELECT CAST(p.k AS BIGINT) AS partkey,
+           any_value(p.exact_n) AS exact_n,
+           min(c.c) AS est_n,
+           min(c.c) - any_value(p.exact_n) AS overcount
+    FROM probe p JOIN cells c USING (j, b)
+    GROUP BY p.k ORDER BY partkey
+    """,
+)
+def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, fully hash-checked: both
+    engines build the IDENTICAL sketch (buckets from the portable
+    md5-derived ``hash32``, cf. operators/fingerprint.py), so unlike the
+    HLL/GK estimators this sketch query needs no rows-only waiver — the
+    estimates themselves cross the oracle boundary.
+
+    The sketch is the mergeable fixed-size structure for streaming /
+    sharded frequency queries at 100 TB: one scan folds the corpus into
+    d×w = 4×8192 counters (map-side combine does the heavy lifting;
+    shard sketches merge by cell-wise sum, exactly like the HLL
+    partials in ``agg_hll_union``), and any key's frequency is then
+    answered from 4 counters — ``min_j cells[j][h_j(key)]`` — without
+    rescanning.  Probes here are the top-5 exact heavy hitters
+    (deterministic key tie-break) so the output also certifies the CMS
+    guarantee est ≥ exact on real data; the overcount column shows the
+    collision noise (ε ≈ e/w of total mass per row, min over 4 rows).
+
+    Plan: corpus → 32k-cell agg; probes and cells are both tiny, so the
+    estimate join broadcasts — nothing downstream of the scan depends on
+    corpus size.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("string").alias("k")
+    )
+    h = fp.hash32("concat(cast(j as string), ':', k)", duck=False)
+    cells = (
+        li.select("k", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"))
+        .select("j", (F.expr(h) % _CMS_W).alias("b"))
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    from pyspark.sql.window import Window
+
+    top5 = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("exact_n"), F.col("k").cast("long"))
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+    probe = top5.select(
+        "k", "exact_n", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j")
+    ).select("k", "exact_n", "j", (F.expr(h) % _CMS_W).alias("b"))
+    return (
+        cells.join(F.broadcast(probe), ["j", "b"])
+        .groupBy("k")
+        .agg(
+            F.any_value(F.col("exact_n")).alias("exact_n"),
+            F.min("c").alias("est_n"),
+            (F.min("c") - F.any_value(F.col("exact_n"))).alias("overcount"),
+        )
+        .select(
+            F.col("k").cast("long").alias("partkey"),
+            "exact_n",
+            "est_n",
+            "overcount",
+        )
+        .orderBy("partkey")
+    )
 
 
 @register(

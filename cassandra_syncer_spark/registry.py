@@ -67,6 +67,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_chunk_exact",
     "join_asof_nearest",
     "scan_orc_roundtrip",
+    "agg_countmin_freq",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
