@@ -46,6 +46,8 @@ HEADLINE = [
     "q7_volume_shipping",
     "q9_product_profit",
     "q21_late_suppliers",
+    # round-5: corpus-LM scoring vs the naive positional-self-join port
+    "corpus_bigram_lm_score",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

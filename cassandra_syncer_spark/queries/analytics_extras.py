@@ -100,13 +100,14 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang — both bounded.
     """
     docs = T(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # words projected before the lambda (no CSE inside transform)
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
-        "i -> concat_ws(' ', split(text, ' ')[i-1], split(text, ' ')[i]))"
+        "transform(sequence(1, greatest(size(w) - 1, 1)), "
+        "i -> concat_ws(' ', w[i-1], w[i]))"
     )
     counted = (
-        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        docs.select("lang", F.split("text", " ").alias("w"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
         .groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
     )

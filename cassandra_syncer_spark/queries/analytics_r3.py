@@ -428,10 +428,15 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch(sf_dir: str, tag: str) -> str:
-    """Per-sf scratch dir for sink round-trip queries (driver may run the
-    same query at several scale factors in one session)."""
+    """Per-sf, per-process scratch dir for sink round-trip queries (driver
+    may run the same query at several scale factors in one session; the pid
+    component keeps a concurrent driver + local test run from racing each
+    other's mode('overwrite') rewrite — same hazard the application-id
+    suffix fixes in ``scan_jsonl_roundtrip``)."""
     base = os.path.join(tempfile.gettempdir(), "spark_graft_sinks")
-    return os.path.join(base, f"{tag}-{os.path.basename(os.path.normpath(sf_dir))}")
+    return os.path.join(
+        base, f"{tag}-{os.path.basename(os.path.normpath(sf_dir))}-{os.getpid()}"
+    )
 
 
 @register(

@@ -294,12 +294,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on the gram hash (same plan as text_minhash_dedup's bands).
     """
     docs = T(spark, sf_dir, "documents")
-    grams = docs.select(
+    # words projected before the lambda: no CSE inside higher-order
+    # functions — an inline split(text) would re-split per element
+    grams = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 7, 1)), "
-                "i -> md5(concat_ws(' ', slice(split(text, ' '), i, 8))))"
+                "transform(sequence(1, greatest(size(w) - 7, 1)), "
+                "i -> md5(concat_ws(' ', slice(w, i, 8))))"
             )
         ).alias("g"),
     )
@@ -426,13 +428,14 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine.
     """
     docs = T(spark, sf_dir, "documents")
-    bi = docs.select(
+    # words projected before the lambda (no CSE inside transform)
+    bi = docs.select("doc_id", "lang", F.split("text", " ").alias("w")).select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 1)), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                "transform(sequence(1, greatest(size(w) - 1, 1)), "
+                "i -> concat_ws(' ', slice(w, i, 2)))"
             )
         ).alias("g"),
     )

@@ -94,14 +94,16 @@ def text_contamination_prefiltered(spark: SparkSession, sf_dir: str) -> DataFram
         )
     )
     # guard the sequence bound: Spark's sequence(1, 0) counts DOWN, so an
-    # under-length doc must map to an empty gram array, not [1, 0]
-    tg = docs.select(
+    # under-length doc must map to an empty gram array, not [1, 0].
+    # words projected BEFORE the lambda — no CSE across higher-order
+    # function boundaries, an inline split would re-split per element
+    tg = docs.select("doc_id", F.split("text", " ").alias("w")).select(
         "doc_id",
         F.explode(
             F.expr(
-                f"CASE WHEN size(split(text, ' ')) >= {_GRAM_W} THEN "
-                f"transform(sequence(1, size(split(text, ' ')) - {_GRAM_W - 1}), "
-                f"i -> md5(concat_ws(' ', slice(split(text, ' '), i, {_GRAM_W})))) "
+                f"CASE WHEN size(w) >= {_GRAM_W} THEN "
+                f"transform(sequence(1, size(w) - {_GRAM_W - 1}), "
+                f"i -> md5(concat_ws(' ', slice(w, i, {_GRAM_W})))) "
                 "ELSE array() END"
             )
         ).alias("g"),

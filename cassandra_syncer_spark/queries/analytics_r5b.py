@@ -73,20 +73,27 @@ def corpus_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg keys on doc_id — the stream's natural partitioning.
     """
     docs = T(spark, sf_dir, "documents")
-    # bigrams built scan-side via transform over an index sequence —
+    # bigrams built scan-side via transform over an index sequence; the
+    # words array is PROJECTED FIRST — higher-order lambdas get no
+    # common-subexpression elimination, so an inline split(text) inside
+    # the lambda would re-split per element (measured 9× slower).
     # Spark lambda indexing w[i] is 0-based (DuckDB's is 1-based; both
     # enumerate pairs (w_j, w_{j+1}))
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> struct(split(text, ' ')[i-1] AS w1, split(text, ' ')[i] AS w2)) "
-                "ELSE array() END"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
+    bg = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(w) >= 2 THEN "
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> struct(w[i-1] AS w1, w[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
     cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
     cpre = cbg.groupBy("w1").agg(F.sum("c").cast("long").alias("cp"))
     scored = (
@@ -279,30 +286,46 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-_CMS_DUCK_HASH = (
-    "CAST(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', k)), 1, 8)) "
-    "AS UBIGINT) AS BIGINT)"
-)
+def _cms_bucket(*, duck: bool) -> str:
+    """Bucket for depth ``j`` from ONE base hash ``h`` per key — the
+    universal-hash family already proven portable for MinHash
+    (fingerprint.py PERM_*): exact 64-bit integer math in both engines,
+    one md5 per row instead of one per depth."""
+    a = ", ".join(str(x) for x in fp.PERM_A[:_CMS_D])
+    b = ", ".join(str(x) for x in fp.PERM_B[:_CMS_D])
+    if duck:
+        return f"([{a}][j + 1] * h + [{b}][j + 1]) % {fp.PERM_P} % {_CMS_W}"
+    return (
+        f"(element_at(array({a}), j + 1) * h + element_at(array({b}), j + 1)) "
+        f"% {fp.PERM_P} % {_CMS_W}"
+    )
 
 
 @register(
     "agg_countmin_freq",
     oracle=f"""
-    WITH li AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+    WITH li AS (
+      SELECT CAST(l_partkey AS VARCHAR) AS k,
+             {fp.hash32("CAST(l_partkey AS VARCHAR)", duck=True)} AS h
+      FROM lineitem
+    ),
     cells AS (
-      SELECT j, {_CMS_DUCK_HASH} % {_CMS_W} AS b, CAST(count(*) AS BIGINT) AS c
+      SELECT j, {_cms_bucket(duck=True)} AS b, CAST(count(*) AS BIGINT) AS c
       FROM li, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS j)
       GROUP BY 1, 2
     ),
-    exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_n FROM li GROUP BY 1),
+    exact AS (
+      SELECT k, any_value(h) AS h, CAST(count(*) AS BIGINT) AS exact_n
+      FROM li GROUP BY 1
+    ),
     top5 AS (
-      SELECT k, exact_n FROM (
-        SELECT k, exact_n,
+      SELECT k, h, exact_n FROM (
+        SELECT k, h, exact_n,
                row_number() OVER (ORDER BY exact_n DESC, CAST(k AS BIGINT)) AS rn
         FROM exact) WHERE rn <= 5
     ),
     probe AS (
-      SELECT t.k, t.exact_n, j, {_CMS_DUCK_HASH.replace('k)', 't.k)')} % {_CMS_W} AS b
+      SELECT t.k, t.exact_n, j, {_cms_bucket(duck=True)} AS b
       FROM top5 t, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS j)
     )
     SELECT CAST(p.k AS BIGINT) AS partkey,
@@ -315,10 +338,12 @@ _CMS_DUCK_HASH = (
 )
 def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch frequency estimation, fully hash-checked: both
-    engines build the IDENTICAL sketch (buckets from the portable
-    md5-derived ``hash32``, cf. operators/fingerprint.py), so unlike the
-    HLL/GK estimators this sketch query needs no rows-only waiver — the
-    estimates themselves cross the oracle boundary.
+    engines build the IDENTICAL sketch — ONE portable md5-derived
+    ``hash32`` per key, expanded to the d depth rows by the same
+    universal-hash family MinHash uses (fingerprint.py PERM_*, exact
+    64-bit integer math) — so unlike the HLL/GK estimators this sketch
+    query needs no rows-only waiver: the estimates themselves cross the
+    oracle boundary.
 
     The sketch is the mergeable fixed-size structure for streaming /
     sharded frequency queries at 100 TB: one scan folds the corpus into
@@ -337,15 +362,18 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("string").alias("k")
-    )
-    h = fp.hash32("concat(cast(j as string), ':', k)", duck=False)
+    ).withColumn("h", F.expr(fp.hash32("k", duck=False)))
+    bucket = F.expr(_cms_bucket(duck=False))
     cells = (
-        li.select("k", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"))
-        .select("j", (F.expr(h) % _CMS_W).alias("b"))
+        li.select("h", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"))
+        .select("j", bucket.alias("b"))
         .groupBy("j", "b")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    exact = li.groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    exact = li.groupBy("k").agg(
+        F.any_value(F.col("h")).alias("h"),
+        F.count(F.lit(1)).cast("long").alias("exact_n"),
+    )
     from pyspark.sql.window import Window
 
     top5 = (
@@ -359,8 +387,8 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     probe = top5.select(
-        "k", "exact_n", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j")
-    ).select("k", "exact_n", "j", (F.expr(h) % _CMS_W).alias("b"))
+        "k", "exact_n", "h", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j")
+    ).select("k", "exact_n", "j", bucket.alias("b"))
     return (
         cells.join(F.broadcast(probe), ["j", "b"])
         .groupBy("k")

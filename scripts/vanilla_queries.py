@@ -28,6 +28,7 @@ ENGINE_EQUIV = {
     "q7_volume_shipping": "q7_volume_vanilla",
     "q9_product_profit": "q9_profit_vanilla",
     "q21_late_suppliers": "q21_late_vanilla",
+    "corpus_bigram_lm_score": "bigram_lm_vanilla",
 }
 
 
@@ -37,7 +38,7 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in [
             "lineitem", "orders", "customer", "nation", "region", "events",
-            "supplier", "part",
+            "supplier", "part", "documents",
         ]
     }
     # events.ts has two known physical shapes (FIXTURES.md): INT64-nanos
@@ -275,6 +276,45 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .limit(20)
         )
 
+    def bigram_lm_vanilla():
+        # naive port of corpus_bigram_lm_score: bigrams via posexplode +
+        # positional SELF-JOIN of the token stream (the formulation most
+        # users reach for first) instead of the engine's scan-side
+        # transform() — the token-stream join is a real shuffle the
+        # engine's version never pays.  Same integer-exact scoring math,
+        # so results are identical (tests/test_bench_baselines.py).
+        tok = t["documents"].select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+        )
+        nxt = tok.select(
+            F.col("doc_id").alias("d2"),
+            (F.col("pos") - 1).alias("p2"),
+            F.col("w").alias("w2"),
+        )
+        bg = tok.join(
+            nxt, (F.col("doc_id") == F.col("d2")) & (F.col("pos") == F.col("p2"))
+        ).select("doc_id", F.col("w").alias("w1"), "w2")
+        cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+        cpre = cbg.groupBy("w1").agg(F.sum("c").cast("long").alias("cp"))
+        scored = (
+            bg.join(cbg, ["w1", "w2"])
+            .join(cpre, "w1")
+            .select(
+                "doc_id",
+                F.round(F.lit(1000000.0) * F.col("c") / F.col("cp"))
+                .cast("long")
+                .alias("m"),
+            )
+        )
+        return (
+            scored.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                F.expr("sum(m) div count(*)").cast("long").alias("lm_micro"),
+            )
+            .orderBy("doc_id")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -288,4 +328,5 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "q7_volume_vanilla": q7_volume_vanilla(),
         "q9_profit_vanilla": q9_profit_vanilla(),
         "q21_late_vanilla": q21_late_vanilla(),
+        "bigram_lm_vanilla": bigram_lm_vanilla(),
     }

@@ -22,7 +22,7 @@ def _rows(df):
 def test_verbatim_vanilla_rows_match_engine(spark, sf_dir):
     all_queries()
     vanilla = build_vanilla_queries(spark, sf_dir)
-    for engine_name in ["agg_group_sum", "win_running_frame"]:
+    for engine_name in ["agg_group_sum", "win_running_frame", "corpus_bigram_lm_score"]:
         engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
         vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
         assert engine_df.columns == vanilla_df.columns, engine_name

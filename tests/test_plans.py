@@ -370,6 +370,40 @@ def test_no_cartesian_anywhere(spark, sf_dir):
     assert not offenders, f"cartesian product in: {offenders}"
 
 
+def _split_inside_lambda(p: str) -> bool:
+    """True if any higher-order-function lambda in the plan re-evaluates
+    split() per element — Spark performs no common-subexpression
+    elimination across lambda boundaries, so `transform(seq, i ->
+    f(split(text), i))` re-splits the document for EVERY element:
+    O(tokens²) per doc, measured 9× slower on the gram kernel at sf0.1
+    (SCALING.md round-5 lesson).  Project the array first instead."""
+    i = 0
+    while True:
+        j = p.find("lambdafunction(", i)
+        if j < 0:
+            return False
+        k = j + len("lambdafunction(")
+        depth = 1
+        while k < len(p) and depth:
+            if p[k] == "(":
+                depth += 1
+            elif p[k] == ")":
+                depth -= 1
+            k += 1
+        if "split(" in p[j:k]:
+            return True
+        i = k
+
+
+def test_no_split_inside_lambda(spark, sf_dir):
+    offenders = []
+    for name in REGISTRY:
+        p = plan_of(spark, sf_dir, name)
+        if _split_inside_lambda(p):
+            offenders.append(name)
+    assert not offenders, f"split() re-evaluated inside a lambda in: {offenders}"
+
+
 def test_q5_star_join_broadcasts_dims(spark, sf_dir):
     # region/nation/supplier broadcast by hint; customer is unhinted so
     # Catalyst/AQE is free to pick SMJ when it outgrows the threshold —
