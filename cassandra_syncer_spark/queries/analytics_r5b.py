@@ -18,15 +18,14 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_syncer_spark.operators import cms
 from cassandra_syncer_spark.operators import fingerprint as fp
 from cassandra_syncer_spark.operators.asof import nearest_join
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
 
-#: count-min sketch geometry: depth 4 (independent hash rows), width 8192
-#: buckets — 32k counters total, a fixed-size mergeable structure
-_CMS_D = 4
-_CMS_W = 8192
+_CMS_D = cms.CMS_D
+_CMS_W = cms.CMS_W
 
 
 @register(
@@ -286,19 +285,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-def _cms_bucket(*, duck: bool) -> str:
-    """Bucket for depth ``j`` from ONE base hash ``h`` per key — the
-    universal-hash family already proven portable for MinHash
-    (fingerprint.py PERM_*): exact 64-bit integer math in both engines,
-    one md5 per row instead of one per depth."""
-    a = ", ".join(str(x) for x in fp.PERM_A[:_CMS_D])
-    b = ", ".join(str(x) for x in fp.PERM_B[:_CMS_D])
-    if duck:
-        return f"([{a}][j + 1] * h + [{b}][j + 1]) % {fp.PERM_P} % {_CMS_W}"
-    return (
-        f"(element_at(array({a}), j + 1) * h + element_at(array({b}), j + 1)) "
-        f"% {fp.PERM_P} % {_CMS_W}"
-    )
+#: shared expression builders live in operators/cms.py — the streaming
+#: maintenance loop (streaming/sketches.py) folds microbatches with the
+#: SAME cells dataflow, so batch and stream sketches merge losslessly
+_cms_bucket = cms.bucket_expr
 
 
 @register(
@@ -360,16 +350,9 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate join broadcasts — nothing downstream of the scan depends on
     corpus size.
     """
-    li = T(spark, sf_dir, "lineitem").select(
-        F.col("l_partkey").cast("string").alias("k")
-    ).withColumn("h", F.expr(fp.hash32("k", duck=False)))
+    li = cms.keyed(T(spark, sf_dir, "lineitem"), "l_partkey")
     bucket = F.expr(_cms_bucket(duck=False))
-    cells = (
-        li.select("h", F.explode(F.expr(f"sequence(0, {_CMS_D - 1})")).alias("j"))
-        .select("j", bucket.alias("b"))
-        .groupBy("j", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    cells = cms.cells(T(spark, sf_dir, "lineitem"), "l_partkey")
     exact = li.groupBy("k").agg(
         F.any_value(F.col("h")).alias("h"),
         F.count(F.lit(1)).cast("long").alias("exact_n"),

@@ -87,6 +87,25 @@ FLAGSHIPS = [
         "shuffle) then exact contains() verify on candidates only — replaces "
         "the corpus × |eval| nested-loop of text_contamination_exact",
     ),
+    (
+        "join_asof_nearest",
+        "ONE key-sorted shuffle; backward (last over preceding) and forward "
+        "(first over following) candidates are two frames on the same "
+        "Window — no second pass, no range join (r5)",
+    ),
+    (
+        "corpus_bigram_lm_score",
+        "words array projected BEFORE the gram lambda (no CSE inside "
+        "higher-order functions — inline split re-evaluates per element); "
+        "vocabulary-bounded count dims broadcast against the token stream; "
+        "one doc_id shuffle for the per-doc mean (r5)",
+    ),
+    (
+        "agg_countmin_freq",
+        "corpus folds into a fixed 4×8192-counter sketch: one md5 hash32 + "
+        "four integer universal-hash perms per row, map-side combine; probe "
+        "join broadcasts — nothing downstream depends on corpus size (r5)",
+    ),
 ]
 
 

@@ -7,6 +7,11 @@ import json
 
 from pyspark.sql import functions as F
 
+from cassandra_syncer_spark.streaming.sketches import (
+    compact_cells,
+    read_cms,
+    run_streaming_cms,
+)
 from cassandra_syncer_spark.streaming.watch import (
     run_continuous_sync,
     run_incremental_sync,
@@ -250,3 +255,55 @@ def test_tumbling_counts_with_watermark(spark, tmp_path):
     q.awaitTermination()
     rows = {r.window.start.isoformat(): r.n for r in spark.table("tumble_sink").collect()}
     assert rows == {"2024-01-01T00:00:00": 2, "2024-01-01T01:00:00": 1}
+
+
+def test_streaming_cms_partials_merge_to_batch_sketch(spark, tmp_path):
+    """The merged stream sketch must equal the batch sketch over the same
+    rows — cell-wise sum is associative/commutative, so microbatch
+    boundaries cannot change the result — and estimates must satisfy the
+    CMS floor guarantee est >= exact."""
+    from cassandra_syncer_spark.operators import cms
+
+    waves = [
+        [{"name": f"k{i % 7}", "etag": str(i), "ts": "2024-01-01T00:00:00"}
+         for i in range(20)],
+        [{"name": f"k{i % 3}", "etag": str(100 + i), "ts": "2024-01-01T01:00:00"}
+         for i in range(15)],
+    ]
+    _stage(tmp_path / "watch", waves)
+    stream = watch_files(spark, str(tmp_path / "watch"), FILE_EVENT_SCHEMA)
+    cells_log = str(tmp_path / "cms_cells")
+    run_streaming_cms(stream, "name", str(tmp_path / "ckpt_cms"), cells_log)
+
+    merged = {(r.j, r.b): r.c for r in read_cms(spark, cells_log).collect()}
+    all_rows = spark.createDataFrame(
+        [(r["name"],) for wave in waves for r in wave], "name string"
+    )
+    batch = {(r.j, r.b): r.c for r in cms.cells(all_rows, "name").collect()}
+    assert merged == batch  # stream partials merge losslessly
+
+    # estimates satisfy the floor guarantee on every key
+    exact = {r.name: r.n for r in all_rows.groupBy("name").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    keys = all_rows.select("name").distinct()
+    est = {r.name: r.est_n for r in
+           estimate_rows(read_cms(spark, cells_log), keys)}
+    for k, n in exact.items():
+        assert est[k] >= n
+
+    # unseen key estimates 0 via the right-join coalesce path
+    unseen = spark.createDataFrame([("never-seen",)], "name string")
+    [row] = estimate_rows(read_cms(spark, cells_log), unseen)
+    assert row.est_n == 0
+
+    # compaction folds the log to <= d*w rows with the identical sketch
+    compact_cells(spark, cells_log, str(tmp_path / "cms_compact"))
+    compacted = {(r.j, r.b): r.c
+                 for r in spark.read.parquet(str(tmp_path / "cms_compact")).collect()}
+    assert compacted == batch
+
+
+def estimate_rows(cells_df, keys_df):
+    from cassandra_syncer_spark.operators import cms
+
+    return cms.estimate(cells_df, keys_df, "name").collect()
