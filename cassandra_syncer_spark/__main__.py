@@ -26,6 +26,8 @@ Usage::
     python -m cassandra_syncer_spark prune   /backup --older-than-days 21 --dry-run
     python -m cassandra_syncer_spark backup  --config sync.json   # store/paths from JSON
     python -m cassandra_syncer_spark restore --config sync.json   # + restore_path
+    python -m cassandra_syncer_spark query --list                 # analytics surface
+    python -m cassandra_syncer_spark query q5_local_volume --sf-dir /data --explain
 
 The JSON config mirrors the reference's ``--config``
 (``bin/cassandra-syncer:246-251``, ``contrib/config.json.example``): keys
@@ -395,6 +397,41 @@ def cmd_prune(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered analytics operator from the CLI — the same
+    surface the driver contract exposes (``__spark_entry__.queries()``),
+    so an engine user can run every SURVEY.md §2 query without writing
+    Python.  ``--list`` enumerates; ``--explain`` prints the physical
+    plan instead of executing (the 100 TB pre-flight check)."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    if args.list:
+        _emit({"cmd": "query", "queries": sorted(REGISTRY)})
+        return 0
+    if not args.name or args.name not in REGISTRY:
+        _emit({
+            "cmd": "query",
+            "error": f"unknown query {args.name!r} — use --list",
+        })
+        return 2
+    spark = _spark()
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    if args.explain:
+        print(df._jdf.queryExecution().executedPlan().toString())
+        return 0
+    shown = [r.asDict(recursive=True) for r in df.limit(args.limit).collect()]
+    _emit({
+        "cmd": "query",
+        "name": args.name,
+        "columns": df.columns,
+        "rows_shown": len(shown),
+        "limit": args.limit,
+        "rows": shown,
+    })
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="cassandra_syncer_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -437,6 +474,16 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--container", default=None)
     pr.add_argument("--config", default=None, help="JSON config supplying store/older_than_days defaults")
     pr.set_defaults(fn=cmd_prune)
+
+    q = sub.add_parser("query", help="run a registered analytics query (SURVEY.md §2 surface)")
+    q.add_argument("name", nargs="?", help="query id (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="fixture/table directory (default sf0.01)")
+    q.add_argument("--limit", type=int, default=20, help="max rows to print (default 20)")
+    q.add_argument("--list", action="store_true", help="list registered query ids")
+    q.add_argument("--explain", action="store_true",
+                   help="print the physical plan instead of executing")
+    q.set_defaults(fn=cmd_query)
 
     args = ap.parse_args(argv)
     _resolve_config(args)

@@ -233,3 +233,31 @@ def test_cli_multi_path_name_collision_deterministic(tmp_path):
         f"SELECT len(paths) FROM read_parquet('{store}/__manifests__/*.parquet')"
     ).fetchall()
     assert rows == [(1,)]
+
+
+def test_cli_query_surface(tmp_path):
+    """`query` exposes the full registered analytics surface: --list
+    enumerates, a run returns rows with the declared columns, --explain
+    prints a plan without executing, and an unknown id exits 2."""
+    listing = run_cli("query", "--list")
+    assert "agg_group_sum" in listing["queries"]
+    assert len(listing["queries"]) >= 150
+
+    res = run_cli(
+        "query", "agg_group_sum", "--sf-dir", "/root/testdata/sf0.001", "--limit", "3"
+    )
+    assert res["name"] == "agg_group_sum" and res["rows_shown"] >= 1
+    assert set(res["rows"][0]) == set(res["columns"])
+
+    out = subprocess.run(
+        [sys.executable, "-m", "cassandra_syncer_spark", "query",
+         "agg_group_sum", "--sf-dir", "/root/testdata/sf0.001", "--explain"],
+        cwd=REPO, capture_output=True, text=True, timeout=240,
+    )
+    assert out.returncode == 0 and "Scan parquet" in out.stdout
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "cassandra_syncer_spark", "query", "nope"],
+        cwd=REPO, capture_output=True, text=True, timeout=240,
+    )
+    assert bad.returncode == 2
