@@ -223,6 +223,79 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_chunk_apply",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    c AS (
+      SELECT doc_id, substr(text, CAST(i * 400 + 1 AS BIGINT), 500) AS chunk
+      FROM d, LATERAL (
+        SELECT unnest(range(0, (greatest(L, 1) - 1) // 400 + 1)) AS i)
+    ),
+    h AS (SELECT doc_id, md5(chunk) AS chunk_md5 FROM c),
+    owner AS (SELECT chunk_md5, min(doc_id) AS first_doc FROM h GROUP BY 1)
+    SELECT h.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE o.first_doc < h.doc_id) AS BIGINT) AS n_dup,
+           CAST(round(1000000.0 * count(*) FILTER (WHERE o.first_doc < h.doc_id)
+                      / count(*)) AS BIGINT) AS dup_micro
+    FROM h JOIN owner o USING (chunk_md5)
+    GROUP BY h.doc_id HAVING count(*) FILTER (WHERE o.first_doc < h.doc_id) > 0
+    ORDER BY h.doc_id
+    """,
+)
+def dedup_chunk_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply stage of chunk-level dedup: per-document duplicated-content
+    fraction, counting chunks whose verbatim copy already appears in an
+    EARLIER document (min-doc_id ownership — the same deterministic
+    keeper rule as ``dedup_exact_canonical``).  Real pipelines gate on
+    this number (drop or trim docs beyond a dup-fraction threshold);
+    emitting only docs with ≥1 duplicated chunk keeps the output
+    dup-bounded, like ``dedup_chunk_exact``.
+
+    Scale shape: chunk explode is scan-fused; ownership is one hash agg
+    on ``chunk_md5``; the apply join keys on the same fixed-width hash
+    (Catalyst broadcasts the ownership dim at fixture scale; at corpus
+    scale it degrades gracefully to a sort-merge join co-partitioned
+    with the ownership agg's own shuffle), then rolls up per doc.  The
+    fraction divides two exact integers, so the micro-unit rounding is
+    cross-engine stable.
+    """
+    chunks = (
+        T(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("sequence(0, int((greatest(length(text), 1) - 1) div 400))")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.expr("substring(text, i * 400 + 1, 500)")).alias("chunk_md5"),
+        )
+    )
+    owner = chunks.groupBy("chunk_md5").agg(F.min("doc_id").alias("first_doc"))
+    dup = F.col("first_doc") < F.col("doc_id")
+    return (
+        chunks.join(owner, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(dup.cast("long")).cast("long").alias("n_dup"),
+            F.round(
+                F.lit(1000000.0)
+                * F.sum(dup.cast("long"))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("dup_micro"),
+        )
+        .filter(F.col("n_dup") > 0)
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "join_asof_nearest",
     oracle="""
     WITH lft AS (

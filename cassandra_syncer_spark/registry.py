@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     "join_asof_nearest",
     "scan_orc_roundtrip",
     "agg_countmin_freq",
+    "dedup_chunk_apply",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
