@@ -223,6 +223,70 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_epoch_plan",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs, tokens,
+             CAST(round(sqrt(CAST(tokens AS DOUBLE)) * 1000000) AS BIGINT) AS wt
+      FROM src
+    )
+    SELECT source, n_docs, tokens,
+           CAST((1000000 * wt) // (SELECT sum(wt) FROM w) AS BIGINT)
+             AS target_tokens,
+           CAST((1000000 * ((1000000 * wt) // (SELECT sum(wt) FROM w))) // tokens
+             AS BIGINT) AS epochs_micro
+    FROM w ORDER BY source
+    """,
+)
+def mix_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixing-plan computation: given a 1M-token training budget and
+    temperature-2 target shares (∝ √tokens, the same family as
+    ``mix_temperature_sampling``), derive per-source target token counts
+    and the repeat factor (epochs, in micro-units) each source must run
+    to hit its share — the planning step before corpus assembly decides
+    which sources repeat (epochs > 1e6) and which truncate (< 1e6).
+
+    Determinism discipline: weights integerized (``round(√tokens·10⁶)``)
+    BEFORE summation, shares and epochs by integer division — the whole
+    plan is a pure function of the per-source token counts, identical
+    across engines and reruns.
+
+    Scale: one scan → per-source agg (keys = |sources|, tiny); the plan
+    itself is dimension-sized arithmetic.  At 100 TB this is metadata
+    math on top of one aggregation pass.
+    """
+    docs = T(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+    )
+    w = src.withColumn(
+        "wt",
+        F.round(F.sqrt(F.col("tokens").cast("double")) * 1_000_000).cast("long"),
+    )
+    total = w.agg(F.sum("wt").alias("wt_sum"))
+    return (
+        w.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.expr("(1000000 * wt) div wt_sum").cast("long").alias("target_tokens"),
+            F.expr("(1000000 * ((1000000 * wt) div wt_sum)) div tokens")
+            .cast("long")
+            .alias("epochs_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dedup_chunk_apply",
     oracle="""
     WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),

@@ -69,6 +69,7 @@ PRIORITY: tuple[str, ...] = (
     "scan_orc_roundtrip",
     "agg_countmin_freq",
     "dedup_chunk_apply",
+    "mix_epoch_plan",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
