@@ -425,6 +425,99 @@ def dedup_verify_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AGREE_DUCK = " + ".join(
+    f"CAST(sa.mh{p} = sb.mh{p} AS INT)" for p in range(fp.NUM_PERMS)
+)
+_ESTIMATE_SQL = f"""
+    {_minhash_cte(True)},
+    bands AS ({_band_union(True)}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ss AS (SELECT doc_id, list_distinct(sh) AS u FROM s)
+    SELECT c.doc_a, c.doc_b,
+           CAST(({_AGREE_DUCK}) AS BIGINT) AS n_agree,
+           CAST(({_AGREE_DUCK}) * {1_000_000 // fp.NUM_PERMS} AS BIGINT)
+             AS est_micro,
+           CAST(round(1000000.0 * len(list_intersect(ua.u, ub.u))
+                      / len(list_distinct(list_concat(ua.u, ub.u)))) AS BIGINT)
+             AS jacc_micro
+    FROM cand c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
+    JOIN ss ua ON c.doc_a = ua.doc_id
+    JOIN ss ub ON c.doc_b = ub.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_estimate", oracle=_ESTIMATE_SQL)
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-as-estimator certification: for every band-candidate pair,
+    the signature-agreement estimate of Jaccard (fraction of the 8
+    permutations agreeing, in micro-units) SIDE BY SIDE with the exact
+    shingle-set Jaccard it estimates — the sketch-vs-exact envelope row
+    for the dedup family, completing what ``agg_*_bounds`` does for
+    HLL/GK (here both engines reproduce the identical signatures, so the
+    estimates themselves hash-match; no boolean waiver needed).
+
+    At 100 TB only the estimate column is computable (exact Jaccard per
+    pair needs both shingle sets); this query is the validation-scale
+    evidence that the banding parameters track truth —
+    tests/test_operators.py::test_minhash_estimate_tracks_jaccard gates
+    the mean absolute error.
+
+    Scale shape: candidates from the bucket-local band self-join
+    (``_minhash_pairs``); signatures and distinct-shingle sets join back
+    by doc_id, touching candidate docs only.
+    """
+    docs = fan_out(T(spark, sf_dir, "documents"), spark)
+    words = fp.words_expr("text", duck=False)
+    sh = fp.shingles_expr("words", duck=False)
+    staged = (
+        docs.selectExpr("doc_id", f"{words} AS words")
+        .selectExpr("doc_id", f"{sh} AS sh")
+        .selectExpr(
+            "doc_id",
+            "array_distinct(sh) AS u",
+            f"{fp.shingle_hash_array('sh', duck=False)} AS hb",
+        )
+        .selectExpr(
+            "doc_id",
+            "u",
+            *[
+                f"{fp.minhash_expr('hb', p, duck=False)} AS mh{p}"
+                for p in range(fp.NUM_PERMS)
+            ],
+        )
+    )
+    cand = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sa = staged.alias("sa")
+    sb = staged.alias("sb")
+    n_agree = sum(
+        (F.col(f"sa.mh{p}") == F.col(f"sb.mh{p}")).cast("int")
+        for p in range(fp.NUM_PERMS)
+    ).cast("long")
+    inter = F.size(F.array_intersect(F.col("sa.u"), F.col("sb.u")))
+    union = F.size(F.array_union(F.col("sa.u"), F.col("sb.u")))
+    return (
+        cand.join(sa, cand.doc_a == F.col("sa.doc_id"))
+        .join(sb, cand.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            (n_agree * (1_000_000 // fp.NUM_PERMS)).cast("long").alias("est_micro"),
+            F.round(F.lit(1000000.0) * inter / union).cast("long").alias("jacc_micro"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _SIMHASH_CTE_DUCK = f"""
     WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=True)} AS words FROM documents),
     sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=True)} AS sh0 FROM w),

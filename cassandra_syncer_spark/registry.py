@@ -70,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_countmin_freq",
     "dedup_chunk_apply",
     "mix_epoch_plan",
+    "dedup_minhash_estimate",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

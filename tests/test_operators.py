@@ -457,3 +457,20 @@ def test_salted_self_pairs_equals_plain_join(spark, sf_dir):
     assert set(salted) == plain
     # sanity: the hot bucket really exercised the multi-salt path
     assert 500 * 499 // 2 == sum(1 for p in salted if p[1] == "hot")
+
+
+def test_minhash_estimate_tracks_jaccard(spark, sf_dir):
+    """The 8-perm signature-agreement estimate must track exact shingle
+    Jaccard on the band candidates: mean |est - exact| within the
+    sampling error of 8 permutations (sigma = sqrt(j(1-j)/8) <= 0.18),
+    and high-similarity pairs (>= 0.9) must estimate high (>= 0.5)."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["dedup_minhash_estimate"].fn(spark, sf_dir).collect()
+    assert rows, "band candidates expected on the fixture corpus"
+    mae = sum(abs(r.est_micro - r.jacc_micro) for r in rows) / len(rows) / 1e6
+    assert mae <= 0.25, f"estimator MAE {mae:.3f} off the 8-perm envelope"
+    for r in rows:
+        if r.jacc_micro >= 900_000:
+            assert r.est_micro >= 500_000, (r.doc_a, r.doc_b, r.est_micro)
