@@ -142,3 +142,116 @@ def agg_hll_union_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_HIST_B = 1024  # fixed bucket count — the sketch's whole memory footprint
+
+
+@register(
+    "agg_percentile_hist",
+    oracle=f"""
+    WITH v AS (
+      SELECT l_returnflag AS g,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+      FROM lineitem
+    ),
+    s AS (
+      SELECT g, min(vc) AS lo, max(vc) AS hi, CAST(count(*) AS BIGINT) AS n
+      FROM v GROUP BY g
+    ),
+    b AS (
+      SELECT v.g, ((vc - lo) * {_HIST_B}) // (hi - lo + 1) AS bkt
+      FROM v JOIN s ON v.g = s.g
+    ),
+    h AS (SELECT g, bkt, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT g, bkt, sum(c) OVER (PARTITION BY g ORDER BY bkt) AS cum FROM h
+    ),
+    p AS (
+      SELECT cum.g,
+             min(CASE WHEN cum >= (50 * n + 99) // 100 THEN bkt END) AS b50,
+             min(CASE WHEN cum >= (95 * n + 99) // 100 THEN bkt END) AS b95
+      FROM cum JOIN s ON cum.g = s.g GROUP BY cum.g
+    )
+    SELECT p.g AS l_returnflag, s.n,
+           s.lo AS lo_centi, s.hi AS hi_centi,
+           CAST((s.hi - s.lo + {_HIST_B}) // {_HIST_B} AS BIGINT) AS bin_centi,
+           CAST(s.lo + (p.b50 * (s.hi - s.lo + 1)) // {_HIST_B} AS BIGINT)
+             AS p50_est_centi,
+           CAST(s.lo + (p.b95 * (s.hi - s.lo + 1)) // {_HIST_B} AS BIGINT)
+             AS p95_est_centi
+    FROM p JOIN s ON p.g = s.g ORDER BY l_returnflag
+    """,
+)
+def agg_percentile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram percentile — the PORTABLE approximate
+    percentile: unlike GK/t-digest (engine-specific internals →
+    ``agg_percentile_approx`` is rows-only by contract), a 1024-bin
+    equal-width histogram over exact integer centi-values is a pure
+    function of the data, so both engines produce the identical estimate
+    and this sketch query hash-checks directly.  Error is bounded by one
+    bin width (``bin_centi``, emitted so the bound is visible in the
+    output); tests/test_operators.py::test_hist_percentile_within_bin
+    gates the estimate against the exact percentile.
+
+    Scale shape: pass 1 computes per-group (lo, hi, n) — at 100 TB these
+    bounds are usually known a priori (fixed price domains), collapsing
+    to ONE pass; pass 2 folds rows into ≤1024 counters per group with
+    map-side combine.  The histogram is mergeable by cell-wise sum
+    (same shard/stream story as ``agg_countmin_freq``'s cells), and the
+    quantile read-out is a tiny per-group cumulative window over the
+    counters, never over rows.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("vc"),
+    )
+    s = v.groupBy("g").agg(
+        F.min("vc").alias("lo"),
+        F.max("vc").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    b = v.join(F.broadcast(s), "g").select(
+        "g", F.expr(f"((vc - lo) * {_HIST_B}) div (hi - lo + 1)").alias("bkt")
+    )
+    h = b.groupBy("g", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    cum = h.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("g").orderBy("bkt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    p = (
+        cum.join(F.broadcast(s), "g")
+        .groupBy("g")
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(50 * n + 99) div 100"), F.col("bkt"))
+            ).alias("b50"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(95 * n + 99) div 100"), F.col("bkt"))
+            ).alias("b95"),
+        )
+    )
+    return (
+        p.join(F.broadcast(s), "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "n",
+            F.col("lo").alias("lo_centi"),
+            F.col("hi").alias("hi_centi"),
+            F.expr(f"(hi - lo + {_HIST_B}) div {_HIST_B}").cast("long").alias("bin_centi"),
+            F.expr(f"lo + (b50 * (hi - lo + 1)) div {_HIST_B}")
+            .cast("long")
+            .alias("p50_est_centi"),
+            F.expr(f"lo + (b95 * (hi - lo + 1)) div {_HIST_B}")
+            .cast("long")
+            .alias("p95_est_centi"),
+        )
+        .orderBy("l_returnflag")
+    )

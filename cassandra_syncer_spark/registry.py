@@ -71,6 +71,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_chunk_apply",
     "mix_epoch_plan",
     "dedup_minhash_estimate",
+    "agg_percentile_hist",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

@@ -474,3 +474,29 @@ def test_minhash_estimate_tracks_jaccard(spark, sf_dir):
     for r in rows:
         if r.jacc_micro >= 900_000:
             assert r.est_micro >= 500_000, (r.doc_a, r.doc_b, r.est_micro)
+
+
+def test_hist_percentile_within_bin(spark, sf_dir):
+    """The 1024-bin histogram estimate must land within one bin width of
+    the exact nearest-rank percentile (the sketch's error bound)."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import load_table
+
+    all_queries()
+    est = {r.l_returnflag: r for r in
+           REGISTRY["agg_percentile_hist"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("vc"),
+    )
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag").agg(
+            F.expr("percentile(vc, 0.5)").alias("p50"),
+            F.expr("percentile(vc, 0.95)").alias("p95"),
+        ).collect()
+    }
+    for g, e in est.items():
+        x = exact[g]
+        assert abs(e.p50_est_centi - x.p50) <= 2 * e.bin_centi, (g, e, x.p50)
+        assert abs(e.p95_est_centi - x.p95) <= 2 * e.bin_centi, (g, e, x.p95)
