@@ -528,6 +528,72 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH lft AS (
+      SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_sec
+      FROM events WHERE event_type = 'click'
+    ), rgt AS (
+      SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_sec,
+             max(event_id) AS r_event_id
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), matched AS (
+      SELECT l.event_id, l.user_id, l.ts_sec,
+             max_by(r.r_event_id, r.ts_sec) AS m_event_id,
+             max(r.ts_sec) AS m_ts
+      FROM lft l
+      LEFT JOIN rgt r ON l.user_id = r.user_id AND r.ts_sec <= l.ts_sec
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_id, user_id, ts_sec,
+           CASE WHEN ts_sec - m_ts <= 3600 THEN m_event_id END AS matched_event_id,
+           CASE WHEN ts_sec - m_ts <= 3600 THEN m_ts END AS matched_ts_sec,
+           (m_ts IS NOT NULL AND ts_sec - m_ts > 3600) AS stale
+    FROM matched ORDER BY event_id
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND (1 hour): the feature-store /
+    sensor-alignment rule — a backward match older than the tolerance is
+    worse than no match (a reading from last week must not impersonate
+    current state), so stale matches are nulled and flagged rather than
+    silently joined.
+
+    Same one-shuffle ``asof_join`` dataflow; the tolerance is a pure
+    post-window projection, so the scale posture is unchanged — compare
+    ``join_asof`` (unbounded backward) and ``join_asof_nearest`` (either
+    direction).  The oracle keeps the O(n·m)-per-key formulation, fine
+    at sf0.01 only.
+    """
+    from cassandra_syncer_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events").withColumn("ts_sec", F.expr("ts_ns div 1000000000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_sec"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_sec", "event_id"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="ts_sec",
+        right_ts="ts_sec",
+        value_cols=["event_id"],
+    )
+    fresh = F.col("ts_sec") - F.col("matched_ts") <= 3600
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.when(fresh, F.col("matched_event_id")).alias("matched_event_id"),
+        F.when(fresh, F.col("matched_ts")).alias("matched_ts_sec"),
+        (F.col("matched_ts").isNotNull() & ~fresh).alias("stale"),
+    ).orderBy("event_id")
+
+
+@register(
     "scan_orc_roundtrip",
     oracle="""
     SELECT p_brand,

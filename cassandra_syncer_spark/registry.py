@@ -72,6 +72,7 @@ PRIORITY: tuple[str, ...] = (
     "mix_epoch_plan",
     "dedup_minhash_estimate",
     "agg_percentile_hist",
+    "join_asof_tolerance",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
