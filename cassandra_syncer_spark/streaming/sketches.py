@@ -59,3 +59,94 @@ def compact_cells(spark: SparkSession, cells_log: str, out_path: str) -> None:
     """Fold the partials log back to a single ≤ d×w-row sketch (run
     periodically; the merged result is byte-equivalent by associativity)."""
     read_cms(spark, cells_log).write.mode("overwrite").parquet(out_path)
+
+
+def hist_cells(df: DataFrame, value_col: str, lo: int, hi: int, n_bins: int = 1024) -> DataFrame:
+    """Fold integer values into fixed-bound histogram counters (bin, c) —
+    the streaming/production mode of ``agg_percentile_hist``: bounds are
+    known A PRIORI (fixed domain), so the fold is one pass and partials
+    from any shard or microbatch merge by cell-wise sum.  Out-of-domain
+    values clamp to the edge bins (they'd otherwise be silently lost —
+    the clamp keeps total mass equal to row count, and a fat edge bin is
+    the visible symptom of a mis-declared domain)."""
+    from pyspark.sql import functions as F
+
+    span = hi - lo + 1
+    bin_col = F.expr(
+        f"least(greatest((({value_col} - {lo}) * {n_bins}) div {span}, 0), {n_bins - 1})"
+    )
+    return (
+        df.select(bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def run_streaming_hist(
+    stream: DataFrame,
+    value_col: str,
+    lo: int,
+    hi: int,
+    checkpoint_dir: str,
+    cells_log: str,
+    n_bins: int = 1024,
+) -> None:
+    """Maintain histogram partials over a stream (same append-only
+    contract as :func:`run_streaming_cms`)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        hist_cells(batch_df, value_col, lo, hi, n_bins).write.mode("append").parquet(
+            cells_log
+        )
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_hist(spark: SparkSession, cells_log: str) -> DataFrame:
+    """The merged histogram: cell-wise sum over every appended partial."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(cells_log)
+        .groupBy("bin")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+
+
+def hist_quantile(hist: DataFrame, lo: int, hi: int, pct: int, n_bins: int = 1024) -> DataFrame:
+    """Quantile read-out from a merged histogram: 1-row DataFrame with the
+    estimate (bin lower bound) — windows over ≤ n_bins counters, never
+    rows; same integer math as ``agg_percentile_hist``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    span = hi - lo + 1
+    cum = hist.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    total = hist.agg(F.sum("c").alias("n"))
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .groupBy()
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({pct} * n + 99) div 100"), F.col("bin")
+                )
+            ).alias("bin_est")
+        )
+        .select(
+            F.expr(f"{lo} + (bin_est * {span}) div {n_bins}")
+            .cast("long")
+            .alias("est")
+        )
+    )

@@ -307,3 +307,41 @@ def estimate_rows(cells_df, keys_df):
     from cassandra_syncer_spark.operators import cms
 
     return cms.estimate(cells_df, keys_df, "name").collect()
+
+
+def test_streaming_hist_partials_merge_and_quantile(spark, tmp_path):
+    """Histogram partials over a stream merge to the batch histogram
+    (fixed a-priori bounds), the quantile read-out lands within one bin
+    of the exact percentile, and out-of-domain values clamp to edge bins
+    instead of vanishing."""
+    from cassandra_syncer_spark.streaming.sketches import (
+        hist_cells,
+        hist_quantile,
+        read_hist,
+        run_streaming_hist,
+    )
+
+    vals = list(range(0, 1000, 7)) + [5000, -50]  # incl. out-of-domain rows
+    waves = [
+        [{"name": str(v), "etag": str(v), "ts": "2024-01-01T00:00:00"} for v in vals[:80]],
+        [{"name": str(v), "etag": str(v), "ts": "2024-01-01T01:00:00"} for v in vals[80:]],
+    ]
+    _stage(tmp_path / "watch", waves)
+    stream = (
+        watch_files(spark, str(tmp_path / "watch"), FILE_EVENT_SCHEMA)
+        .withColumn("v", F.col("name").cast("long"))
+    )
+    LO, HI, B = 0, 999, 64
+    log = str(tmp_path / "hist_cells")
+    run_streaming_hist(stream, "v", LO, HI, str(tmp_path / "ckpt_hist"), log, n_bins=B)
+
+    merged = {(r.bin): r.c for r in read_hist(spark, log).collect()}
+    all_df = spark.createDataFrame([(v,) for v in vals], "v long")
+    batch = {(r.bin): r.c for r in hist_cells(all_df, "v", LO, HI, n_bins=B).collect()}
+    assert merged == batch
+    assert sum(merged.values()) == len(vals)  # clamp keeps total mass
+
+    [row] = hist_quantile(read_hist(spark, log), LO, HI, 50, n_bins=B).collect()
+    exact_p50 = sorted(vals)[int(0.5 * len(vals))]
+    bin_w = (HI - LO + 1 + B - 1) // B
+    assert abs(row.est - exact_p50) <= 2 * bin_w, (row.est, exact_p50)
