@@ -589,6 +589,75 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_estimate",
+    oracle=_SIMHASH_CTE_DUCK
+    + """
+    , cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    ),
+    ss AS (SELECT doc_id, list_distinct(sh0) AS u FROM sgl)
+    SELECT c.doc_a, c.doc_b, c.hamming,
+           CAST((32 - c.hamming) * 31250 AS BIGINT) AS agree_micro,
+           CAST(round(1000000.0 * len(list_intersect(ua.u, ub.u))
+                      / len(list_distinct(list_concat(ua.u, ub.u)))) AS BIGINT)
+             AS jacc_micro
+    FROM cand c
+    JOIN ss ua ON c.doc_a = ua.doc_id
+    JOIN ss ub ON c.doc_b = ub.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-as-signal certification, the ``dedup_minhash_estimate``
+    counterpart for the other near-dup sketch: every band-candidate pair
+    (NO Hamming cut — the full candidate set, so the threshold choice is
+    auditable) with its Hamming distance, the bit-agreement score in
+    micro-units, and the exact shingle Jaccard.  Both engines compute
+    identical signatures and sets, so all three columns hash-match; the
+    unit test gates that bit agreement separates true near-dups from
+    band-collision noise (the property the Hamming ≤ 3 cut relies on).
+
+    Scale: candidates are band-bucket-local as in ``dedup_simhash``;
+    the exact-Jaccard columns join shingle sets by doc_id — validation-
+    scale evidence only, production keeps just the Hamming columns.
+    """
+    fan_out(T(spark, sf_dir, "documents"), spark).createOrReplaceTempView("documents")
+    return spark.sql(
+        f"""
+        WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=False)} AS words FROM documents),
+        sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=False)} AS sh0 FROM w),
+        h AS (SELECT doc_id, {fp.shingle_hash_array("sh0", duck=False)} AS harr FROM sgl),
+        sig AS (SELECT doc_id, CAST({fp.simhash_expr('harr', duck=False)} AS BIGINT) AS sh FROM h),
+        bands AS (
+          SELECT doc_id, sh, k AS band_id,
+                 (sh div cast(pow(256, k) as bigint)) % 256 AS band_val
+          FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
+          FROM bands a JOIN bands b
+            ON a.band_id = b.band_id AND a.band_val = b.band_val
+           AND a.doc_id < b.doc_id
+        ),
+        ss AS (SELECT doc_id, array_distinct(sh0) AS u FROM sgl)
+        SELECT c.doc_a, c.doc_b, c.hamming,
+               CAST((32 - c.hamming) * 31250 AS BIGINT) AS agree_micro,
+               CAST(round(1000000.0 * size(array_intersect(ua.u, ub.u))
+                          / size(array_union(ua.u, ub.u))) AS BIGINT)
+                 AS jacc_micro
+        FROM cand c
+        JOIN ss ua ON c.doc_a = ua.doc_id
+        JOIN ss ub ON c.doc_b = ub.doc_id
+        ORDER BY doc_a, doc_b
+        """
+    )
+
+
+@register(
     "dedup_embed_cosine",
     oracle="""
     WITH e AS (

@@ -73,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_minhash_estimate",
     "agg_percentile_hist",
     "join_asof_tolerance",
+    "dedup_simhash_estimate",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

@@ -500,3 +500,22 @@ def test_hist_percentile_within_bin(spark, sf_dir):
         x = exact[g]
         assert abs(e.p50_est_centi - x.p50) <= 2 * e.bin_centi, (g, e, x.p50)
         assert abs(e.p95_est_centi - x.p95) <= 2 * e.bin_centi, (g, e, x.p95)
+
+
+def test_simhash_bit_agreement_separates_dups_from_collisions(spark, sf_dir):
+    """Bit agreement must separate true near-dups (high shingle Jaccard)
+    from band-collision noise — the property the Hamming <= 3 cut in
+    dedup_simhash relies on."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = REGISTRY["dedup_simhash_estimate"].fn(spark, sf_dir).collect()
+    assert rows
+    dup = [r.hamming for r in rows if r.jacc_micro >= 500_000]
+    noise = [r.hamming for r in rows if r.jacc_micro <= 200_000]
+    assert dup, "fixture corpus should contain high-Jaccard candidate pairs"
+    mean_dup = sum(dup) / len(dup)
+    assert mean_dup <= 3.0, f"near-dup pairs should have tiny Hamming: {mean_dup}"
+    if noise:
+        mean_noise = sum(noise) / len(noise)
+        assert mean_noise > mean_dup, (mean_dup, mean_noise)
