@@ -597,6 +597,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+      WHERE CAST(CAST(concat('0x', substr(md5(concat(CAST(a.doc_id AS VARCHAR), ':',
+                 CAST(b.doc_id AS VARCHAR))), 1, 8)) AS UBIGINT) AS BIGINT) % 8 = 0
     ),
     ss AS (SELECT doc_id, list_distinct(sh0) AS u FROM sgl)
     SELECT c.doc_a, c.doc_b, c.hamming,
@@ -612,17 +614,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-as-signal certification, the ``dedup_minhash_estimate``
-    counterpart for the other near-dup sketch: every band-candidate pair
-    (NO Hamming cut — the full candidate set, so the threshold choice is
-    auditable) with its Hamming distance, the bit-agreement score in
-    micro-units, and the exact shingle Jaccard.  Both engines compute
-    identical signatures and sets, so all three columns hash-match; the
-    unit test gates that bit agreement separates true near-dups from
+    counterpart for the other near-dup sketch: band-candidate pairs WITH
+    NO Hamming cut (so the threshold choice is auditable), each carrying
+    its Hamming distance, the bit-agreement score in micro-units, and
+    the exact shingle Jaccard.  Both engines compute identical
+    signatures and sets, so all three columns hash-match; the unit test
+    gates that bit agreement separates true near-dups from
     band-collision noise (the property the Hamming ≤ 3 cut relies on).
 
-    Scale: candidates are band-bucket-local as in ``dedup_simhash``;
-    the exact-Jaccard columns join shingle sets by doc_id — validation-
-    scale evidence only, production keeps just the Hamming columns.
+    Certification runs on a DETERMINISTIC 1-in-8 pair sample (portable
+    md5 hash of the pair key — identical sample both engines, stable
+    under reruns): the un-cut candidate set grows with bucket-pair
+    volume, and an audit needs a representative sample, not the
+    universe — the same reasoning as ``mix_sample_weighted``'s
+    hash-bucket sampling.  Candidates stay band-bucket-local as in
+    ``dedup_simhash``; the exact-Jaccard columns join shingle sets by
+    doc_id — validation-scale evidence only, production keeps just the
+    Hamming columns.
     """
     fan_out(T(spark, sf_dir, "documents"), spark).createOrReplaceTempView("documents")
     return spark.sql(
@@ -642,6 +650,8 @@ def dedup_simhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM bands a JOIN bands b
             ON a.band_id = b.band_id AND a.band_val = b.band_val
            AND a.doc_id < b.doc_id
+           AND cast(conv(substr(md5(concat(cast(a.doc_id as string), ':',
+                     cast(b.doc_id as string))), 1, 8), 16, 10) as bigint) % 8 = 0
         ),
         ss AS (SELECT doc_id, array_distinct(sh0) AS u FROM sgl)
         SELECT c.doc_a, c.doc_b, c.hamming,
