@@ -519,3 +519,55 @@ def test_simhash_bit_agreement_separates_dups_from_collisions(spark, sf_dir):
     if noise:
         mean_noise = sum(noise) / len(noise)
         assert mean_noise > mean_dup, (mean_dup, mean_noise)
+
+
+def test_band_index_incremental_equals_batch(spark, sf_dir, tmp_path):
+    """Probing batch B against a persisted index of A must yield exactly
+    the A-to-B cross pairs of a full dedup over the union — the
+    incremental lifecycle loses and invents nothing."""
+    from cassandra_syncer_spark.operators.band_index import (
+        append_index,
+        build_bands,
+        probe_index,
+    )
+    from cassandra_syncer_spark.session import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 5 != 0)   # existing corpus
+    b = docs.filter(F.col("doc_id") % 5 == 0)   # today's batch
+
+    idx_path = str(tmp_path / "band_index")
+    append_index(build_bands(a), idx_path)
+    got = {
+        (r.new_doc, r.existing_doc, r.n_shared_bands)
+        for r in probe_index(spark, idx_path, build_bands(b)).collect()
+    }
+
+    # batch reference: all-pairs band join over the union, A-side x B-side
+    all_bands = build_bands(docs)
+    x, y = all_bands.alias("x"), all_bands.alias("y")
+    want = {
+        (r.new_doc, r.existing_doc, r.n)
+        for r in x.join(
+            y,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_key") == F.col("y.band_key")),
+        )
+        .filter((F.col("x.doc_id") % 5 == 0) & (F.col("y.doc_id") % 5 != 0))
+        .groupBy(
+            F.col("x.doc_id").alias("new_doc"),
+            F.col("y.doc_id").alias("existing_doc"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want and got, f"incremental {len(got)} vs batch {len(want)}"
+
+    # appending B then probing a further batch C sees BOTH A and B docs
+    append_index(build_bands(b), idx_path)
+    c = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )  # shifted ids: every C doc is "new"
+    hits = probe_index(spark, idx_path, build_bands(c))
+    partners = {r.existing_doc % 5 == 0 for r in hits.collect()}
+    assert partners == {True, False}, "probe must see both index generations"
