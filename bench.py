@@ -48,6 +48,11 @@ HEADLINE = [
     "q21_late_suppliers",
     # round-5: corpus-LM scoring vs the naive positional-self-join port
     "corpus_bigram_lm_score",
+    # round-5 timed rows (no vanilla counterpart; SCALING.md carries the
+    # 10x evidence): sketch fold, fused nearest as-of, histogram quantile
+    "agg_countmin_freq",
+    "join_asof_nearest",
+    "agg_percentile_hist",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced
