@@ -74,6 +74,12 @@ PRIORITY: tuple[str, ...] = (
     "agg_percentile_hist",
     "join_asof_tolerance",
     "dedup_simhash_estimate",
+    "split_train_valid_test",
+    "sample_reservoir_perkey",
+    "agg_distinct_bitmap",
+    "sim_hamming_ann",
+    "join_bloom_prefilter",
+    "corpus_dupsize_histogram",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

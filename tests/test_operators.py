@@ -571,3 +571,93 @@ def test_band_index_incremental_equals_batch(spark, sf_dir, tmp_path):
     hits = probe_index(spark, idx_path, build_bands(c))
     partners = {r.existing_doc % 5 == 0 for r in hits.collect()}
     assert partners == {True, False}, "probe must see both index generations"
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark, sf_dir):
+    """The bloom prefilter must pass EVERY true-matching fact row (no
+    false negatives — else the exact join would silently lose rows) and
+    drop most non-matching rows (else it isn't a useful runtime filter)."""
+    from pyspark.sql import functions as F
+
+    from cassandra_syncer_spark.queries.analytics_r5c import (
+        bloom_bitmap,
+        bloom_probe,
+    )
+    from cassandra_syncer_spark.queries.relational import T
+
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    bitmap = bloom_bitmap(cust.select("c_custkey"), "c_custkey")
+    orders = T(spark, sf_dir, "orders")
+
+    true_match = orders.join(
+        cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"), "left_semi"
+    )
+    n_true = true_match.count()
+    # no false negatives: every true match passes the bloom
+    assert true_match.filter(bloom_probe("o_custkey", bitmap)).count() == n_true
+
+    n_all = orders.count()
+    n_pass = orders.filter(bloom_probe("o_custkey", bitmap)).count()
+    # selective: the pass set is far closer to |matches| than |fact|
+    assert n_true <= n_pass <= n_true + max(10, int(0.05 * n_all)), (
+        f"bloom passed {n_pass} of {n_all} rows for {n_true} true matches"
+    )
+
+
+def test_bitmap_distinct_equals_exact(spark, sf_dir):
+    """Bitmap-partial distinct must equal count(DISTINCT) exactly."""
+    from pyspark.sql import functions as F
+
+    from cassandra_syncer_spark.queries.analytics_r5c import agg_distinct_bitmap
+    from cassandra_syncer_spark.queries.relational import T
+
+    got = {
+        (r.event_type, r.n_users)
+        for r in agg_distinct_bitmap(spark, sf_dir).collect()
+    }
+    want = {
+        (r.event_type, r.n)
+        for r in T(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("long").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_hamming_ann_tracks_cosine(spark, sf_dir):
+    """Sign-code Hamming neighbors must overlap brute-force cosine
+    neighbors: Hamming distance estimates angular distance, so for each
+    probe the top-5 Hamming set should hit the top-20 cosine set."""
+    from pyspark.sql import functions as F
+
+    from cassandra_syncer_spark.queries.analytics_r5c import sim_hamming_ann
+    from cassandra_syncer_spark.queries.relational import T
+
+    ham = sim_hamming_ann(spark, sf_dir).collect()
+    emb = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    probes = sorted({r.probe_id for r in ham})
+    a, b = emb.alias("a"), emb.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    hits = total = 0
+    for p in probes:
+        top_cos = [
+            r.vec_id
+            for r in a.filter(F.col("a.vec_id") == p)
+            .crossJoin(b)
+            .filter(F.col("b.vec_id") != p)
+            .select(F.col("b.vec_id").alias("vec_id"), dot.alias("cos"))
+            .orderBy(F.desc("cos"), "vec_id")
+            .limit(20)
+            .collect()
+        ]
+        ham_top = [r.vec_id for r in ham if r.probe_id == p]
+        hits += len(set(ham_top) & set(top_cos))
+        total += len(ham_top)
+    assert total > 0 and hits / total >= 0.4, f"overlap {hits}/{total}"
