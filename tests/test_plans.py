@@ -441,3 +441,39 @@ def test_tpch_batch4_plan_shapes(spark, sf_dir):
     assert p15.count("BroadcastHashJoin") >= 2 and "CartesianProduct" not in p15
     # q17: the decorrelated per-part agg must not produce a cartesian
     assert "CartesianProduct" not in plan_of(spark, sf_dir, "q17_small_quantity_revenue")
+
+
+def test_bloom_prefilter_filters_before_broadcast_semi(spark, sf_dir):
+    """join_bloom_prefilter: the bloom predicate must sit scan-side
+    (a Filter containing the md5 probe below the join), and the exact
+    join must be a broadcast LEFT SEMI — never a shuffle of the fact."""
+    p = plan_of(spark, sf_dir, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p
+    j = p.find("BroadcastHashJoin")
+    assert "md5" in p[j:], "bloom probe filter lost below the semi join"
+
+
+def test_hamming_ann_broadcasts_probes(spark, sf_dir):
+    """sim_hamming_ann: probe side broadcast (BNLJ on the != predicate);
+    the corpus scan reads only vec_id + embedding."""
+    p = plan_of(spark, sf_dir, "sim_hamming_ann")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("ReadSchema: struct<vec_id:bigint,embedding") >= 1, p
+
+
+def test_bitmap_distinct_has_no_expand(spark, sf_dir):
+    """agg_distinct_bitmap: the whole point is avoiding the
+    count(DISTINCT) Expand — the plan must be two plain hash aggregates
+    with a partial bit_or combine, no Expand node."""
+    p = plan_of(spark, sf_dir, "agg_distinct_bitmap")
+    assert "Expand" not in p, p
+    assert "partial_bit_or" in p or "bit_or" in p, p
+    assert p.count("HashAggregate") >= 4, p  # partial+final per stage
+
+
+def test_reservoir_perkey_single_hash_exchange(spark, sf_dir):
+    """sample_reservoir_perkey: exactly one hash shuffle (on the key);
+    the final orderBy adds a range exchange but nothing else."""
+    p = plan_of(spark, sf_dir, "sample_reservoir_perkey")
+    assert p.count("hashpartitioning") == 1, p
