@@ -106,6 +106,24 @@ FLAGSHIPS = [
         "four integer universal-hash perms per row, map-side combine; probe "
         "join broadcasts — nothing downstream depends on corpus size (r5)",
     ),
+    (
+        "join_bloom_prefilter",
+        "explicit runtime bloom: 8 KiB bitmap built from the filtered dim, "
+        "embedded as a constant predicate in the fact scan's Filter, exact "
+        "broadcast LEFT SEMI after — shuffle volume |fact| → ~|matches| (r5)",
+    ),
+    (
+        "sim_hamming_ann",
+        "binary-code ANN: 8-byte sign codes, probe side broadcast (BNLJ), "
+        "corpus never shuffles; distance is XOR+popcount, 32× narrower than "
+        "the float scan (r5)",
+    ),
+    (
+        "agg_distinct_bitmap",
+        "exact distinct without Expand: bit_or bitmap partials combine "
+        "map-side, shuffle carries ≤ keys×idspace/64 longs — the roaring "
+        "pattern, mergeable across batches (r5)",
+    ),
 ]
 
 
