@@ -53,6 +53,10 @@ HEADLINE = [
     "agg_countmin_freq",
     "join_asof_nearest",
     "agg_percentile_hist",
+    # round-5 batch-3 gate rows: bitmap distinct vs the Expand formulation,
+    # binary-code Hamming ANN vs the full-precision brute-force scan
+    "agg_distinct_bitmap",
+    "sim_hamming_ann",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

@@ -29,6 +29,8 @@ ENGINE_EQUIV = {
     "q9_product_profit": "q9_profit_vanilla",
     "q21_late_suppliers": "q21_late_vanilla",
     "corpus_bigram_lm_score": "bigram_lm_vanilla",
+    "agg_distinct_bitmap": "bitmap_distinct_vanilla",
+    "sim_hamming_ann": "hamming_ann_vanilla",
 }
 
 
@@ -38,7 +40,7 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
         for name in [
             "lineitem", "orders", "customer", "nation", "region", "events",
-            "supplier", "part", "documents",
+            "supplier", "part", "documents", "embeddings",
         ]
     }
     # events.ts has two known physical shapes (FIXTURES.md): INT64-nanos
@@ -315,6 +317,49 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("doc_id")
         )
 
+    def bitmap_distinct_vanilla():
+        # the formulation agg_distinct_bitmap replaces: count(DISTINCT)
+        # compiles to an Expand that shuffles every (event_type, user_id)
+        # pair; the engine's bitmap partials shuffle ≤ types×idspace/64
+        # longs.  Identical results (exact distinct both ways).
+        return (
+            events.groupBy("event_type")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+            .orderBy("event_type")
+        )
+
+    def hamming_ann_vanilla():
+        # the full-precision brute-force ANN the binary-code scan
+        # replaces: same probe set (vec_id % 100 = 0), same k, same join
+        # shape, but distance = 64-term float dot product over the 256 B
+        # embedding instead of XOR+popcount over an 8 B code.  Results
+        # are approximations of each other (cosine vs sign-code Hamming
+        # neighbors) — the comparison is the COST of answering the same
+        # ANN question, gated for overlap in
+        # tests/test_operators.py::test_hamming_ann_tracks_cosine.
+        e = t["embeddings"].select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        probes = e.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("v").alias("pv")
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("pv"), F.col("v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = (
+            F.broadcast(probes)
+            .join(e, F.col("vec_id") != F.col("probe_id"))
+            .select("probe_id", "vec_id", dot.alias("cos"))
+        )
+        w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 5)
+            .orderBy("probe_id", "rk")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -329,4 +374,6 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "q9_profit_vanilla": q9_profit_vanilla(),
         "q21_late_vanilla": q21_late_vanilla(),
         "bigram_lm_vanilla": bigram_lm_vanilla(),
+        "bitmap_distinct_vanilla": bitmap_distinct_vanilla(),
+        "hamming_ann_vanilla": hamming_ann_vanilla(),
     }
