@@ -367,3 +367,187 @@ def corpus_dupsize_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_EWMA_ALPHA = 0.5
+_EWMA_SPAN = 10
+
+
+@register(
+    "win_ewma",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW
+             ) AS l
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(list_sum(list_transform(range(1, len(l) + 1),
+                  p -> CAST(round(1000000 * l[p] * {_EWMA_ALPHA}
+                            * power({1 - _EWMA_ALPHA}, len(l) - p)) AS BIGINT)))
+                AS BIGINT) AS ewma_micro
+    FROM e ORDER BY event_id
+    """,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event values
+    — the smoothing every metrics/anomaly stack applies before
+    thresholding (`events_anomaly_zscore`'s rolling-mean sibling with
+    recency weighting).
+
+    The textbook EWMA is a recurrence (ewma_t = α·x_t + (1-α)·ewma_{{t-1}})
+    Spark can't express without a sequential scan; the span-truncated
+    form Σ_j α(1-α)^j·x_{{t-j}} (j < 10) is its standard streaming-system
+    approximation — the dropped tail's weight is (1-α)^10 < 0.1%.  Each
+    term is quantized to integer micro-units BEFORE summation, so both
+    engines sum identical integers in any order — the same determinism
+    rule as `corpus_bigram_lm_score` (float Σ order differs between
+    engines; integer Σ cannot).
+
+    Scale shape: ONE key-sorted shuffle on user_id; the bounded 10-row
+    frame means WindowExec buffers ≤ 10 rows per position regardless of
+    a user's history length — memory O(span), never O(partition).
+    """
+    ev = T(spark, sf_dir, "events").withColumn("ts_o", F.expr("unix_micros(ts)"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_o", "event_id")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    term = (
+        f"cast(round(1000000 * element_at(l, p) * {_EWMA_ALPHA}"
+        f" * power({1 - _EWMA_ALPHA}, size(l) - p)) as bigint)"
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", F.collect_list("value").over(w).alias("l")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(f"aggregate(sequence(1, size(l)), 0L, (acc, p) -> acc + {term})")
+            .alias("ewma_micro"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH li AS (
+      SELECT l_returnflag, round(l_extendedprice, 2) AS price,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price,
+             sum(qty) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY price, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(qty) OVER (PARTITION BY l_returnflag) AS total
+      FROM li
+    )
+    SELECT l_returnflag, min(price) AS w_median_price
+    FROM c WHERE 2 * cum >= total
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    percentile Spark has no built-in for (percentile_approx weights every
+    row equally).
+
+    Definition: smallest price whose cumulative weight reaches half the
+    group's total.  Cumulative weights are integer (quantities cast to
+    bigint) and the threshold test is an integer comparison, so the cut
+    row is identical on both engines — no float-boundary hazard.
+
+    Scale shape — the naive form (cumsum window partitioned by the group
+    key) is a trap when the group key has few values: each group's FULL
+    sort lands on one task (measured 7.7× at the 10× replica, 3 return
+    flags).  This is the two-pass bucketed exact form instead:
+
+    1. histogram pass: prices fold into 1024 equal-width buckets per
+       group (map-side combining agg, like `agg_percentile_hist`); a
+       window over the 3×1024-row histogram locates each group's CUT
+       bucket — the first whose end-of-bucket cumulative weight crosses
+       half the total — and the weight entering it;
+    2. exact pass: only the cut bucket's rows (~1/1024 of the group)
+       re-sort, in a cumsum window seeded with the entering weight.
+
+    Both passes shuffle ≤ fact rows once; no task ever sorts more than
+    one bucket of one group.  The first qualifying row overall provably
+    lies in the cut bucket (the threshold predicate is monotone in the
+    sort order), so the result equals the naive form's — the oracle IS
+    the naive form.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    n_bins = 1024
+    bounds = li.groupBy("l_returnflag").agg(
+        F.min("price").alias("mn"),
+        F.greatest(F.max("price") - F.min("price"), F.lit(1e-9)).alias("span"),
+    )
+    binned = li.join(F.broadcast(bounds), "l_returnflag").withColumn(
+        "bucket",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("price") - F.col("mn")) / F.col("span") * n_bins),
+        ).cast("int"),
+    )
+    hist = binned.groupBy("l_returnflag", "bucket").agg(F.sum("qty").alias("w"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cut = (
+        hist.select(
+            "l_returnflag",
+            "bucket",
+            F.coalesce(F.sum("w").over(wcum), F.lit(0)).alias("w_before"),
+            F.col("w"),
+            F.sum("w").over(wtot).alias("total"),
+        )
+        .filter(2 * (F.col("w_before") + F.col("w")) >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("bucket").alias("cut_bucket"),
+            F.min_by("w_before", "bucket").alias("w_enter"),
+            F.first("total").alias("total"),
+        )
+        .select(
+            F.col("l_returnflag").alias("rf"), "cut_bucket", "w_enter", "total"
+        )
+    )
+    in_cut = binned.join(
+        F.broadcast(cut),
+        (binned.l_returnflag == F.col("rf")) & (binned.bucket == F.col("cut_bucket")),
+    ).select(
+        "l_returnflag", "price", "qty", "l_orderkey", "l_linenumber", "w_enter", "total"
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        in_cut.withColumn("cum", F.col("w_enter") + F.sum("qty").over(wc))
+        .filter(2 * F.col("cum") >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(F.min("price").alias("w_median_price"))
+        .orderBy("l_returnflag")
+    )

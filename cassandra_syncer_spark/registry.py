@@ -80,6 +80,8 @@ PRIORITY: tuple[str, ...] = (
     "sim_hamming_ann",
     "join_bloom_prefilter",
     "corpus_dupsize_histogram",
+    "win_ewma",
+    "agg_weighted_median",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
