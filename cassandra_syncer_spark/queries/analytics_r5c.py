@@ -129,6 +129,11 @@ def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the roaring-bitmap pattern Spark lacks natively — partials
     are also mergeable across days, the same property `agg_partial_merge`
     demonstrates for sum/count sketches.
+
+    Assumes a NON-NEGATIVE integer id space (true of every surrogate-key
+    scheme this engine generates): negative ids would truncate toward
+    zero in the bucket division and flip the shift sign.  Sparse or
+    signed spaces first remap through dense_rank or an offset.
     """
     ev = T(spark, sf_dir, "events")
     partial = (
@@ -488,6 +493,8 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort order), so the result equals the naive form's — the oracle IS
     the naive form.
     """
+    from cassandra_syncer_spark.operators.weighted_median import weighted_median
+
     li = T(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round("l_extendedprice", 2).alias("price"),
@@ -495,59 +502,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
     )
-    n_bins = 1024
-    bounds = li.groupBy("l_returnflag").agg(
-        F.min("price").alias("mn"),
-        F.greatest(F.max("price") - F.min("price"), F.lit(1e-9)).alias("span"),
-    )
-    binned = li.join(F.broadcast(bounds), "l_returnflag").withColumn(
-        "bucket",
-        F.least(
-            F.lit(n_bins - 1),
-            F.floor((F.col("price") - F.col("mn")) / F.col("span") * n_bins),
-        ).cast("int"),
-    )
-    hist = binned.groupBy("l_returnflag", "bucket").agg(F.sum("qty").alias("w"))
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wtot = Window.partitionBy("l_returnflag")
-    cut = (
-        hist.select(
-            "l_returnflag",
-            "bucket",
-            F.coalesce(F.sum("w").over(wcum), F.lit(0)).alias("w_before"),
-            F.col("w"),
-            F.sum("w").over(wtot).alias("total"),
-        )
-        .filter(2 * (F.col("w_before") + F.col("w")) >= F.col("total"))
-        .groupBy("l_returnflag")
-        .agg(
-            F.min("bucket").alias("cut_bucket"),
-            F.min_by("w_before", "bucket").alias("w_enter"),
-            F.first("total").alias("total"),
-        )
-        .select(
-            F.col("l_returnflag").alias("rf"), "cut_bucket", "w_enter", "total"
-        )
-    )
-    in_cut = binned.join(
-        F.broadcast(cut),
-        (binned.l_returnflag == F.col("rf")) & (binned.bucket == F.col("cut_bucket")),
-    ).select(
-        "l_returnflag", "price", "qty", "l_orderkey", "l_linenumber", "w_enter", "total"
-    )
-    wc = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("price", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
     return (
-        in_cut.withColumn("cum", F.col("w_enter") + F.sum("qty").over(wc))
-        .filter(2 * F.col("cum") >= F.col("total"))
-        .groupBy("l_returnflag")
-        .agg(F.min("price").alias("w_median_price"))
+        weighted_median(
+            li,
+            group_col="l_returnflag",
+            value_col="price",
+            weight_col="qty",
+            tiebreak_cols=["l_orderkey", "l_linenumber"],
+        )
+        .select("l_returnflag", F.col("w_median").alias("w_median_price"))
         .orderBy("l_returnflag")
     )
