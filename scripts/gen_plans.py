@@ -119,6 +119,13 @@ FLAGSHIPS = [
         "the float scan (r5)",
     ),
     (
+        "agg_weighted_median",
+        "two-pass bucketed exact weighted percentile: histogram agg locates "
+        "the cut bucket (map-side combine), only ~1/1024 of each group "
+        "re-sorts — no single-task group sort even with a 3-value key; "
+        "naive window form measured 7.7× at the 10× replica (r5)",
+    ),
+    (
         "agg_distinct_bitmap",
         "exact distinct without Expand: bit_or bitmap partials combine "
         "map-side, shuffle carries ≤ keys×idspace/64 longs — the roaring "
