@@ -416,10 +416,12 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame means WindowExec buffers ≤ 10 rows per position regardless of
     a user's history length — memory O(span), never O(partition).
     """
-    ev = T(spark, sf_dir, "events").withColumn("ts_o", F.expr("unix_micros(ts)"))
+    # order by the loader's normalized ts_ns (house rule: exact integer
+    # epochs for ns-precision fixtures, both physical shapes)
+    ev = T(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts_o", "event_id")
+        .orderBy("ts_ns", "event_id")
         .rowsBetween(-(_EWMA_SPAN - 1), 0)
     )
     term = (
