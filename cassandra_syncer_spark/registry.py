@@ -82,6 +82,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_dupsize_histogram",
     "win_ewma",
     "agg_weighted_median",
+    "sim_knn_graph",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
