@@ -358,7 +358,7 @@ def cmd_restore(args) -> int:
     missing = plan.filter("is_missing").count()
     wanted = plan.filter("NOT is_missing")
     if scheme == "objstore":
-        n = store_target.download(wanted, args.dst)
+        n = store_target.download(wanted, args.dst, cache_root=args.cache_dir)
     else:
         n = DirectoryTarget(args.dst, args.container).upload(wanted, store_path)
     _emit({"cmd": "restore", "restored": n, "missing": missing})
@@ -465,6 +465,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--config", default=None, help="JSON config supplying store/restore_path defaults")
     r.add_argument("--as-of-ms", type=int, default=None,
                    help="time travel: restore the snapshot as of this epoch-ms")
+    r.add_argument("--cache-dir", default=None,
+                   help="write-through download cache dir (reference core.js:336-368); "
+                        "re-restores reuse etag-valid cached objects")
     r.set_defaults(fn=cmd_restore)
 
     pr = sub.add_parser("prune", help="delete stored files no retained manifest references")

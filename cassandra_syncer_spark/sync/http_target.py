@@ -410,23 +410,31 @@ class HttpObjectStoreTarget:
         plan.select(*cols).foreachPartition(put_partition)
         return stored_n.value
 
-    def download(self, plan: DataFrame, dst_root: str) -> int:
+    def download(self, plan: DataFrame, dst_root: str, cache_root: str | None = None) -> int:
         """Distributed streamed GET with etag verification + restore-cache
-        skip; same contract as ObjectStoreTarget.download."""
+        skip; same contract as ObjectStoreTarget.download, including the
+        write-through ``cache_root`` (most valuable here — cache hits
+        avoid HTTPS round-trips entirely, the exact workload the
+        reference's cache dir existed for, core.js:336-368)."""
+        from cassandra_syncer_spark.sync.cache import DownloadCache, cached_get
+
         client, container = self.client, self.container
         got_n = plan.sparkSession.sparkContext.accumulator(0)
         has_etag = "etag" in plan.columns
         cols = ["name", "etag"] if has_etag else ["name"]
 
         def get_partition(rows):
+            cache = DownloadCache(cache_root) if cache_root else None
             n = 0
             for row in rows:
                 try:
-                    _bytes, transferred = client.get_file(
+                    _bytes, transferred = cached_get(
+                        client.get_file,
                         container,
                         row.name,
+                        row.etag if has_etag else None,
+                        cache,
                         os.path.join(dst_root, row.name),
-                        skip_etag=row.etag if has_etag else None,
                     )
                 except FileNotFoundError:
                     continue

@@ -371,14 +371,21 @@ class ObjectStoreTarget:
         plan.select(*cols).foreachPartition(put_partition)
         return stored_n.value
 
-    def download(self, plan: DataFrame, dst_root: str) -> int:
+    def download(self, plan: DataFrame, dst_root: str, cache_root: str | None = None) -> int:
         """Distributed GET → local files (restore path, core.js:336-368);
         write-to-temp + atomic rename, so task retries are idempotent.
 
         When the plan carries an ``etag`` column, a destination file whose
         content already hashes to it is skipped (the reference's local
         restore cache, core.js:336-342): a second restore over an intact
-        tree transfers 0 files.  Returns files actually transferred."""
+        tree transfers 0 files.  ``cache_root`` additionally routes every
+        GET through a write-through :class:`~cassandra_syncer_spark.sync.
+        cache.DownloadCache` (core.js getFile-into-cacheDir semantics):
+        restores to a NEW destination reuse cached bytes and touch the
+        store only for objects not yet cached.  Returns files actually
+        transferred from the store."""
+        from cassandra_syncer_spark.sync.cache import DownloadCache, cached_get
+
         root, container = self.root, self.container
         got_n = plan.sparkSession.sparkContext.accumulator(0)
         has_etag = "etag" in plan.columns
@@ -386,14 +393,17 @@ class ObjectStoreTarget:
 
         def get_partition(rows):
             store = ObjectStore(root)
+            cache = DownloadCache(cache_root) if cache_root else None
             n = 0
             for row in rows:
                 try:
-                    _bytes, transferred = store.get_file(
+                    _bytes, transferred = cached_get(
+                        store.get_file,
                         container,
                         row.name,
+                        row.etag if has_etag else None,
+                        cache,
                         os.path.join(dst_root, row.name),
-                        skip_etag=row.etag if has_etag else None,
                     )
                 except FileNotFoundError:
                     continue

@@ -226,3 +226,26 @@ def test_list_files_sharded_matches_driver_listing(spark, tmp_path, client):
         tuple(r) for r in target.list_files_sharded(spark, ["ks0/", "ks1/"]).collect()
     }
     assert sharded_rows == driver_rows and len(sharded_rows) == 5
+
+
+def test_http_download_cache_avoids_network(spark, tmp_path, server, client):
+    """The cache's reason to exist on the HTTP target: once primed, a
+    restore to a new destination makes ZERO HTTP GETs — proven by
+    stopping the server before the second restore."""
+    src = tmp_path / "src"
+    cache, dst1, dst2 = (tmp_path / d for d in ("cache", "dst1", "dst2"))
+    p = SyncPipeline()
+    target = HttpObjectStoreTarget(client, "c1")
+    _write(src, "ks1/a-Data.db", b"alpha")
+    _write(src, "ks1/b-Data.db", b"beta")
+    local = scan_directory_with_etags(spark, str(src), "c1")
+    assert target.upload(p.plan_upload(local, target.list_files(spark)), str(src)) == 2
+
+    plan = spark.createDataFrame(target.list_files(spark).collect())
+    assert target.download(plan, str(dst1), cache_root=str(cache)) == 2
+    assert (cache / "c1/ks1/b-Data.db").read_bytes() == b"beta"
+
+    server.stop()  # no server — any GET would now fail loudly
+    assert target.download(plan, str(dst2), cache_root=str(cache)) == 0
+    assert (dst2 / "ks1/a-Data.db").read_bytes() == b"alpha"
+    assert (dst2 / "ks1/b-Data.db").read_bytes() == b"beta"

@@ -214,3 +214,45 @@ def test_etag_integrity_check_detects_corruption(tmp_path, monkeypatch):
         s.put_object("c1", "a", b"data")
     monkeypatch.undo()
     assert s.stat_object("c1", "a") is None  # nothing committed
+
+
+# -- restore-side write-through download cache ----------------------------
+
+
+def test_download_cache_write_through(spark, tmp_path):
+    """Write-through restore cache (core.js:336-368 parity): the first
+    restore populates the cache, and a later restore to a NEW destination
+    is served entirely from it — proven by destroying the store between
+    the two.  Stale cache entries (content no longer hashing to the etag)
+    are not trusted."""
+    import shutil
+
+    src, store_root = tmp_path / "src", tmp_path / "store"
+    cache, dst1, dst2, dst3 = (tmp_path / d for d in ("cache", "dst1", "dst2", "dst3"))
+    p = SyncPipeline()
+    target = ObjectStoreTarget(str(store_root), "c1")
+    _write(src, "ks1/a-Data.db", b"alpha")
+    _write(src, "ks1/b-Data.db", b"beta")
+    local = scan_directory_with_etags(spark, str(src), "c1")
+    assert target.upload(p.plan_upload(local, target.list_files(spark)), str(src)) == 2
+
+    # first restore: fetches from the store AND fills the cache (write-through)
+    plan_rows = target.list_files(spark).collect()
+    plan = spark.createDataFrame(plan_rows)
+    assert target.download(plan, str(dst1), cache_root=str(cache)) == 2
+    assert (cache / "c1/ks1/a-Data.db").read_bytes() == b"alpha"
+
+    # re-restore over an intact tree: zero transfers (dest etag short-circuit)
+    assert target.download(plan, str(dst1), cache_root=str(cache)) == 0
+
+    # destroy the store: a NEW destination restores purely from the cache
+    shutil.rmtree(store_root)
+    assert target.download(plan, str(dst2), cache_root=str(cache)) == 0
+    assert (dst2 / "ks1/a-Data.db").read_bytes() == b"alpha"
+    assert (dst2 / "ks1/b-Data.db").read_bytes() == b"beta"
+
+    # stale entry: content != etag → treated as a miss, never copied out
+    (cache / "c1/ks1/a-Data.db").write_bytes(b"corrupted")
+    assert target.download(plan, str(dst3), cache_root=str(cache)) == 0
+    assert not (dst3 / "ks1/a-Data.db").exists()  # store gone + cache invalid
+    assert (dst3 / "ks1/b-Data.db").read_bytes() == b"beta"
