@@ -83,6 +83,11 @@ PRIORITY: tuple[str, ...] = (
     "win_ewma",
     "agg_weighted_median",
     "sim_knn_graph",
+    "text_quality_linear",
+    "dedup_verify_edit",
+    "events_markov_transitions",
+    "embed_random_projection",
+    "sim_ivf_multiprobe",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
