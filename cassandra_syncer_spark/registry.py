@@ -88,6 +88,11 @@ PRIORITY: tuple[str, ...] = (
     "events_markov_transitions",
     "embed_random_projection",
     "sim_ivf_multiprobe",
+    "dedup_embed_simhash",
+    "dedup_containment",
+    "win_sliding_distinct",
+    "layout_zorder_cluster",
+    "scan_schema_evolution",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

@@ -661,3 +661,107 @@ def test_hamming_ann_tracks_cosine(spark, sf_dir):
         hits += len(set(ham_top) & set(top_cos))
         total += len(ham_top)
     assert total > 0 and hits / total >= 0.4, f"overlap {hits}/{total}"
+
+
+def test_zorder_buckets_bound_both_dims(spark, sf_dir):
+    """layout_zorder_cluster: every z-prefix bucket must bound BOTH source
+    dimensions (span <= 64 of a 0..255 domain) — the property that makes
+    min/max file stats prune on either predicate.  A single-dim sort
+    bucketing bounds only its leading key (the trailing dim spans ~the
+    whole domain), which is what this gate distinguishes."""
+    from cassandra_syncer_spark.queries.analytics_r5e import layout_zorder_cluster
+    from cassandra_syncer_spark.queries.relational import T
+
+    rows = layout_zorder_cluster(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.pa_max - r.pa_min <= 64, r
+        assert r.sb_max - r.sb_min <= 64, r
+    # contrast: bucket by pa alone (linear clustering) and the OTHER dim
+    # is unbounded — its span approaches the full observed domain
+    k = T(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("pa"), (F.col("l_suppkey") % 256).alias("sb")
+    )
+    lin = (
+        k.groupBy((F.col("pa") / 16).cast("long").alias("bkt"))
+        .agg((F.max("sb") - F.min("sb")).alias("sb_span"))
+        .agg(F.min("sb_span").alias("worst"))
+        .collect()[0]
+    )
+    sb_domain = k.agg((F.max("sb") - F.min("sb")).alias("d")).collect()[0].d
+    assert lin.worst >= sb_domain * 0.9, (lin.worst, sb_domain)
+
+
+def test_embed_simhash_finds_all_close_pairs(spark, sf_dir):
+    """dedup_embed_simhash: pigeonhole guarantee — 7 bands over a 63-bit
+    code mean any pair with Hamming distance <= 6 shares at least one
+    band, so the banded candidate set must contain EVERY such pair
+    (recall is exact below the band count, probabilistic above)."""
+    from cassandra_syncer_spark.queries.analytics_r5e import (
+        _CODE_SPARK,
+        dedup_embed_simhash,
+    )
+    from cassandra_syncer_spark.queries.relational import T
+
+    got = {(r.vec_a, r.vec_b) for r in dedup_embed_simhash(spark, sf_dir).collect()}
+    c = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .select("vec_id", F.expr(_CODE_SPARK).alias("code"))
+    )
+    a, b = c.alias("a"), c.alias("b")
+    close = (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.bit_count(F.expr("a.code ^ b.code")).alias("h"),
+        )
+        .filter(F.col("h") <= 6)
+        .collect()
+    )
+    missed = [(r.vec_a, r.vec_b) for r in close if (r.vec_a, r.vec_b) not in got]
+    assert not missed, f"pigeonhole violated: {missed}"
+
+
+def test_sliding_distinct_partials_merge_across_shards(spark):
+    """win_sliding_distinct's scale claim: per-hour bitmap partials are
+    mergeable — folding two event shards to partials separately and
+    bit_or-merging them yields the same pane counts as folding the union
+    (the property that lets a steady-state pipeline keep yesterday's
+    partials and fold only the new hour)."""
+    rows = [(h, u) for h in range(4) for u in range(h * 10, h * 10 + 25)]
+    ev = spark.createDataFrame(rows, "h long, user_id long")
+
+    def partials(df):
+        return (
+            df.select(
+                "h",
+                (F.col("user_id") / 64).cast("long").alias("bucket"),
+                F.expr("shiftleft(1L, int(user_id % 64))").alias("bit"),
+            )
+            .groupBy("h", "bucket")
+            .agg(F.expr("bit_or(bit)").alias("bm"))
+        )
+
+    def panes(partial):
+        return (
+            partial.select(
+                F.explode(F.expr("sequence(h, h + 2)")).alias("hour"), "bucket", "bm"
+            )
+            .groupBy("hour", "bucket")
+            .agg(F.expr("bit_or(bm)").alias("bm"))
+            .groupBy("hour")
+            .agg(F.sum(F.bit_count("bm")).cast("long").alias("n_users"))
+        )
+
+    whole = {r.hour: r.n_users for r in panes(partials(ev)).collect()}
+    shard_a, shard_b = ev.filter("user_id % 2 = 0"), ev.filter("user_id % 2 = 1")
+    merged = (
+        partials(shard_a)
+        .unionByName(partials(shard_b))
+        .groupBy("h", "bucket")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+    )
+    sharded = {r.hour: r.n_users for r in panes(merged).collect()}
+    assert whole == sharded

@@ -477,3 +477,32 @@ def test_reservoir_perkey_single_hash_exchange(spark, sf_dir):
     the final orderBy adds a range exchange but nothing else."""
     p = plan_of(spark, sf_dir, "sample_reservoir_perkey")
     assert p.count("hashpartitioning") == 1, p
+
+
+def test_embed_simhash_banded_join_carries_codes_not_vectors(spark, sf_dir):
+    """dedup_embed_simhash: the banded candidate join must touch only
+    8-byte codes — the 256-byte float vectors join back in for surviving
+    candidates only (the 32x shuffle-width saving at 100 TB)."""
+    p = plan_of(spark, sf_dir, "dedup_embed_simhash")
+    assert "CartesianProduct" not in p
+    assert "band_id" in p and "band_val" in p
+    # vectors appear only in the two post-candidate hash joins by vec_id
+    assert p.count("embedding") >= 2  # the verify-side scans
+
+
+def test_sliding_distinct_no_expand_no_fact_rescan(spark, sf_dir):
+    """win_sliding_distinct: one events fold to bitmap partials (no
+    count-DISTINCT Expand), pane fan-out over partials only — the events
+    scan appears for partials + the tiny hours frame, never per pane."""
+    p = plan_of(spark, sf_dir, "win_sliding_distinct")
+    assert "Expand" not in p, p
+    assert "bit_or" in p, p
+    assert p.count("events.parquet") <= 2, p  # partials scan + hours scan
+
+
+def test_zorder_stats_single_agg_no_joins(spark, sf_dir):
+    """layout_zorder_cluster: plan-time shift/mask arithmetic fused into
+    the scan, one tiny-key agg, no joins."""
+    p = plan_of(spark, sf_dir, "layout_zorder_cluster")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning") == 1, p
