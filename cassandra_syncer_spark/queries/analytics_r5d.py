@@ -82,7 +82,8 @@ def text_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup_verify_edit — band-blocked edit-distance verify
 # ---------------------------------------------------------------------------
 
-_EDIT_PREFIX = 400  # bound the O(n*m) DP: verify on a fixed prefix
+_EDIT_PREFIX = 400  # bound the DP width: verify on a fixed prefix
+_EDIT_MAX = 100  # verify cut: pairs beyond this distance are not near-dups
 
 
 def _edit_sql() -> str:
@@ -107,6 +108,7 @@ def _edit_sql() -> str:
     FROM cand c
     JOIN p pa ON c.doc_a = pa.doc_id
     JOIN p pb ON c.doc_b = pb.doc_id
+    WHERE levenshtein(pa.pre, pb.pre) <= {_EDIT_MAX}
     ORDER BY doc_a, doc_b
     """
 
@@ -116,15 +118,30 @@ def dedup_verify_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance verify stage over MinHash band candidates — the
     character-level complement to ``dedup_verify_jaccard`` (word-set
     Jaccard misses transpositions and near-identical boilerplate with
-    token-level noise; Levenshtein catches both).
+    token-level noise; Levenshtein catches both).  Survivors only: pairs
+    beyond distance 100 on the 400-char prefix are cut (they are not
+    near-dups; a verify stage's contract is the cut, not a distance
+    report for arbitrary pairs).
 
-    Scale shape: identical to the Jaccard verify — candidate volume is
-    bounded by the banding math, and the O(n·m) DP runs only on
-    candidates and only on a fixed 400-char prefix (the screen; full-
-    text confirmation, if needed, runs on the survivors).  Similarity is
-    integer micro-units ((max_len - dist) * 1e6 // max_len) so the
-    ranking is exact on both engines.  JVM-side ``levenshtein`` — no
-    Python in the loop.
+    Scale shape: candidate volume is bounded by the banding math, and the
+    per-pair DP is double-screened — the two levers that matter on a
+    dup-heavy corpus, where candidates are dominated by pairs that are
+    either IDENTICAL or WILDLY DIFFERENT, and only the thin near-miss
+    band needs the quadratic work:
+    - exact-equality short-circuit: ``IF(pa = pb, 0, …)`` resolves
+      identical prefixes (the bulk of true dup pairs in a crawl) with an
+      O(n) compare instead of the DP;
+    - thresholded DP for the rest: Spark's 3-arg ``levenshtein(a, b, k)``
+      computes a banded O(n·k) strip, never the full n×m table, and
+      returns -1 exactly when the true distance exceeds k — the same cut
+      DuckDB's oracle applies on the full DP at validation scale.
+    Measured on the 10x dup-heavy replica (404k candidates, ~all
+    equal-prefix): unscreened full DP 268 s; threshold alone 362 s (no
+    help — equal 400-char prefixes defeat the length-diff early-exit and
+    true dups legitimately need the DP); with the equality short-circuit
+    the DP runs only on the unequal minority.  Similarity is integer
+    micro-units ((max_len - dist) * 1e6 // max_len), exact both engines.
+    JVM-side — no Python in the loop.
     """
     from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
 
@@ -133,20 +150,24 @@ def dedup_verify_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("pre")
     )
     pa, pb = pre.alias("pa"), pre.alias("pb")
-    dist = F.levenshtein(F.col("pa.pre"), F.col("pb.pre"))
-    maxlen = F.greatest(F.length("pa.pre"), F.length("pb.pre"))
     return (
         cand.join(pa, cand.doc_a == F.col("pa.doc_id"))
         .join(pb, cand.doc_b == F.col("pb.doc_id"))
         .select(
             "doc_a",
             "doc_b",
-            dist.cast("long").alias("edit_dist"),
             F.expr(
-                f"(1000000 * (greatest(length(pa.pre), length(pb.pre)) "
-                f"- levenshtein(pa.pre, pb.pre))) "
-                f"div greatest(length(pa.pre), length(pb.pre))"
-            ).alias("edit_sim_micro"),
+                f"IF(pa.pre = pb.pre, 0L,"
+                f" CAST(levenshtein(pa.pre, pb.pre, {_EDIT_MAX}) AS BIGINT))"
+            ).alias("edit_dist"),
+            F.greatest(F.length("pa.pre"), F.length("pb.pre")).alias("mx"),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX))
+        .select(
+            "doc_a",
+            "doc_b",
+            "edit_dist",
+            F.expr("(1000000 * (mx - edit_dist)) div mx").alias("edit_sim_micro"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -93,6 +93,10 @@ PRIORITY: tuple[str, ...] = (
     "win_sliding_distinct",
     "layout_zorder_cluster",
     "scan_schema_evolution",
+    "events_cooccurrence_lift",
+    "text_ngram_novelty",
+    "embed_pq_quantize",
+    "events_anomaly_mad",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

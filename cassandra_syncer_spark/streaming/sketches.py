@@ -150,3 +150,65 @@ def hist_quantile(hist: DataFrame, lo: int, hi: int, pct: int, n_bins: int = 102
             .alias("est")
         )
     )
+
+
+def bitmap_cells(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Fold rows into exact-distinct bitmap partials (key, bucket, bm) —
+    the streaming/production mode of ``agg_distinct_bitmap``
+    (queries/analytics_r5c.py): bucket = id div 64, one bit per id within
+    the bucket, map-side bit_or combine.  Assumes a non-negative integer
+    id space (same contract as the batch query)."""
+    from pyspark.sql import functions as F
+
+    return (
+        df.select(
+            F.col(key_col).alias("key"),
+            (F.col(id_col) / 64).cast("long").alias("bucket"),
+            F.expr(f"shiftleft(1L, int({id_col} % 64))").alias("bit"),
+        )
+        .groupBy("key", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+
+
+def run_streaming_bitmap(
+    stream: DataFrame,
+    key_col: str,
+    id_col: str,
+    checkpoint_dir: str,
+    cells_log: str,
+) -> None:
+    """Maintain exact-distinct bitmap partials over a stream (same
+    append-only log layout as :func:`run_streaming_cms`) — with one
+    STRONGER property than the summing sketches: bit_or is IDEMPOTENT,
+    so even a re-appended *successful* batch cannot change the merged
+    count (re-OR-ing the same bits is a no-op).  The count-min/histogram
+    logs rely on the checkpoint to prevent double-counting; the bitmap
+    log tolerates full at-least-once replay — the right sketch to pair
+    with a sink that may duplicate appends."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bitmap_cells(batch_df, key_col, id_col).write.mode("append").parquet(cells_log)
+
+    (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_distinct(spark: SparkSession, cells_log: str) -> DataFrame:
+    """Exact per-key distinct counts from the merged bitmap log: second
+    bit_or per (key, bucket), then popcount sum — never re-reads the raw
+    stream history."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(cells_log)
+        .groupBy("key", "bucket")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+        .groupBy("key")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("n_distinct"))
+    )

@@ -506,3 +506,39 @@ def test_zorder_stats_single_agg_no_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "layout_zorder_cluster")
     assert "Join" not in p, p
     assert p.count("hashpartitioning") == 1, p
+
+
+def test_pq_quantize_scan_fused_no_joins(spark, sf_dir):
+    """embed_pq_quantize: codebook folds in as literals — no joins, no
+    hash shuffles; the only exchange is the final presentation sort."""
+    p = plan_of(spark, sf_dir, "embed_pq_quantize")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning") == 0, p
+
+
+def test_cooccurrence_lift_shrinks_before_pairing(spark, sf_dir):
+    """events_cooccurrence_lift: the pair join's inputs are the distinct
+    (user,type) AGGREGATE, never raw events — and the tiny count frames
+    broadcast."""
+    p = plan_of(spark, sf_dir, "events_cooccurrence_lift")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 3, p  # ta, tb, n_users
+    # the distinct (user,type) shrink exists: its hash agg + the pair
+    # count + the two type counts + n_users => many HashAggregates
+    assert p.count("HashAggregate") >= 6, p
+
+
+def test_ngram_novelty_gram_keyed_shuffles_only(spark, sf_dir):
+    """text_ngram_novelty in the large×large regime (broadcast disabled,
+    the 100 TB shape): the join-back is a shuffle equi join on the gram
+    hash, and total shuffle count stays bounded — distinct, the two
+    gh-keyed join inputs, the final doc_id agg, nothing else."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "text_ngram_novelty")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("SortMergeJoin [gh" in p) or ("ShuffledHashJoin [gh" in p), p
+    assert "CartesianProduct" not in p
+    assert p.count("hashpartitioning") <= 5, p

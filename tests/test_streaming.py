@@ -345,3 +345,46 @@ def test_streaming_hist_partials_merge_and_quantile(spark, tmp_path):
     exact_p50 = sorted(vals)[int(0.5 * len(vals))]
     bin_w = (HI - LO + 1 + B - 1) // B
     assert abs(row.est - exact_p50) <= 2 * bin_w, (row.est, exact_p50)
+
+
+def test_streaming_bitmap_distinct_exact_and_replay_immune(spark, tmp_path):
+    """Bitmap partials over a stream: merged counts equal the exact batch
+    count(DISTINCT), and — unlike the summing sketches — re-appending an
+    already-committed batch's partial changes NOTHING (bit_or is
+    idempotent), so the log survives full at-least-once replay."""
+    from cassandra_syncer_spark.streaming.sketches import (
+        bitmap_cells,
+        read_distinct,
+        run_streaming_bitmap,
+    )
+
+    waves = [
+        [{"name": f"k{i % 3}", "etag": str(i % 17), "ts": "2024-01-01T00:00:00"}
+         for i in range(40)],
+        [{"name": f"k{i % 2}", "etag": str(50 + i % 9), "ts": "2024-01-01T01:00:00"}
+         for i in range(30)],
+    ]
+    _stage(tmp_path / "watch_bm", waves)
+    stream = watch_files(spark, str(tmp_path / "watch_bm"), FILE_EVENT_SCHEMA).select(
+        "name", F.col("etag").cast("long").alias("uid")
+    )
+    cells_log = str(tmp_path / "bm_cells")
+    run_streaming_bitmap(stream, "name", "uid", str(tmp_path / "ckpt_bm"), cells_log)
+
+    all_rows = spark.createDataFrame(
+        [(r["name"], int(r["etag"])) for wave in waves for r in wave],
+        "name string, uid long",
+    )
+    exact = {r.name: r.n for r in all_rows.groupBy("name")
+             .agg(F.countDistinct("uid").alias("n")).collect()}
+    merged = {r.key: r.n_distinct for r in read_distinct(spark, cells_log).collect()}
+    assert merged == exact
+
+    # idempotence: re-append wave 0's partial (simulating a replayed
+    # committed batch) — merged counts must not move
+    wave0 = spark.createDataFrame(
+        [(r["name"], int(r["etag"])) for r in waves[0]], "name string, uid long"
+    )
+    bitmap_cells(wave0, "name", "uid").write.mode("append").parquet(cells_log)
+    replayed = {r.key: r.n_distinct for r in read_distinct(spark, cells_log).collect()}
+    assert replayed == exact
