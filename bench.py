@@ -57,6 +57,12 @@ HEADLINE = [
     # binary-code Hamming ANN vs the full-precision brute-force scan
     "agg_distinct_bitmap",
     "sim_hamming_ann",
+    # round-5 batch-5/6 gate + timed rows: sliding distinct via bitmap
+    # partials vs the per-pane re-scan formulation; PQ codes and banded
+    # embedding near-dup as timed rows (SCALING.md carries 10x evidence)
+    "win_sliding_distinct",
+    "embed_pq_quantize",
+    "dedup_embed_simhash",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

@@ -31,6 +31,7 @@ ENGINE_EQUIV = {
     "corpus_bigram_lm_score": "bigram_lm_vanilla",
     "agg_distinct_bitmap": "bitmap_distinct_vanilla",
     "sim_hamming_ann": "hamming_ann_vanilla",
+    "win_sliding_distinct": "sliding_distinct_vanilla",
 }
 
 
@@ -360,6 +361,24 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("probe_id", "rk")
         )
 
+    def sliding_distinct_vanilla():
+        # the formulation win_sliding_distinct replaces: every trailing
+        # 3-hour pane re-joins the raw events (range join) and pays a
+        # count(DISTINCT) Expand — events are touched ~3x and the
+        # distinct shuffles (pane, user) pairs; the engine folds events
+        # ONCE to bitmap partials and re-merges 3 partial rows per pane.
+        # Identical results (exact distinct both ways).
+        e = t["events"].select(
+            F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("h"), "user_id"
+        )
+        hours = e.select(F.col("h").alias("hour")).distinct()
+        return (
+            hours.join(e, F.expr("h BETWEEN hour - 2 AND hour"))
+            .groupBy("hour")
+            .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+            .orderBy("hour")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -376,4 +395,5 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "bigram_lm_vanilla": bigram_lm_vanilla(),
         "bitmap_distinct_vanilla": bitmap_distinct_vanilla(),
         "hamming_ann_vanilla": hamming_ann_vanilla(),
+        "sliding_distinct_vanilla": sliding_distinct_vanilla(),
     }

@@ -22,7 +22,12 @@ def _rows(df):
 def test_verbatim_vanilla_rows_match_engine(spark, sf_dir):
     all_queries()
     vanilla = build_vanilla_queries(spark, sf_dir)
-    for engine_name in ["agg_group_sum", "win_running_frame", "corpus_bigram_lm_score"]:
+    for engine_name in [
+        "agg_group_sum",
+        "win_running_frame",
+        "corpus_bigram_lm_score",
+        "win_sliding_distinct",
+    ]:
         engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
         vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
         assert engine_df.columns == vanilla_df.columns, engine_name
