@@ -119,6 +119,30 @@ FLAGSHIPS = [
         "the float scan (r5)",
     ),
     (
+        "dedup_embed_simhash",
+        "banded sign-code near-dup: the candidate join touches 8-byte codes "
+        "only (band shuffle 32x narrower than the vectors); float vectors "
+        "join back for surviving candidates only",
+    ),
+    (
+        "win_sliding_distinct",
+        "sliding distinct without re-scans: events fold once to bitmap "
+        "partials, pane fan-out re-merges <=3 partial rows per pane — "
+        "shuffle ∝ hours×idspace/64, independent of event volume",
+    ),
+    (
+        "embed_pq_quantize",
+        "PQ codes at scan speed: literal-array codebook + zip_with/aggregate "
+        "loops (stays out of the huge-method codegen cliff), no joins, no "
+        "shuffles",
+    ),
+    (
+        "events_cooccurrence_lift",
+        "distinct-shrink before pairing: the pair join consumes the "
+        "(user,type) aggregate — user-local pairs, |types|² final keys, "
+        "count dims broadcast",
+    ),
+    (
         "agg_weighted_median",
         "two-pass bucketed exact weighted percentile: histogram agg locates "
         "the cut bucket (map-side combine), only ~1/1024 of each group "
