@@ -97,6 +97,10 @@ PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty",
     "embed_pq_quantize",
     "events_anomaly_mad",
+    "merge_scd2_apply",
+    "scan_time_travel",
+    "sample_negative_pairs",
+    "agg_topk_per_group",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
