@@ -101,6 +101,10 @@ PRIORITY: tuple[str, ...] = (
     "scan_time_travel",
     "sample_negative_pairs",
     "agg_topk_per_group",
+    "events_rfm_segmentation",
+    "events_trending_growth",
+    "embed_label_centroids",
+    "corpus_dedup_rate_by_source",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
