@@ -765,3 +765,64 @@ def test_sliding_distinct_partials_merge_across_shards(spark):
     )
     sharded = {r.hour: r.n_users for r in panes(merged).collect()}
     assert whole == sharded
+
+
+def test_time_travel_asof_boundaries(spark, sf_dir):
+    """scan_time_travel resolves AS OF T to the latest manifest <= T:
+    the module's T=250 probe must reproduce the ts=200 snapshot exactly
+    (buckets 0-1), not the later ts=300 one — verified against the
+    membership predicate each snapshot was written with."""
+    from cassandra_syncer_spark.queries.analytics_r5g import scan_time_travel
+    from cassandra_syncer_spark.queries.relational import T
+
+    got = {(r.lang, r.n_docs, r.total_chars)
+           for r in scan_time_travel(spark, sf_dir).collect()}
+    want = {
+        (r.lang, r.n_docs, r.total_chars)
+        for r in T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 4 <= 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got == want
+    # and the snapshot BEFORE the probe time differs (time travel is not
+    # just reading the full table)
+    full = {
+        (r.lang, r.n_docs, r.total_chars)
+        for r in T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .collect()
+    }
+    assert got != full
+
+
+def test_scd2_apply_interval_invariants(spark, sf_dir):
+    """merge_scd2_apply output must be a valid SCD2 table: exactly one
+    current row per key, closed intervals end where the new ones begin,
+    and unchanged keys keep their single open interval."""
+    from cassandra_syncer_spark.queries.analytics_r5g import merge_scd2_apply
+
+    rows = merge_scd2_apply(spark, sf_dir).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key
+    for key, rs in by_key.items():
+        current = [r for r in rs if r.is_current]
+        assert len(current) == 1, key
+        assert current[0].valid_to is None, key
+        if len(rs) == 2:  # changed key: [0,100) closed + [100,None) open
+            closed = [r for r in rs if not r.is_current][0]
+            assert (closed.valid_from, closed.valid_to) == (0, 100), key
+            assert current[0].valid_from == 100, key
+            assert closed.segment != current[0].segment, key
+        else:
+            assert len(rs) == 1 and rs[0].valid_from == 0, key
