@@ -354,3 +354,83 @@ def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "rn", "vec_id", "dot_q")
         .orderBy("q_id", "rn")
     )
+
+
+_KNN_IVF_SQL = """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (SELECT greatest(8, count(*) // 250) AS k FROM e),
+    cent AS (SELECT vec_id AS cell, v AS cv FROM e, n WHERE vec_id < n.k),
+    assign AS (
+      SELECT e.vec_id, e.v, c.cell,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv), 6) DESC, c.cell) AS rn
+      FROM e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS nbr_id,
+             round(list_inner_product(a.v, b.v), 4) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_inner_product(a.v, b.v), 4) DESC, b.vec_id) AS rk
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM scored WHERE rk <= 3 ORDER BY vec_id, rk
+"""
+
+
+@register("sim_knn_graph_ivf", oracle=_KNN_IVF_SQL)
+def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph on the PRODUCTION blocking key: every vector is
+    assigned to its nearest IVF cell and finds its top-3 neighbors
+    cell-locally — the scale answer to ``sim_knn_graph``'s fixed-
+    cardinality label key (SCALING.md measured that demo key at 11.6×:
+    10× vectors in 10 fixed blocks = 100× within-block pairs).
+
+    The lever is that the quantizer GROWS with the corpus:
+    k = max(8, N/250) centroids (the first k corpus vectors — the
+    deterministic stand-in for the trained k-means codebook, same
+    convention as ``sim_ivf_ann``), so cell size stays ~250 and
+    per-vector neighbor work is bounded at any corpus size — pairs grow
+    linearly with N, not quadratically with block size.  The cell count
+    is derived from a 1-row count broadcast (a metadata scalar, the q22
+    pattern), keeping the whole dataflow engine-reproducible and
+    hash-checked.
+
+    Scale shape: one centroid broadcast + assignment scan, one shuffle
+    on cell id, bucket-local self-join + per-vector rank window.  At
+    recall-critical boundaries, union a second pass with n_probe=2
+    assignment (``sim_ivf_multiprobe``'s lever) — same dataflow.
+    """
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    k = emb.agg(
+        F.greatest(F.lit(8), F.expr("count(*) div 250")).cast("long").alias("k")
+    )
+    cent = (
+        emb.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    cells = _assign_cells(emb, cent, n_probe=1)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    scored = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            F.round(_dot(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("vec_id", "rk")
+    )

@@ -105,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "events_trending_growth",
     "embed_label_centroids",
     "corpus_dedup_rate_by_source",
+    "sim_knn_graph_ivf",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
