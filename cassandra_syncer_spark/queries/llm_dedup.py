@@ -713,3 +713,90 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= 0.3)
     )
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    """Fixed-iteration PageRank over the symmetric candidate graph —
+    iterations UNROLLED as plain CTEs (no vendor recursion quirks), all
+    arithmetic integer micro-units so both engines converge bitwise."""
+    steps = []
+    prev = "pr0"
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    pr{i} AS (
+      SELECT e.b AS node,
+             150000 + (850000 * sum(p.score // d.deg)) // 1000000 AS score
+      FROM sym e
+      JOIN {prev} p ON p.node = e.a
+      JOIN deg d ON d.node = e.a
+      GROUP BY e.b
+    )""")
+        prev = f"pr{i}"
+    return f"""
+    {_minhash_cte(True)},
+    bands AS ({_band_union(True)}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION SELECT doc_b, doc_a FROM cand),
+    deg AS (SELECT a AS node, count(*) AS deg FROM sym GROUP BY a),
+    pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM deg),
+    {','.join(steps)}
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(score AS BIGINT) AS score_micro
+    FROM {prev} ORDER BY doc_id
+    """
+
+
+@register("graph_pagerank", oracle=_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations) over the symmetric
+    MinHash candidate graph — centrality over the near-dup graph ranks
+    the template/boilerplate hubs a crawl keeps re-collecting, the
+    canonical iterative-algorithm workload beside connected components.
+
+    Determinism contract: scores stay integer micro-units end to end —
+    per-edge contribution is `score div degree` (exact integer div) and
+    the damping update `150000 + (850000·Σ) div 1000000` — so both
+    engines produce identical bigints with no float summation-order
+    hazards; the oracle unrolls the same 5 iterations as plain CTEs.
+
+    Scale shape: the edge list materializes ONCE (localCheckpoint — the
+    same reuse discipline as `operators/components.py`; at 100 TB this
+    is the persisted edge table) and each iteration is one equi join of
+    the tiny score frame to the edges + one agg on the destination key —
+    rounds are fixed (5), not data-dependent, so the job is 5 shuffles
+    on the node key regardless of graph size.  Isolated docs (no
+    candidate pair) are not graph nodes and are excluded by definition.
+    """
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    scores = deg.select("node", F.lit(1_000_000).cast("long").alias("score"))
+    for _ in range(5):
+        contrib = (
+            scores.join(deg, "node")
+            .select(F.col("node").alias("a"), F.expr("score div deg").alias("c"))
+        )
+        scores = (
+            sym.join(contrib, "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(
+                (F.lit(150_000) + F.expr("(850000 * sum(c)) div 1000000"))
+                .cast("long")
+                .alias("score")
+            )
+        )
+    return scores.select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("score").cast("long").alias("score_micro"),
+    ).orderBy("doc_id")

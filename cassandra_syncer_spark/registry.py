@@ -106,6 +106,7 @@ PRIORITY: tuple[str, ...] = (
     "embed_label_centroids",
     "corpus_dedup_rate_by_source",
     "sim_knn_graph_ivf",
+    "graph_pagerank",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",

@@ -388,3 +388,52 @@ def test_streaming_bitmap_distinct_exact_and_replay_immune(spark, tmp_path):
     bitmap_cells(wave0, "name", "uid").write.mode("append").parquet(cells_log)
     replayed = {r.key: r.n_distinct for r in read_distinct(spark, cells_log).collect()}
     assert replayed == exact
+
+
+def test_streaming_dedup_pairs_equal_batch_dedup(spark, tmp_path):
+    """The streaming band-index loop must emit exactly the candidate
+    pairs a one-shot batch dedup finds on the full corpus — ingestion
+    order decides which batch emits a pair, never the pair set — and
+    n_shared_bands must agree pair by pair."""
+    from cassandra_syncer_spark.operators.band_index import build_bands
+    from cassandra_syncer_spark.streaming.dedup_stream import (
+        _within_batch_pairs,
+        read_pairs,
+        run_streaming_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, base + " extra trailing words here"),  # near dup
+        (4, "totally different content with other tokens entirely now yes"),
+        (5, base),  # dup arriving in a LATER batch
+        (6, "totally different content with other tokens entirely now yes"),
+    ]
+    waves = [
+        [{"doc_id": i, "text": t} for i, t in docs[:4]],
+        [{"doc_id": i, "text": t} for i, t in docs[4:]],
+    ]
+    _stage(tmp_path / "watch_dd", waves)
+    stream = watch_files(
+        spark, str(tmp_path / "watch_dd"), "doc_id long, text string"
+    ).select("doc_id", "text")
+    run_streaming_dedup(
+        stream,
+        str(tmp_path / "ckpt_dd"),
+        str(tmp_path / "dd_index"),
+        str(tmp_path / "dd_pairs"),
+    )
+
+    got = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in read_pairs(spark, str(tmp_path / "dd_pairs")).collect()
+    }
+    all_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in _within_batch_pairs(build_bands(all_docs)).collect()
+    }
+    assert want, "fixture produced no candidate pairs — weak test"
+    assert got == want
