@@ -50,6 +50,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:      via tests/test_oracle_parity.py) — r1 block first, then r2;
 #:   3. everything verified in round 3/4 rotates to the tail (unlisted ids
 #:      keep registration order after the listed ones).
+#:
+#: NOTE for round 6: round 5 added 48 new queries, so sections 0-1 alone
+#: overflow the driver's ~50-query window and the stale r1/r2 blocks
+#: (sections 2a/2b) did not fit this round.  Round 6 should invert the
+#: order: any round-5 ids missing from CORRECTNESS_r05 first, then the
+#: full 2a/2b stale blocks, then rotate the r5-verified ids to the tail.
 PRIORITY: tuple[str, ...] = (
     # -- 0: round-5 must-reverify — dataflow changed this round -------------
     "text_minhash_dedup",     # collect_list → bucket-local self-join
@@ -61,19 +67,15 @@ PRIORITY: tuple[str, ...] = (
     # -- 1: new in round 5, never driver-checked ----------------------------
     "dedup_verify_jaccard",
     "text_contamination_prefiltered",
-    "dedup_minhash_salted",
     "corpus_bigram_lm_score",
     "text_diversity_gini",
     "dedup_chunk_exact",
     "join_asof_nearest",
-    "scan_orc_roundtrip",
     "agg_countmin_freq",
     "dedup_chunk_apply",
     "mix_epoch_plan",
-    "dedup_minhash_estimate",
     "agg_percentile_hist",
     "join_asof_tolerance",
-    "dedup_simhash_estimate",
     "split_train_valid_test",
     "sample_reservoir_perkey",
     "agg_distinct_bitmap",
@@ -107,6 +109,14 @@ PRIORITY: tuple[str, ...] = (
     "corpus_dedup_rate_by_source",
     "sim_knn_graph_ivf",
     "graph_pagerank",
+    # -- 1b: round-5 ids deferred to the window tail: each is locally
+    #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
+    #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
+    #    roundtrip vs parquet original), so they lose least by waiting
+    "dedup_minhash_salted",
+    "scan_orc_roundtrip",
+    "dedup_minhash_estimate",
+    "dedup_simhash_estimate",
     # -- 2a: last verified in round 1 (oldest first) ------------------------
     "agg_percentile",
     "agg_pivot",
