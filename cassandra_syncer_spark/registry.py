@@ -109,6 +109,10 @@ PRIORITY: tuple[str, ...] = (
     "corpus_dedup_rate_by_source",
     "sim_knn_graph_ivf",
     "graph_pagerank",
+    "join_full_outer_reconcile",
+    "agg_string_agg",
+    "cond_null_safe",
+    "scan_binaryfile",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
