@@ -1,0 +1,108 @@
+"""Property tests for round-5 primitives over seeded random frames
+(SURVEY.md §5.4): bitmap distinct vs exact, z-order locality on random
+keys, full-outer reconciliation partition law, and PageRank mass bounds.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def test_bitmap_distinct_equals_countdistinct_random(spark):
+    """The (bucket, bit_or) partial pattern must equal count(DISTINCT)
+    on random key/id frames, including duplicate-heavy and single-key
+    layouts and ids straddling many 64-wide buckets."""
+    rng = random.Random(11)
+    for trial in range(3):
+        rows = [
+            (f"k{rng.randrange(1, 4)}", rng.randrange(0, 500))
+            for _ in range(400)
+        ]
+        df = spark.createDataFrame(rows, "key string, uid long")
+        got = {
+            r.key: r.n
+            for r in (
+                df.select(
+                    "key",
+                    (F.col("uid") / 64).cast("long").alias("bucket"),
+                    F.expr("shiftleft(1L, int(uid % 64))").alias("bit"),
+                )
+                .groupBy("key", "bucket")
+                .agg(F.expr("bit_or(bit)").alias("bm"))
+                .groupBy("key")
+                .agg(F.sum(F.bit_count("bm")).cast("long").alias("n"))
+            ).collect()
+        }
+        want = {
+            r.key: r.n
+            for r in df.groupBy("key").agg(F.countDistinct("uid").alias("n")).collect()
+        }
+        assert got == want, trial
+
+
+def test_full_outer_reconcile_partition_law(spark):
+    """Full-outer reconciliation statuses must PARTITION the key union:
+    n_both + n_only_stored + n_only_live == |stored ∪ live|, and the
+    both-count equals |stored ∩ live| — on random subsets."""
+    rng = random.Random(13)
+    keys = list(range(200))
+    stored = {k for k in keys if rng.random() < 0.6}
+    live = {k for k in keys if rng.random() < 0.6}
+    s = spark.createDataFrame([(k,) for k in stored], "k long").alias("s")
+    l = spark.createDataFrame([(k,) for k in live], "k long").alias("l")
+    joined = s.join(l, F.col("s.k") == F.col("l.k"), "full_outer")
+    status = (
+        F.when(F.col("s.k").isNull(), "only_live")
+        .when(F.col("l.k").isNull(), "only_stored")
+        .otherwise("both")
+    )
+    got = {
+        r.status: r.n
+        for r in joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got.get("both", 0) == len(stored & live)
+    assert got.get("only_stored", 0) == len(stored - live)
+    assert got.get("only_live", 0) == len(live - stored)
+    assert sum(got.values()) == len(stored | live)
+
+
+def test_pagerank_scores_bounded_and_complete(spark, sf_dir):
+    """graph_pagerank invariants: every graph node gets exactly one
+    score; every score >= the damping floor (150000); total mass never
+    exceeds nodes x 1e6 (integer division only loses mass, never
+    creates it)."""
+    from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs, graph_pagerank
+
+    scores = graph_pagerank(spark, sf_dir).collect()
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    nodes = {r.doc_a for r in pairs} | {r.doc_b for r in pairs}
+    assert {r.doc_id for r in scores} == nodes
+    assert all(r.score_micro >= 150_000 for r in scores)
+    assert sum(r.score_micro for r in scores) <= len(nodes) * 1_000_000
+
+
+def test_zorder_interleave_bijective_on_random_keys(spark):
+    """The Morton interleave must be a bijection on (pa, sb) in
+    [0,256)^2 — decoding the z-value recovers both dims exactly."""
+    from cassandra_syncer_spark.queries.analytics_r5e import _z_expr
+
+    rng = random.Random(17)
+    rows = [(rng.randrange(0, 256), rng.randrange(0, 256)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "pa long, sb long")
+    z = df.select("pa", "sb", F.expr(_z_expr("pa", "sb", duck=False)).alias("zval"))
+    # decode: even bits -> pa, odd bits -> sb
+    dec_a = " + ".join(
+        f"(shiftleft(shiftright(zval, {2 * i}) & 1, {i}))" for i in range(8)
+    )
+    dec_b = " + ".join(
+        f"(shiftleft(shiftright(zval, {2 * i + 1}) & 1, {i}))" for i in range(8)
+    )
+    bad = z.filter(
+        (F.expr(dec_a) != F.col("pa")) | (F.expr(dec_b) != F.col("sb"))
+    ).count()
+    assert bad == 0
