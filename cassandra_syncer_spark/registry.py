@@ -113,6 +113,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_string_agg",
     "cond_null_safe",
     "scan_binaryfile",
+    "agg_moments_skew_kurt",
+    "events_funnel_windowed",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
