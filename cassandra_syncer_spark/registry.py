@@ -68,23 +68,17 @@ PRIORITY: tuple[str, ...] = (
     "dedup_verify_jaccard",
     "text_contamination_prefiltered",
     "corpus_bigram_lm_score",
-    "text_diversity_gini",
     "dedup_chunk_exact",
     "join_asof_nearest",
     "agg_countmin_freq",
     "dedup_chunk_apply",
-    "mix_epoch_plan",
     "agg_percentile_hist",
-    "join_asof_tolerance",
-    "split_train_valid_test",
     "sample_reservoir_perkey",
     "agg_distinct_bitmap",
     "sim_hamming_ann",
     "join_bloom_prefilter",
-    "corpus_dupsize_histogram",
     "win_ewma",
     "agg_weighted_median",
-    "sim_knn_graph",
     "text_quality_linear",
     "dedup_verify_edit",
     "events_markov_transitions",
@@ -119,6 +113,12 @@ PRIORITY: tuple[str, ...] = (
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "sim_knn_graph",      # superseded in-window by sim_knn_graph_ivf
+    "text_diversity_gini",
+    "mix_epoch_plan",
+    "corpus_dupsize_histogram",
+    "split_train_valid_test",
+    "join_asof_tolerance",
     "dedup_minhash_salted",
     "scan_orc_roundtrip",
     "dedup_minhash_estimate",
