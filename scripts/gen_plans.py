@@ -143,6 +143,21 @@ FLAGSHIPS = [
         "count dims broadcast",
     ),
     (
+        "graph_pagerank",
+        "iterative shape: 5 fixed node-key shuffle rounds over a once-"
+        "materialized edge list; score frame stays node-dim-sized",
+    ),
+    (
+        "join_full_outer_reconcile",
+        "one key-partitioned full outer replaces three semi/anti/intersect "
+        "passes; classification is a null-pattern projection",
+    ),
+    (
+        "sim_knn_graph_ivf",
+        "corpus-scaled quantizer: cell count from a 1-row count broadcast, "
+        "cell-local self-join + per-vector rank — pairs linear in N",
+    ),
+    (
         "agg_weighted_median",
         "two-pass bucketed exact weighted percentile: histogram agg locates "
         "the cut bucket (map-side combine), only ~1/1024 of each group "
