@@ -472,7 +472,13 @@ def sink_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mode("overwrite")
         .parquet(out)
     )
-    back = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    # explicit schema (no-inference rule; also survives an empty write,
+    # which leaves no data files for inference to read)
+    back = (
+        spark.read.schema("l_linestatus string, qty_centi long, l_returnflag string")
+        .parquet(out)
+        .filter(F.col("l_returnflag") == "R")
+    )
     return (
         back.groupBy("l_linestatus")
         .agg(

@@ -130,8 +130,9 @@ _STEP_GAP_SEC = 86_400  # each next step within 24h of the previous
     SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_step1,
            CAST((SELECT count(*) FROM c) AS BIGINT) AS n_step2,
            CAST((SELECT count(*) FROM p) AS BIGINT) AS n_step3,
-           (1000000 * (SELECT count(*) FROM p)) // (SELECT count(*) FROM v)
-             AS conv_micro
+           CASE WHEN (SELECT count(*) FROM v) = 0 THEN 0
+                ELSE (1000000 * (SELECT count(*) FROM p))
+                     // (SELECT count(*) FROM v) END AS conv_micro
     """,
 )
 def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,6 +190,8 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_step1",
             "n_step2",
             "n_step3",
-            F.expr("(1000000 * n_step3) div n_step1").alias("conv_micro"),
+            F.expr(
+                "IF(n_step1 = 0, 0L, (1000000 * n_step3) div n_step1)"
+            ).alias("conv_micro"),
         )
     )

@@ -210,6 +210,10 @@ def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (tests/test_operators.py::test_ivf_recall_both_quantizers,
     recall ≥ 0.8 at n_probe=2).
     """
+    # k-means cannot fit 0 rows; an empty corpus has an empty ANN answer
+    # (the one head(1) probe is trainer-input validation, not a data scan)
+    if _vec(T(spark, sf_dir, "embeddings")).isEmpty():
+        return spark.createDataFrame([], "q_id bigint, vec_id bigint, cosine double, rn bigint")
     return ivf_topk(spark, sf_dir, quantizer="kmeans", n_probe=2)
 
 
@@ -227,6 +231,11 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _vec(T(spark, sf_dir, "embeddings")).select(
         "vec_id", array_to_vector("v").alias("features")
     )
+    # LSH fit requires >= 1 row; empty corpus -> empty pair set
+    if emb.isEmpty():
+        return spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, euclidean_dist double"
+        )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
     )

@@ -633,7 +633,10 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", "r_name", F.md5("r_name").alias("etag")
     )
     df.write.mode("overwrite").partitionBy("r_regionkey").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: a partitioned write of an EMPTY frame leaves no data
+    # files, and schema inference would fail where a declared schema reads
+    # an empty frame cleanly (the engine's no-inference rule regardless)
+    back = spark.read.schema("r_name string, etag string, r_regionkey int").parquet(out)
     # partition column comes back typed per partition-inference; restore it
     return back.select(
         F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name", "etag"

@@ -106,3 +106,34 @@ def test_zorder_interleave_bijective_on_random_keys(spark):
         (F.expr(dec_a) != F.col("pa")) | (F.expr(dec_b) != F.col("sb"))
     ).count()
     assert bad == 0
+
+
+def test_all_queries_survive_empty_tables(spark, tmp_path):
+    """Robustness law: every registered query must execute cleanly on
+    EMPTY input tables (same schemas, zero rows) — empty partitions,
+    empty days, and empty sources are routine at 100 TB, and an engine
+    that throws on them fails its operators' composability.  Guards this
+    round's fixes: explicit-schema read-back on partitioned sinks,
+    MLlib fit guards, division-by-zero in ratio reports."""
+    import os
+
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import FIXTURE_TABLES
+
+    all_queries()
+    out = str(tmp_path / "empty_sf")
+    os.makedirs(out, exist_ok=True)
+    for t in FIXTURE_TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .write.mode("overwrite")
+            .parquet(f"{out}/{t}.parquet")
+        )
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            spec.fn(spark, out).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all offenders
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
