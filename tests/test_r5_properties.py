@@ -137,3 +137,43 @@ def test_all_queries_survive_empty_tables(spark, tmp_path):
         except Exception as e:  # noqa: BLE001 — collecting all offenders
             failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_order_sensitive_queries_partition_invariant(spark, sf_dir):
+    """Determinism law behind the driver's value hash: results must not
+    depend on the shuffle partition count.  Exercises the query shapes
+    where partition layout COULD leak into results — collect_list,
+    hash-quota sampling, ntile, window top-k, greedy packing — under
+    shuffle_partitions=3 vs the default."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    names = [
+        "agg_string_agg",
+        "agg_collect_snapshot",
+        "sample_reservoir_perkey",
+        "sample_stratified_exact",
+        "sample_negative_pairs",
+        "sample_hash",
+        "mix_temperature_sampling",
+        "mix_sample_weighted",
+        "split_train_valid_test",
+        "shard_pack_tokens",
+        "win_ntile_bucket",
+        "events_rfm_segmentation",
+        "agg_weighted_median",
+    ]
+
+    def rows(name):
+        return sorted(
+            tuple(str(x) for x in r) for r in REGISTRY[name].fn(spark, sf_dir).collect()
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    baseline = {n: rows(n) for n in names}
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        for n in names:
+            assert rows(n) == baseline[n], f"{n}: result depends on partition count"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
