@@ -1,0 +1,241 @@
+"""Round-5 batch 11: multi-window active users from one partial fold,
+the composed Gopher quality ruleset, and dedup threshold calibration.
+
+`events_dau_wau` is the generalization of `win_sliding_distinct`: ONE
+per-(day, bucket) bitmap fold serves all three trailing windows (1/3/7
+days) — the partial-reuse property that makes exact multi-horizon
+dashboards affordable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+_DAY_NS = 86_400_000_000_000
+_AU_WINDOWS = (1, 3, 7)
+
+
+@register(
+    "events_dau_wau",
+    oracle=f"""
+    WITH e AS (
+      SELECT epoch_ns(ts) // {_DAY_NS} AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM e)
+    SELECT d.day,
+           CAST(count(DISTINCT CASE WHEN e.day = d.day THEN user_id END)
+                AS BIGINT) AS au1,
+           CAST(count(DISTINCT CASE WHEN e.day >= d.day - 2 THEN user_id END)
+                AS BIGINT) AS au3,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS au7
+    FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / 3-day / 7-day active users per day — the dashboard triple —
+    computed EXACTLY from one shared fold: events collapse once to
+    per-(day, bucket) bitmap partials, each partial fans out to the
+    panes of all three window lengths, and per-(pane, length) bit_or +
+    popcount reads out every horizon.  No re-scan per window length, no
+    approx sketch, no count-DISTINCT Expand.
+
+    Scale shape: shuffle ∝ days × id-space/64 × |windows| partial rows —
+    independent of event volume; the same partials persist across days
+    (mergeable + idempotent, `run_streaming_bitmap`), so the steady
+    state folds only the new day and re-reads 7 partial rows per pane.
+    """
+    ev = T(spark, sf_dir, "events")
+    partial = (
+        ev.select(
+            F.expr(f"ts_ns div {_DAY_NS}").alias("day"),
+            (F.col("user_id") / 64).cast("long").alias("bucket"),
+            F.expr("shiftleft(1L, int(user_id % 64))").alias("bit"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+    lens = ", ".join(str(w) for w in _AU_WINDOWS)
+    panes = partial.select(
+        F.explode(F.expr(f"array({lens})")).alias("win"), "day", "bucket", "bm"
+    ).select(
+        "win",
+        F.explode(F.expr("sequence(day, day + win - 1)")).alias("pane"),
+        "bucket",
+        "bm",
+    )
+    days = ev.select(F.expr(f"ts_ns div {_DAY_NS}").alias("pane")).distinct()
+    counts = (
+        panes.join(days, "pane", "left_semi")
+        .groupBy("pane", "win", "bucket")
+        .agg(F.expr("bit_or(bm)").alias("bm"))
+        .groupBy("pane", "win")
+        .agg(F.sum(F.bit_count("bm")).cast("long").alias("n"))
+    )
+    return (
+        counts.groupBy(F.col("pane").alias("day"))
+        .pivot("win", list(_AU_WINDOWS))
+        .sum("n")
+        .select(
+            "day",
+            F.col("1").cast("long").alias("au1"),
+            F.col("3").cast("long").alias("au3"),
+            F.col("7").cast("long").alias("au7"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_gate — the composed Gopher quality ruleset
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "that", "with")
+
+
+@register(
+    "text_gopher_gate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (1000000 * CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT))
+               // len(w) AS mean_wlen_micro,
+             (1000000 * len(list_filter(w, x -> regexp_matches(x, '^[a-zA-Z]+$'))))
+               // len(w) AS alpha_frac_micro,
+             CAST(len(list_filter(w, x -> list_contains(
+                 {list(_STOPWORDS)}, x))) AS BIGINT) AS n_stop
+      FROM d
+    )
+    SELECT doc_id, n_words, mean_wlen_micro, alpha_frac_micro, n_stop,
+           (n_words BETWEEN 10 AND 100000
+            AND mean_wlen_micro BETWEEN 2000000 AND 12000000
+            AND alpha_frac_micro >= 800000
+            AND n_stop >= 2) AS keep
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Gopher-style quality ruleset as ONE gate: word-count
+    bounds, mean word length bounds, alphabetic-word fraction, and
+    minimum stop-word presence — the canonical pre-training filter
+    stack (`text_quality` and `text_repetition_filter` are its
+    single-rule cousins), with every rule's metric emitted so a
+    calibration pass can tune the cuts.
+
+    Scale shape: one scan-fused pass of higher-order array folds — no
+    explode, no shuffle, no UDF; metrics are integer micro-units via
+    exact integer division, so the keep-cut is identical cross-engine.
+    The words array is projected ONCE and shared by all four rules (the
+    no-split-inside-lambda discipline, plan-asserted repo-wide).
+    """
+    stop_arr = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    m = d.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.expr(
+            "(1000000 * aggregate(w, 0L, (acc, x) -> acc + length(x))) div size(w)"
+        ).alias("mean_wlen_micro"),
+        F.expr(
+            "(1000000 * size(filter(w, x -> x rlike '^[a-zA-Z]+$'))) div size(w)"
+        ).alias("alpha_frac_micro"),
+        F.expr(
+            f"cast(size(filter(w, x -> array_contains(array({stop_arr}), x))) as bigint)"
+        ).alias("n_stop"),
+    )
+    keep = (
+        F.col("n_words").between(10, 100000)
+        & F.col("mean_wlen_micro").between(2_000_000, 12_000_000)
+        & (F.col("alpha_frac_micro") >= 800_000)
+        & (F.col("n_stop") >= 2)
+    )
+    return m.select(
+        "doc_id", "n_words", "mean_wlen_micro", "alpha_frac_micro", "n_stop",
+        keep.alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# dedup_threshold_calibration — the tau-selection table
+# ---------------------------------------------------------------------------
+
+
+def _calib_sql() -> str:
+    from cassandra_syncer_spark.queries.llm_dedup import _band_union, _minhash_cte
+
+    return f"""
+    {_minhash_cte(True)},
+    bands AS ({_band_union(True)}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS uw FROM documents),
+    j AS (
+      SELECT (10 * len(list_intersect(da.uw, db.uw)))
+               // len(list_distinct(list_concat(da.uw, db.uw))) AS decile
+      FROM cand c
+      JOIN d da ON c.doc_a = da.doc_id
+      JOIN d db ON c.doc_b = db.doc_id
+    ),
+    h AS (SELECT least(decile, 9) AS decile, count(*) AS n FROM j GROUP BY 1)
+    SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n_pairs,
+           CAST(sum(n) OVER (ORDER BY decile DESC) AS BIGINT) AS n_at_or_above
+    FROM h ORDER BY decile
+    """
+
+
+@register("dedup_threshold_calibration", oracle=_calib_sql())
+def dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The τ-selection table: MinHash band candidates bucketed by exact
+    Jaccard decile, with the cumulative pair count at-or-above each
+    decile — exactly the evidence needed to choose the near-dup cut
+    (`dedup_verify_jaccard`'s ≥ 0.5) and predict how much corpus each
+    candidate τ would drop.  Decile = exact integer division of set
+    sizes (Jaccard 1.0 clamps into the top bucket), so the histogram
+    hash-matches.
+
+    Scale shape: candidates from the bucket-local band self-join; the
+    verify join touches candidate docs only; the output is ≤10 rows and
+    the cumulative window runs over those 10.
+    """
+    from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
+    from pyspark.sql.window import Window
+
+    cand = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("uw")
+    )
+    da, db = docs.alias("da"), docs.alias("db")
+    decile = F.expr(
+        "least((10 * size(array_intersect(da.uw, db.uw)))"
+        " div size(array_union(da.uw, db.uw)), 9)"
+    )
+    h = (
+        cand.join(da, cand.doc_a == F.col("da.doc_id"))
+        .join(db, cand.doc_b == F.col("db.doc_id"))
+        .select(decile.alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.withColumn("n_at_or_above", F.sum("n_pairs").over(w).cast("long"))
+        .select(F.col("decile").cast("long").alias("decile"), "n_pairs", "n_at_or_above")
+        .orderBy("decile")
+    )

@@ -71,13 +71,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_chunk_exact",
     "join_asof_nearest",
     "agg_countmin_freq",
-    "dedup_chunk_apply",
     "agg_percentile_hist",
-    "sample_reservoir_perkey",
     "agg_distinct_bitmap",
     "sim_hamming_ann",
     "join_bloom_prefilter",
-    "win_ewma",
     "agg_weighted_median",
     "text_quality_linear",
     "dedup_verify_edit",
@@ -109,10 +106,16 @@ PRIORITY: tuple[str, ...] = (
     "scan_binaryfile",
     "agg_moments_skew_kurt",
     "events_funnel_windowed",
+    "events_dau_wau",
+    "text_gopher_gate",
+    "dedup_threshold_calibration",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "sample_reservoir_perkey",
+    "win_ewma",
+    "dedup_chunk_apply",
     "sim_knn_graph",      # superseded in-window by sim_knn_graph_ivf
     "text_diversity_gini",
     "mix_epoch_plan",
