@@ -261,3 +261,32 @@ def test_cli_query_surface(tmp_path):
         cwd=REPO, capture_output=True, text=True, timeout=240,
     )
     assert bad.returncode == 2
+
+
+def test_bench_contract_smoke():
+    """bench.py is a per-round driver artifact (BENCH_r{N}.json) — a crash
+    burns the round's perf evidence (BENCH_r03 was exactly that).  Run it
+    end-to-end at the smallest fixture and assert the output contract:
+    rc 0, last stdout line is one JSON object with the required keys, all
+    timings positive, and every baseline ratio present is finite."""
+    import json
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    d = json.loads(line)
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "baseline_same_session", "ratio_vs_baseline_same_session"):
+        assert key in d, key
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["queries"] and all(v > 0 for v in d["queries"].values())
+    assert all(r > 0 for r in d["ratio_vs_baseline_same_session"].values())
