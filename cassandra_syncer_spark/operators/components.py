@@ -92,3 +92,44 @@ def connected_components(
     if not converged:
         raise ComponentsNotConverged(max_iterations, labels)
     return labels.select(F.col("id"), F.col("comp").alias("component"))
+
+
+def incremental_components(
+    prev_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Fold a NEW batch of edges into an existing component labeling —
+    the steady-state companion to :func:`connected_components` the same
+    way the band-index probe is to full-corpus dedup: yesterday's
+    clusters are not recomputed, they are *merged with* today's pairs.
+
+    The trick is that a labeling IS a star graph: each labeled vertex
+    has an implicit edge to its component's minimum member.  Running
+    min-label propagation on (star edges ∪ new edges) therefore yields
+    exactly the components of (all old edges ∪ new edges) — old
+    components act as super-nodes of diameter ≤ 2, so convergence cost
+    tracks the NEW structure's diameter, not the accumulated graph's
+    edge count.  Old edges never need to be stored or re-read.
+
+    Invariant (unit-tested): incremental over any wave split ==
+    one-shot components over the union of all edges.
+    """
+    star = prev_labels.select(
+        F.col("id").alias(src), F.col("component").alias(dst)
+    ).filter(F.col(src) != F.col(dst))
+    # singleton components (id == component, no distinct member edge)
+    # must survive the merge even if no new edge touches them; a
+    # self-loop-free star drops them, so re-seed via a self edge that
+    # the symmetrize step dedups
+    singles = prev_labels.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(src), F.col("component").alias(dst)
+    )
+    merged = star.unionByName(singles).unionByName(
+        new_edges.select(F.col(src), F.col(dst))
+    )
+    return connected_components(
+        merged, src=src, dst=dst, max_iterations=max_iterations
+    )

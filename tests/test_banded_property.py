@@ -168,3 +168,35 @@ def test_connected_components_matches_union_find(spark):
         got = {r.id: r.component for r in connected_components(df).collect()}
         want = _naive_components(edges)
         assert got == want, f"trial {trial}"
+
+
+def test_incremental_components_equal_batch(spark):
+    """incremental_components over any wave split must equal one-shot
+    connected_components over the union — including waves that MERGE two
+    previously separate components and vertices only present in the old
+    labeling (singletons must survive)."""
+    from cassandra_syncer_spark.operators.components import incremental_components
+
+    rng = random.Random(23)
+    edges = []
+    for _ in range(120):
+        a, b = rng.randrange(0, 60), rng.randrange(0, 60)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    waves = [edges[:40], edges[40:80], edges[80:]]
+
+    batch = {
+        (r.id, r.component)
+        for r in connected_components(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    labels = connected_components(
+        spark.createDataFrame(waves[0], "src long, dst long")
+    )
+    for wave in waves[1:]:
+        labels = incremental_components(
+            labels, spark.createDataFrame(wave, "src long, dst long")
+        )
+    got = {(r.id, r.component) for r in labels.collect()}
+    assert got == batch
