@@ -800,3 +800,39 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("doc_id"),
         F.col("score").cast("long").alias("score_micro"),
     ).orderBy("doc_id")
+
+
+@register("dedup_incremental_clusters", oracle=_COMPONENTS_SQL)
+def dedup_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters maintained INCREMENTALLY: the existing corpus's
+    labels (docs with doc_id % 5 != 0, standing in for yesterday's
+    clustering) are merged with the candidate pairs touching today's
+    batch (doc_id % 5 == 0) via ``operators/components.py::
+    incremental_components`` — and the result must equal the one-shot
+    clustering of the full corpus, which is exactly what the oracle
+    (the same recursive-CTE transitive closure as
+    ``dedup_cluster_components``) checks by hash.
+
+    Scale shape: yesterday's pair edges are never stored or re-read —
+    the labeling itself is the carried state (a star graph of diameter
+    ≤ 2), so each day's cost is the new batch's pairs plus a few
+    propagation rounds; composes with the streaming band-index loop
+    (streaming/dedup_stream.py) that produces exactly these new-batch
+    pairs.
+    """
+    from cassandra_syncer_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    old = pairs.filter((F.col("doc_a") % 5 != 0) & (F.col("doc_b") % 5 != 0))
+    new = pairs.filter((F.col("doc_a") % 5 == 0) | (F.col("doc_b") % 5 == 0))
+    labels_old = connected_components(old, src="doc_a", dst="doc_b")
+    merged = incremental_components(
+        labels_old.localCheckpoint(), new, src="doc_a", dst="doc_b"
+    )
+    return merged.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

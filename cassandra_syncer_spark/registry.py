@@ -74,7 +74,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_percentile_hist",
     "agg_distinct_bitmap",
     "sim_hamming_ann",
-    "join_bloom_prefilter",
     "agg_weighted_median",
     "text_quality_linear",
     "dedup_verify_edit",
@@ -109,10 +108,12 @@ PRIORITY: tuple[str, ...] = (
     "events_dau_wau",
     "text_gopher_gate",
     "dedup_threshold_calibration",
+    "dedup_incremental_clusters",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "join_bloom_prefilter",
     "sample_reservoir_perkey",
     "win_ewma",
     "dedup_chunk_apply",
