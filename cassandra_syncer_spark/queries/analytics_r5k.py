@@ -239,3 +239,112 @@ def dedup_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("decile").cast("long").alias("decile"), "n_pairs", "n_at_or_above")
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_grouping_id_sets — GROUPING() disambiguation in rollups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_grouping_id_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '(null)') AS status,
+           coalesce(o_orderpriority, '(null)') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+)
+def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping_id over a rollup — the disambiguation the
+    coalesce-only form (`agg_rollup`) cannot provide: a NULL that IS
+    data versus a NULL that MEANS subtotal are different rows, and only
+    the grouping bitmask tells them apart (any consumer pivoting a
+    rollup into a report needs it).
+
+    Scale shape: same grouping-set Expand as `agg_rollup` — rows
+    multiply by the rollup depth before the partial agg combines them;
+    gid is plan-time metadata, zero extra cost.
+    """
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr(
+                "cast(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) as bigint)"
+            ).alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(null)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(null)")).alias("priority"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_interarrival_stats — inter-arrival time distribution per type
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, epoch_ns(ts) // 1000000000 AS sec, event_id
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+               AS gap
+      FROM s
+    )
+    SELECT event_type,
+           CAST(count(gap) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap, 0.5), 1) AS p50_gap_sec,
+           round(quantile_cont(gap, 0.95), 1) AS p95_gap_sec,
+           CAST(max(gap) AS BIGINT) AS max_gap_sec
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution: per event type (of the later
+    event), the p50/p95/max gap since the user's previous event — the
+    operational heartbeat metric behind SLO alerts ("purchases stopped
+    arriving") and session-gap tuning (`win_session`'s 30-minute gap
+    should sit far above p50 and below the session break).
+
+    Scale shape: ONE user_id-sorted shuffle for the lag window, then the
+    gap frame collapses to |types| keys; exact interpolated percentiles
+    over integer seconds land on k or k.5 — exactly representable, so
+    the rounded outputs hash-match (100 TB escape hatch:
+    approx_percentile, as in `agg_percentile`).
+    """
+    from pyspark.sql.window import Window
+
+    s = T(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts_ns div 1000000000").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    g = s.select(
+        "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap").cast("long").alias("n_gaps"),
+            F.round(F.expr("percentile(gap, 0.5)"), 1).alias("p50_gap_sec"),
+            F.round(F.expr("percentile(gap, 0.95)"), 1).alias("p95_gap_sec"),
+            F.max("gap").cast("long").alias("max_gap_sec"),
+        )
+        .orderBy("event_type")
+    )

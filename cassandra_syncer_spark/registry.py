@@ -71,10 +71,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_chunk_exact",
     "join_asof_nearest",
     "agg_countmin_freq",
-    "agg_percentile_hist",
     "agg_distinct_bitmap",
     "sim_hamming_ann",
-    "agg_weighted_median",
     "text_quality_linear",
     "dedup_verify_edit",
     "events_markov_transitions",
@@ -109,10 +107,14 @@ PRIORITY: tuple[str, ...] = (
     "text_gopher_gate",
     "dedup_threshold_calibration",
     "dedup_incremental_clusters",
+    "agg_grouping_id_sets",
+    "events_interarrival_stats",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "agg_percentile_hist",
+    "agg_weighted_median",
     "join_bloom_prefilter",
     "sample_reservoir_perkey",
     "win_ewma",
