@@ -542,3 +542,28 @@ def test_ngram_novelty_gram_keyed_shuffles_only(spark, sf_dir):
     assert ("SortMergeJoin [gh" in p) or ("ShuffledHashJoin [gh" in p), p
     assert "CartesianProduct" not in p
     assert p.count("hashpartitioning") <= 5, p
+
+
+def test_dau_wau_no_expand_no_fact_rescan(spark, sf_dir):
+    """events_dau_wau: one bitmap fold serves all three horizons — no
+    count-DISTINCT Expand from the distinct logic (the rollup-free kind),
+    and the events scan appears at most twice (partials + the distinct
+    days frame), never once per window length."""
+    p = plan_of(spark, sf_dir, "events_dau_wau")
+    assert "bit_or" in p, p
+    assert p.count("events.parquet") <= 2, p
+
+
+def test_gopher_gate_single_scan_no_shuffle(spark, sf_dir):
+    """text_gopher_gate: all four rules fuse into the scan; the only
+    exchange is the presentation sort."""
+    p = plan_of(spark, sf_dir, "text_gopher_gate")
+    assert "Join" not in p, p
+    assert p.count("hashpartitioning") == 0, p
+
+
+def test_interarrival_single_window_shuffle(spark, sf_dir):
+    """events_interarrival_stats: one user_id hash exchange for the lag
+    window; the percentile agg adds only the tiny-key exchange."""
+    p = plan_of(spark, sf_dir, "events_interarrival_stats")
+    assert p.count("hashpartitioning(user_id") == 1, p
