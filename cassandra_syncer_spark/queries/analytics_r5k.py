@@ -348,3 +348,91 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_changepoint_cusum — exact-integer CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, event_id, epoch_ns(ts) // 1000000000 AS sec,
+             CAST(round(value * 100.0) AS BIGINT) AS vc
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS s_total
+      FROM s GROUP BY event_type
+    ),
+    c AS (
+      SELECT s.event_type, s.sec, s.event_id,
+             sum(g.n * s.vc - g.s_total) OVER (
+               PARTITION BY s.event_type ORDER BY s.sec, s.event_id) AS cus
+      FROM s JOIN g ON s.event_type = g.event_type
+    ),
+    r AS (
+      SELECT event_type, sec, event_id, abs(cus) AS a,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY abs(cus) DESC, sec, event_id
+             ) AS rk
+      FROM c
+    )
+    SELECT event_type, CAST(a AS BIGINT) AS max_abs_cusum_scaled,
+           CAST(sec AS BIGINT) AS at_sec
+    FROM r WHERE rk = 1 ORDER BY event_type
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the running sum of
+    deviations from the series mean peaks (in absolute value) at the
+    most likely level-shift instant — the classic drift detector behind
+    "when did this metric change regime".
+
+    Exactness trick: the per-row deviation is staged as
+    ``n·x_i − Σx`` (both exact bigints — no mean division, no floats),
+    which is the true deviation scaled by the constant n, so the argmax
+    instant and the relative magnitudes are IDENTICAL to the float form
+    while every engine computes the same integers.
+
+    Scale shape: one tiny stats agg broadcast back, one event_type-
+    sorted shuffle for the cumulative window (per-type series must be
+    time-ordered — at extreme per-type volume, CUSUM partials per time
+    bucket compose associatively like the other partial patterns), then
+    an argmax window over the same sorted runs reuses the partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    s = T(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("ts_ns div 1000000000").alias("sec"),
+        F.round(F.col("value") * 100.0).cast("long").alias("vc"),
+    )
+    g = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vc").alias("s_total")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = (
+        s.join(F.broadcast(g), "event_type")
+        .withColumn("cus", F.sum(F.col("n") * F.col("vc") - F.col("s_total")).over(wcum))
+    )
+    wmax = Window.partitionBy("event_type").orderBy(
+        F.desc(F.abs(F.col("cus"))), "sec", "event_id"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(wmax))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.abs(F.col("cus")).cast("long").alias("max_abs_cusum_scaled"),
+            F.col("sec").cast("long").alias("at_sec"),
+        )
+        .orderBy("event_type")
+    )

@@ -69,7 +69,6 @@ PRIORITY: tuple[str, ...] = (
     "text_contamination_prefiltered",
     "corpus_bigram_lm_score",
     "dedup_chunk_exact",
-    "join_asof_nearest",
     "agg_countmin_freq",
     "agg_distinct_bitmap",
     "sim_hamming_ann",
@@ -109,10 +108,12 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_clusters",
     "agg_grouping_id_sets",
     "events_interarrival_stats",
+    "events_changepoint_cusum",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "join_asof_nearest",
     "agg_percentile_hist",
     "agg_weighted_median",
     "join_bloom_prefilter",
