@@ -436,3 +436,71 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# scan_csv_malformed — PERMISSIVE ingestion with corrupt-record accounting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="""
+    WITH sample AS (SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN doc_id % 7 = 0 THEN 1 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS good_chars
+    FROM sample
+    """,
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-CSV ingestion (§2.1 breadth): a staged file where every 7th
+    record carries a non-numeric value in an integer column, read in
+    PERMISSIVE mode with an explicit schema + `columnNameOfCorruptRecord`
+    — the malformed rows land with the bad field nulled and the raw line
+    captured, instead of killing the job (FAILFAST) or silently vanishing
+    (DROPMALFORMED).  The query accounts for every input row: total,
+    corrupt count, and the clean-side aggregate — the ingestion-QA report
+    a 100 TB crawl loader runs on every batch.
+
+    Scale shape: the CSV scan is embarrassingly parallel and the report
+    is one global aggregate; corruption is injected deterministically
+    (doc_id % 7) so the oracle recomputes the same partition from the
+    parquet truth.
+    """
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_sinks",
+        f"csvmal-{os.path.basename(os.path.normpath(sf_dir))}"
+        f"-{spark.sparkContext.applicationId}",
+    )
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "docs.csv")
+    if not os.path.exists(path):
+        sample = (
+            T(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id", "lang", "n_chars")
+            .collect()
+        )
+        with open(path, "w") as fh:
+            for r in sample:  # staging: deterministic corruption, tiny sample
+                bad = r.doc_id % 7 == 0
+                fh.write(f"{r.doc_id},{r.lang},{'#bad#' if bad else r.n_chars}\n")
+    back = (
+        spark.read.schema(
+            "doc_id long, lang string, n_chars long, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("_corrupt").cast("long").alias("n_corrupt"),
+        F.sum(F.coalesce("n_chars", F.lit(0))).cast("long").alias("good_chars"),
+    )

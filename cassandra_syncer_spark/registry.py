@@ -69,7 +69,6 @@ PRIORITY: tuple[str, ...] = (
     "text_contamination_prefiltered",
     "corpus_bigram_lm_score",
     "dedup_chunk_exact",
-    "agg_countmin_freq",
     "agg_distinct_bitmap",
     "sim_hamming_ann",
     "text_quality_linear",
@@ -109,10 +108,12 @@ PRIORITY: tuple[str, ...] = (
     "agg_grouping_id_sets",
     "events_interarrival_stats",
     "events_changepoint_cusum",
+    "scan_csv_malformed",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "agg_countmin_freq",
     "join_asof_nearest",
     "agg_percentile_hist",
     "agg_weighted_median",
