@@ -69,8 +69,6 @@ PRIORITY: tuple[str, ...] = (
     "text_contamination_prefiltered",
     "corpus_bigram_lm_score",
     "dedup_chunk_exact",
-    "agg_distinct_bitmap",
-    "sim_hamming_ann",
     "text_quality_linear",
     "dedup_verify_edit",
     "events_markov_transitions",
@@ -109,10 +107,14 @@ PRIORITY: tuple[str, ...] = (
     "events_interarrival_stats",
     "events_changepoint_cusum",
     "scan_csv_malformed",
+    "win_running_distinct",
+    "events_gini_concentration",
     # -- 1b: round-5 ids deferred to the window tail: each is locally
     #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
     #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
     #    roundtrip vs parquet original), so they lose least by waiting
+    "agg_distinct_bitmap",
+    "sim_hamming_ann",
     "agg_countmin_freq",
     "join_asof_nearest",
     "agg_percentile_hist",
