@@ -70,7 +70,13 @@ def probe_index(spark: SparkSession, path: str, bands: DataFrame) -> DataFrame:
 
     Returns (new_doc, existing_doc, n_shared_bands); the probe side is
     batch-sized, so Catalyst broadcasts it against the index scan and
-    band_id partition pruning limits the scan to probed bands."""
+    band_id partition pruning limits the scan to probed bands.
+
+    Counts DISTINCT band ids, not rows: an at-least-once writer may
+    append the same (doc_id, band_id, band_key) row twice on batch
+    replay, and a row count would inflate ``n_shared_bands``.  A doc
+    has exactly one key per band, so distinct-band counting is exact
+    and replay-idempotent without an O(corpus) pre-dedup pass."""
     idx = spark.read.parquet(path)
     return (
         idx.join(
@@ -81,5 +87,5 @@ def probe_index(spark: SparkSession, path: str, bands: DataFrame) -> DataFrame:
         )
         .filter(F.col("doc_id") != F.col("new_doc"))
         .groupBy("new_doc", F.col("doc_id").alias("existing_doc"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_bands"))
+        .agg(F.count_distinct("band_id").cast("long").alias("n_shared_bands"))
     )

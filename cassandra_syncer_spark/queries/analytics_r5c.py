@@ -139,7 +139,7 @@ def agg_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         ev.select(
             "event_type",
-            (F.col("user_id") / 64).cast("long").alias("bucket"),
+            F.expr("user_id div 64").alias("bucket"),
             F.expr("shiftleft(1L, int(user_id % 64))").alias("bit"),
         )
         .groupBy("event_type", "bucket")
@@ -266,7 +266,7 @@ def bloom_bitmap(keys: DataFrame, key_col: str) -> list[int]:
     )
     rows = (
         stacked.select(
-            (F.col("p") / 64).cast("long").alias("bucket"),
+            F.expr("p div 64").alias("bucket"),
             F.expr("shiftleft(1L, int(p % 64))").alias("bit"),
         )
         .groupBy("bucket")

@@ -232,7 +232,7 @@ def win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         ev.select(
             F.expr(f"ts_ns div {_HOUR_NS}").alias("h"),
-            (F.col("user_id") / 64).cast("long").alias("bucket"),
+            F.expr("user_id div 64").alias("bucket"),
             F.expr("shiftleft(1L, int(user_id % 64))").alias("bit"),
         )
         .groupBy("h", "bucket")

@@ -100,10 +100,14 @@ _NOV_N = 8  # 8-gram granularity, matching decontam_ngram_overlap
       SELECT doc_id, string_split(text, ' ') AS words FROM documents
     ),
     g AS (
+      -- gram positions derived from len(words) — no silent cap on doc length
       SELECT DISTINCT doc_id,
-             md5(array_to_string(words[i.k : i.k + {_NOV_N - 1}], ' ')) AS gh
-      FROM w, (SELECT unnest(range(1, 100000)) AS k) i
-      WHERE i.k + {_NOV_N - 1} <= len(words)
+             md5(array_to_string(words[k : k + {_NOV_N - 1}], ' ')) AS gh
+      FROM (
+        SELECT doc_id, words,
+               unnest(range(1, len(words) - {_NOV_N - 1} + 1)) AS k
+        FROM w
+      )
     ),
     first_seen AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
     SELECT g.doc_id,

@@ -190,7 +190,10 @@ def cond_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_binaryfile",
     oracle="""
     SELECT doc_id,
-           CAST(n_chars AS BIGINT) AS n_bytes,
+           -- byte length of the UTF-8 encoding, not the char count: the
+           -- Spark side reports binaryFile's on-disk length, so the
+           -- parity must not assume an ASCII-only fixture
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS etag
     FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id
     """,
@@ -227,7 +230,7 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in sample:  # stage once per app: tiny doc sample as real files
         fp = os.path.join(out, f"doc_{r.doc_id}.txt")
         if not os.path.exists(fp):
-            with open(fp, "w") as fh:
+            with open(fp, "w", encoding="utf-8") as fh:
                 fh.write(r.text)
     back = (
         spark.read.format("binaryFile")

@@ -53,7 +53,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         ev.select(
             F.expr(f"ts_ns div {_DAY_NS}").alias("day"),
-            (F.col("user_id") / 64).cast("long").alias("bucket"),
+            F.expr("user_id div 64").alias("bucket"),
             F.expr("shiftleft(1L, int(user_id % 64))").alias("bit"),
         )
         .groupBy("day", "bucket")

@@ -16,18 +16,25 @@ of only UNcommitted batches):
 4. append matches to the pairs log, append bands to the index
    (partitioned by band_id — probe-side directory pruning).
 
+Replay safety: foreachBatch is at-least-once, and the two appends are
+not atomic — a crash between them replays the whole batch.  Every row
+written therefore carries ``batch_id``, and both readers are
+replay-idempotent: ``read_pairs`` collapses exact duplicate
+(pair, batch_id) rows before summing across batches, and
+``probe_index`` counts DISTINCT band ids so duplicated index rows
+cannot inflate ``n_shared_bands``.
+
 Invariant (unit-tested): the union of emitted pairs over all batches
 equals the one-shot batch dedup's candidate pairs over the full corpus —
 streaming ingestion order changes WHICH batch emits a pair, never the
-pair set.
+pair set, and batch replays never change it either.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from cassandra_syncer_spark.operators.band_index import (
     append_index,
@@ -71,15 +78,25 @@ def run_streaming_dedup(
         # append) — materialize once instead of re-signaturing
         bands = bands.localCheckpoint()
         pairs = _within_batch_pairs(bands)
-        if os.path.exists(index_path):
+        # Existence probe must work for any FS URI (hdfs://, s3://) —
+        # never a driver-local os.path check.
+        try:
+            idx_exists = bool(spark.read.parquet(index_path).schema.fields)
+        except AnalysisException:
+            idx_exists = False
+        if idx_exists:
             cross = probe_index(spark, index_path, bands).select(
                 F.col("new_doc").alias("doc_a"),
                 F.col("existing_doc").alias("doc_b"),
                 "n_shared_bands",
             )
             pairs = pairs.unionByName(cross)
-        pairs.write.mode("append").parquet(pairs_log)
-        append_index(bands, index_path)
+        pairs.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(pairs_log)
+        append_index(
+            bands.withColumn("batch_id", F.lit(batch_id).cast("long")), index_path
+        )
 
     (
         stream_docs.writeStream.foreachBatch(handle)
@@ -92,14 +109,25 @@ def run_streaming_dedup(
 
 def read_pairs(spark: SparkSession, pairs_log: str) -> DataFrame:
     """The accumulated candidate-pair set, direction-normalized (the
-    probe emits (new, existing) which may order either way)."""
+    probe emits (new, existing) which may order either way).
+
+    Replay-idempotent: a replayed batch rewrites byte-identical
+    (pair, batch_id, n_shared_bands) rows, so the inner max over
+    (pair, batch_id) collapses them before the cross-batch sum.  Logs
+    written before the batch_id column existed read as batch_id=null,
+    which the same grouping handles (one group per pair)."""
     raw = spark.read.parquet(pairs_log)
+    if "batch_id" not in raw.columns:
+        raw = raw.withColumn("batch_id", F.lit(None).cast("long"))
     return (
         raw.select(
             F.least("doc_a", "doc_b").alias("doc_a"),
             F.greatest("doc_a", "doc_b").alias("doc_b"),
+            "batch_id",
             "n_shared_bands",
         )
+        .groupBy("doc_a", "doc_b", "batch_id")
+        .agg(F.max("n_shared_bands").alias("n_shared_bands"))
         .groupBy("doc_a", "doc_b")
         .agg(F.sum("n_shared_bands").cast("long").alias("n_shared_bands"))
     )

@@ -157,13 +157,16 @@ def bitmap_cells(df: DataFrame, key_col: str, id_col: str) -> DataFrame:
     the streaming/production mode of ``agg_distinct_bitmap``
     (queries/analytics_r5c.py): bucket = id div 64, one bit per id within
     the bucket, map-side bit_or combine.  Assumes a non-negative integer
-    id space (same contract as the batch query)."""
+    id space (same contract as the batch query): integer ``div`` keeps
+    the bucket exact for ids above 2^53, where float division would
+    round, and negative ids (which would floor-divide into a bucket
+    whose shiftleft is undefined) violate the contract."""
     from pyspark.sql import functions as F
 
     return (
         df.select(
             F.col(key_col).alias("key"),
-            (F.col(id_col) / 64).cast("long").alias("bucket"),
+            F.expr(f"{id_col} div 64").cast("long").alias("bucket"),
             F.expr(f"shiftleft(1L, int({id_col} % 64))").alias("bit"),
         )
         .groupBy("key", "bucket")

@@ -437,3 +437,32 @@ def test_streaming_dedup_pairs_equal_batch_dedup(spark, tmp_path):
     }
     assert want, "fixture produced no candidate pairs — weak test"
     assert got == want
+
+    # at-least-once replay: a crash between the two appends and the
+    # checkpoint commit re-runs the batch, which re-appends byte-identical
+    # (…, batch_id) rows to both logs.  Simulate by re-appending the logs'
+    # own contents verbatim; both readers must be idempotent.
+    from cassandra_syncer_spark.operators.band_index import append_index, probe_index
+
+    dup = spark.read.parquet(str(tmp_path / "dd_pairs")).localCheckpoint()
+    dup.write.mode("append").parquet(str(tmp_path / "dd_pairs"))
+    idx_dup = spark.read.parquet(str(tmp_path / "dd_index")).localCheckpoint()
+    append_index(idx_dup, str(tmp_path / "dd_index"))
+
+    after_replay = {
+        (r.doc_a, r.doc_b): r.n_shared_bands
+        for r in read_pairs(spark, str(tmp_path / "dd_pairs")).collect()
+    }
+    assert after_replay == want, "pair log reader not replay-idempotent"
+
+    # a fresh batch probing the doubled index must still count each shared
+    # band once
+    probe_docs = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    probed = probe_index(
+        spark, str(tmp_path / "dd_index"), build_bands(probe_docs)
+    ).collect()
+    from cassandra_syncer_spark.operators import fingerprint as fp
+
+    assert probed and all(r.n_shared_bands <= fp.BANDS for r in probed), (
+        "duplicated index rows inflated n_shared_bands past the band count"
+    )
