@@ -162,31 +162,15 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_contamination_exact",
-    oracle="""
-    WITH snip AS (
-      SELECT doc_id AS eval_id, substr(text, 1, 80) AS snippet
-      FROM documents WHERE doc_id % 29 = 0
-    )
-    SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_hits
-    FROM documents d JOIN snip s
-      ON contains(d.text, s.snippet) AND d.doc_id <> s.eval_id
-    GROUP BY d.doc_id ORDER BY d.doc_id
-    """,
-)
-def text_contamination_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring decontamination: flag training docs that CONTAIN a
-    verbatim eval-set snippet (the strict companion to
-    ``decontam_ngram_overlap``'s fuzzy n-gram check — benchmark suites
-    mandate both).
-
-    Plan shape: the eval snippets are a tiny broadcast and substring
-    containment has no equi-key, so this is a broadcast nested-loop —
-    the CORRECT shape here (corpus scans once; each row tests |eval|
-    snippets).  At 100 TB with a big eval set, the documented upgrade
-    path is gram-hash prefiltering (decontam_ngram_overlap) before this
-    exact verify — same two-stage pattern as MinHash→Jaccard.
+def text_contamination_exact_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED demo (round 6): exact-substring decontamination as a raw
+    broadcast nested loop — O(corpus × eval) `contains` tests (measured
+    5.8× at 10×, SCALING.md).  The registered production form is
+    ``text_contamination_prefiltered`` (analytics_r5.py): gram-hash EQUI
+    join prefilter, then this same exact `contains` verify on the
+    surviving candidates only.  Kept unregistered as the validation
+    reference the prefiltered form is equivalence-tested against
+    (tests/test_operators.py) — the two must match row for row.
     """
     docs = T(spark, sf_dir, "documents")
     snip = docs.filter(F.col("doc_id") % 29 == 0).select(

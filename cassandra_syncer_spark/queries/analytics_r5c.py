@@ -517,41 +517,15 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sim_knn_graph",
-    oracle="""
-    WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    scored AS (
-      SELECT a.vec_id, b.vec_id AS nbr_id,
-             round(list_inner_product(a.v, b.v), 4) AS cosine,
-             row_number() OVER (
-               PARTITION BY a.vec_id
-               ORDER BY round(list_inner_product(a.v, b.v), 4) DESC, b.vec_id
-             ) AS rk
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
-    )
-    SELECT vec_id, nbr_id, cosine, CAST(rk AS BIGINT) AS rk
-    FROM scored WHERE rk <= 3 ORDER BY vec_id, rk
-    """,
-)
-def sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN GRAPH construction: top-3 cosine neighbors for EVERY vector —
-    the all-vectors counterpart of the probe-based ANN queries, and the
-    substrate for embedding-space clustering, graph-based dedup
-    (`dedup_cluster_components` over similarity edges instead of MinHash
-    edges), and diversity-aware sampling.
-
-    Scale shape: the pair expansion is BLOCKED — a bucket-local self-join
-    on the blocking key, never corpus².  The fixture key is the label
-    column (10 cells; oracle-checkable); at 100 TB the key is the IVF
-    cell from `sim_ivf_kmeans`'s quantizer (same join, trained key), with
-    the standard multi-probe refinement for vectors near cell borders.
-    Per-vector top-k is a rank window inside the block — each task ranks
-    its own vectors' candidate lists, nothing global.  Ordering is on the
-    ROUNDED cosine (both engines round identically) with vec_id
-    tiebreak, so the cut is deterministic cross-engine.
+def sim_knn_graph_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETIRED demo (round 6): k-NN graph blocked on the fixed-cardinality
+    ``label`` column.  Blocking on a key whose cardinality does NOT grow
+    with the corpus makes within-block pairs quadratic in corpus size
+    (measured 11.6× at 10×, SCALING.md) — the registered production form
+    is ``sim_knn_graph_ivf`` (llm_similarity.py), whose IVF quantizer
+    scales cell count with the corpus so block size stays bounded.  Kept
+    unregistered as the small-data validation reference for the IVF
+    variant's within-cell exactness tests.
     """
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id",

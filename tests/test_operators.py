@@ -381,13 +381,16 @@ def test_doc_chunks_reconstruct_documents(spark, sf_dir):
 def test_contamination_prefiltered_equals_exact(spark, sf_dir):
     """text_contamination_prefiltered's contract: the gram prefilter is a
     candidate SUPERSET on this corpus, so after the exact contains verify
-    its output must equal text_contamination_exact's row for row."""
+    its output must equal the retired exact demo row for row."""
+    from cassandra_syncer_spark.queries.analytics_r4 import (
+        text_contamination_exact_demo,
+    )
     from cassandra_syncer_spark.registry import REGISTRY, all_queries
 
     all_queries()
     exact = {
         (r.doc_id, r.n_hits)
-        for r in REGISTRY["text_contamination_exact"].fn(spark, sf_dir).collect()
+        for r in text_contamination_exact_demo(spark, sf_dir).collect()
     }
     pre = {
         (r.doc_id, r.n_hits)

@@ -319,8 +319,15 @@ def test_contamination_prefilter_broadcasts_eval_grams(spark, sf_dir):
     p = plan_of(spark, sf_dir, "text_contamination_prefiltered")
     assert p.count("BroadcastHashJoin") >= 1, p
     assert "BroadcastNestedLoopJoin" not in p, "prefilter degenerated to the exact NL shape"
-    # the exact companion IS the broadcast nested-loop (documented regime)
-    p_exact = plan_of(spark, sf_dir, "text_contamination_exact")
+    # the retired exact demo IS the broadcast nested-loop (documented regime)
+    from cassandra_syncer_spark.queries.analytics_r4 import (
+        text_contamination_exact_demo,
+    )
+
+    p_exact = (
+        text_contamination_exact_demo(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastNestedLoopJoin" in p_exact
 
 
