@@ -63,6 +63,14 @@ HEADLINE = [
     "win_sliding_distinct",
     "embed_pq_quantize",
     "dedup_embed_simhash",
+    # round-6 heavy-tail gate rows: the iterative/chained operators vs their
+    # naive same-session vanilla ports (classic row-explode minhash front
+    # end; float no-checkpoint pagerank; from-scratch reclustering;
+    # unstaged full-DP verify)
+    "sim_knn_graph_ivf",
+    "graph_pagerank",
+    "dedup_incremental_clusters",
+    "dedup_verify_pipeline",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced
@@ -110,11 +118,20 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # non-registry resolvers: ids whose REGISTERED form changed semantics.
+    # agg_approx_distinct's registration became the envelope certification
+    # (exact + sketch + bound check) in round 6; the BASELINE.md row and
+    # the vanilla counterpart are the PURE sketch, so the bench row times
+    # the unregistered production sketch form — like for like.
+    from cassandra_syncer_spark.queries.relational import agg_approx_distinct_sketch
+
+    resolvers = {"agg_approx_distinct": agg_approx_distinct_sketch}
+
     for name in HEADLINE:
-        spec = REGISTRY.get(name)
-        if spec is None:
+        fn = resolvers.get(name) or (REGISTRY[name].fn if name in REGISTRY else None)
+        if fn is None:
             continue
-        df = spec.fn(spark, SF_DIR)
+        df = fn(spark, SF_DIR)
         noop_time(df)  # warm: JIT, shuffle service, file listing
         if name in vanilla:
             # interleave engine/vanilla so host-load noise hits both alike

@@ -8,16 +8,21 @@ Design (the 100 TB shape):
 - decode / resize / frame-sample run as ``mapInPandas`` stages — Arrow
   moves the bytes to Python in columnar batches, the UDF touches only its
   batch, output schema is declared up front;
-- real codecs (PIL/ffmpeg) are NOT in this container: ``decode_image``
-  raises NotImplementedError unless ``fake=True``, which substitutes a
-  deterministic metadata-only decode so the plumbing (schemas, batch
-  shapes, partitioning) is fully testable.  Swapping in a real codec
-  changes only the body of ``_decode_batch``.
+- the REAL decode (``fake=False``, the default) parses image container
+  headers with the stdlib — PNG / JPEG / GIF / BMP all carry their
+  dimensions at fixed offsets, no PIL needed; the media type is sniffed
+  from the magic bytes, never trusted from metadata.  Full pixel decode
+  (PIL/ffmpeg, not in this container) would extend ``_sniff_and_parse``;
+  everything else — schema, Arrow batching, partitioning — is the
+  production dataflow already.  ``fake=True`` substitutes a deterministic
+  md5-derived pseudo-decode so text-derived fixture payloads (not real
+  images) remain oracle-checkable.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -26,6 +31,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DECODED_SCHEMA = "doc_id long, media_type string, n_bytes long, width int, height int, checksum string"
+
+
+def _sniff_and_parse(data: bytes) -> tuple[str, int | None, int | None]:
+    """(media_type, width, height) from container magic + fixed header
+    offsets — stdlib-only real decode of the image-metadata layer.
+
+    PNG: 8-byte signature, then the IHDR chunk: length(4) 'IHDR'(4)
+    width(4) height(4), big-endian.  GIF: 'GIF87a'/'GIF89a' then
+    width(2) height(2) little-endian.  BMP: 'BM', BITMAPINFOHEADER dims
+    at offset 18 as little-endian int32 (height may be negative =
+    top-down rows).  JPEG: walk the FF-marker stream to the first SOF
+    frame header (C0-CF minus C4/C8/CC), which carries
+    precision(1) height(2) width(2) after the segment length.
+    """
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return "image/png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return "image/gif", w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        w, h = struct.unpack("<ii", data[18:26])
+        return "image/bmp", w, abs(h)
+    if data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > len(data):
+                break
+            (seglen,) = struct.unpack(">H", data[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(data):
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return "image/jpeg", w, h
+                break
+            i += 2 + seglen
+        return "image/jpeg", None, None
+    return "application/octet-stream", None, None
 
 
 def attach_fake_payload(docs: DataFrame) -> DataFrame:
@@ -50,22 +99,24 @@ def _fake_dims(data: bytes) -> tuple[int, int]:
 def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
     """Decode stage over (doc_id, payload, media_type) → typed metadata.
 
-    With ``fake=False`` this raises NotImplementedError at executor time —
-    the image/audio libraries are not installed in this environment; the
-    Spark-side contract (schema, Arrow batching) is identical either way.
+    ``fake=False`` (default) is the REAL decode: the media type is
+    sniffed from the payload's magic bytes and width/height parsed from
+    the container header (:func:`_sniff_and_parse`); unrecognized
+    payloads yield null dimensions rather than failing the batch.
+    ``fake=True`` keeps the deterministic md5 pseudo-decode for
+    text-derived fixture payloads.  The Spark-side contract (schema,
+    Arrow batching) is identical either way.
     """
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in this container); "
-                    "pass fake=True for the deterministic test decode"
-                )
             rows = {k: [] for k in ("doc_id", "media_type", "n_bytes", "width", "height", "checksum")}
             for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
                 data = bytes(payload)
-                w, h = _fake_dims(data)
+                if fake:
+                    w, h = _fake_dims(data)
+                else:
+                    mt, w, h = _sniff_and_parse(data)
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
                 rows["n_bytes"].append(len(data))

@@ -224,8 +224,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_union")  # rows-only: sketch estimates can't hash-match
-def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch count-distinct — THE 100 TB distinct-count shape:
     each (lang, source) partition builds an HLL sketch of its word set
     (`hll_sketch_agg`, one pass, fixed memory), and per-language totals
@@ -235,8 +234,10 @@ def agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard sketches can be persisted and merged incrementally without
     touching history.
 
-    Driver check is rows-only by contract (an estimate cannot hash-match
-    an exact oracle); accuracy is gated by
+    UNREGISTERED since round 6 (an estimate cannot hash-match an exact
+    oracle): the driver-checked registration of ``agg_hll_union``
+    (queries/approx_bounds.py) is the envelope form over this same
+    union-of-partials dataflow; accuracy is also unit-gated by
     tests/test_operators.py::test_hll_union_accuracy (≤5% error vs exact
     at sf0.01 — HLL++'s documented envelope at this cardinality).
     """
@@ -545,10 +546,11 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: parallelism is capped by the partition count (5 market
     segments here), so each segment is a single-task sort — measured 2.5×
-    at the 10× replica (SCALING.md).  At 100 TB, per-segment position
-    fractions come from a rank join against approx_percentile cut points
-    (the ``agg_percentile_approx`` sketch path) instead of an exact
-    per-segment sort.
+    at the 10× replica (SCALING.md).  This exact form is the
+    validation-scale reference; the REGISTERED 100 TB path is
+    ``win_cume_dist_approx`` (queries/analytics_r6.py, round 6): position
+    fractions from a per-segment 1024-bin histogram, no row-level sort
+    anywhere, plan-asserted.
     """
     cust = T(spark, sf_dir, "customer")
     centi = F.round(F.col("c_acctbal") * 100.0).cast("long")

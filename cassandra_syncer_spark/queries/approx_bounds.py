@@ -2,10 +2,13 @@
 
 The sketch estimators (HLL++ count-distinct, Greenwald-Khanna
 percentiles, HLL sketch union) can never hash-match a DuckDB oracle —
-each engine's sketch yields different estimates — so their primary
-queries are rows-only by contract.  These companion queries convert each
-family to a HASH-CHECKED driver row anyway, by emitting only values both
-engines can reproduce exactly:
+each engine's sketch yields different estimates.  Since round 6 these
+envelope queries ARE the registered forms of ``agg_approx_distinct``,
+``agg_percentile_approx``, and ``agg_hll_union`` (the former rows-only
+registrations survive as unregistered ``*_sketch`` production functions
+in relational.py / incremental.py / analytics_r3b.py, unit-gated for
+accuracy) — every registered sketch id is hash-checked.  The trick:
+emit only values both engines can reproduce exactly:
 
 - the group key and the EXACT statistic (computable in both engines), and
 - a boolean asserting the Spark sketch satisfies its documented accuracy
@@ -32,7 +35,7 @@ from cassandra_syncer_spark.session import load_table as T
 
 
 @register(
-    "agg_approx_distinct_bounds",
+    "agg_approx_distinct",
     oracle="""
     SELECT event_type,
            count(DISTINCT user_id) AS n_users_exact,
@@ -63,7 +66,7 @@ def agg_approx_distinct_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_percentile_approx_bounds",
+    "agg_percentile_approx",
     oracle="""
     SELECT l_returnflag,
            count(*) AS n_rows,
@@ -100,7 +103,7 @@ def agg_percentile_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_hll_union_bounds",
+    "agg_hll_union",
     oracle="""
     WITH w AS (
       SELECT lang, source, unnest(string_split(text, ' ')) AS word

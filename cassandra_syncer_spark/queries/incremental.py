@@ -75,14 +75,15 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx", oracle=None)  # sketch algorithms differ per engine
-def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_percentile_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB percentile path: ``approx_percentile`` (Greenwald-Khanna
     sketch) — one pass, fixed memory per group, mergeable partials —
     replacing the exact form that must sort every group (the bottleneck
-    SCALING.md flags for ``agg_percentile``).  Spark's GK and DuckDB's
-    t-digest produce different estimates, so the driver records rows-only;
-    the estimate-vs-exact error is unit-tested instead
+    SCALING.md flags for ``agg_percentile``).  UNREGISTERED since round
+    6: Spark's GK and DuckDB's t-digest produce different estimates, so
+    the driver-checked registration of ``agg_percentile_approx``
+    (queries/approx_bounds.py) is the rank-error-envelope form; the
+    estimate-vs-exact error is also unit-gated
     (tests/test_operators.py::test_approx_percentile_tracks_exact)."""
     li = T(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(

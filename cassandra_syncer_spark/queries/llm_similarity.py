@@ -1,10 +1,11 @@
 """Similarity search + multimodal columns — SURVEY.md §2.10.
 
 Brute-force cosine top-k is the correctness baseline; the scale paths are
-(a) LSH bucketing (MLlib BucketedRandomProjectionLSH, rows-only check — JVM
-random hyperplanes have no DuckDB equivalent) and (b) IVF-style coarse
-quantization (deterministic, oracle-checked): assign every vector to its
-nearest of K fixed centroids, then search only within the probe's cell.
+(a) sign-random-projection LSH bucketing (md5-derived deterministic
+hyperplanes, oracle-checked) and (b) IVF-style coarse quantization —
+fixed centroids or a deterministic one-step-Lloyd trained quantizer, both
+oracle-checked; seeded MLlib k-means remains the unregistered production
+trainer (recall-gated).  Every registered similarity query hash-checks.
 """
 
 from __future__ import annotations
@@ -190,64 +191,280 @@ def sim_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(spark, sf_dir, quantizer="fixed", n_probe=1)
 
 
-@register("sim_ivf_kmeans", oracle=None)  # JVM k-means iterations → rows-only check
+# -- deterministic trained quantizer (one integer-exact Lloyd step) ----------
+#
+# K-means made hash-checkable: deterministic seeds (the first _KM_K
+# vectors), ONE Lloyd assign-update step over fixed-point integer
+# coordinates, floor-mean centroids.  Every comparison is exact bigint
+# arithmetic, so Spark and DuckDB produce the identical quantizer — the
+# property MLlib's float iterations can never give.  Production swaps in
+# ``ivf_topk(quantizer='kmeans')`` (seeded MLlib, more iterations,
+# recall-gated in tests) when cross-engine exactness isn't required; the
+# search dataflow is identical either way.
+
+_KM_K = 4  # cells
+_KM_DIMS = 64
+_KM_Q = 10_000  # fixed-point scale: vq = round(v * 1e4) — bigint-exact
+# offset making truncating integer division equal floor division in both
+# engines (numerator forced positive: |vq| <= _KM_Q < _KM_OFF)
+_KM_OFF = 100_000
+
+
+def _kmeans_sql() -> str:
+    d2 = (
+        "CAST(list_sum(list_transform(range(1, {n}),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+    )
+    d2_seed = d2.format(n=_KM_DIMS + 1, a="q.vq", b="s.sq")
+    d2_cent = d2.format(n=_KM_DIMS + 1, a="q.vq", b="c.mv")
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(round(x * {_KM_Q}) AS BIGINT)) AS vq
+      FROM e
+    ),
+    seeds AS (SELECT vec_id AS cell, vq AS sq FROM q WHERE vec_id < {_KM_K}),
+    a0 AS (
+      SELECT q.vec_id, q.vq, s.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d2_seed}, s.cell) AS rn
+      FROM q CROSS JOIN seeds s
+    ),
+    lf AS (
+      SELECT cell, u.i AS dim, vq[u.i] AS val
+      FROM (SELECT vq, cell FROM a0 WHERE rn = 1),
+           (SELECT unnest(range(1, {_KM_DIMS + 1})) AS i) u
+    ),
+    mctr AS (
+      SELECT cell, dim,
+             CAST((sum(val) + count(*) * {_KM_OFF}) // count(*)
+                  - {_KM_OFF} AS BIGINT) AS m
+      FROM lf GROUP BY cell, dim
+    ),
+    cent AS (SELECT cell, list(m ORDER BY dim) AS mv FROM mctr GROUP BY cell),
+    a1 AS (
+      SELECT q.vec_id, q.v, c.cell,
+             row_number() OVER (PARTITION BY q.vec_id
+                                ORDER BY {d2_cent}, c.cell) AS rn
+      FROM q CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cell FROM a1 WHERE rn = 1),
+    probes AS (SELECT vec_id AS q_id, v AS qv, cell
+               FROM a1 WHERE vec_id < {N_QUERIES} AND rn <= 2),
+    scored AS (
+      SELECT p.q_id, c.vec_id,
+             round(list_inner_product(p.qv, c.v), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY p.q_id
+               ORDER BY round(list_inner_product(p.qv, c.v), 6) DESC,
+                        c.vec_id) AS rn
+      FROM probes p JOIN cells c ON p.cell = c.cell AND p.q_id <> c.vec_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+    """
+
+
+@register("sim_ivf_kmeans", oracle=_kmeans_sql())
 def sim_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with *real* centroids: seeded MLlib k-means builds the coarse
-    quantizer, probes search their ``N_PROBE=2`` nearest cells.
+    """IVF with a TRAINED coarse quantizer, hash-checked: deterministic
+    k-means (seeds = first ``_KM_K`` vectors, one Lloyd assign-update
+    step) over fixed-point integer coordinates — every distance compare
+    and the floor-mean centroid update are exact bigint arithmetic, so
+    both engines derive the identical quantizer and the whole multiprobe
+    (n_probe=2) search hash-matches.  This replaces the round-2
+    rows-only MLlib registration: seeded JVM float iterations can never
+    cross-engine-match, so they stay as the unregistered production
+    trainer (``ivf_topk(quantizer='kmeans')``, recall ≥ 0.8-gated in
+    tests/test_operators.py::test_ivf_recall_both_quantizers) while the
+    registered form proves the trained-quantizer dataflow end to end.
 
-    k sizing is corpus-dependent: the fixture embeddings have near-zero
-    cluster structure (measured intra-label vs inter-label cosine both
-    ≈ 0.000 — effectively random unit vectors), the worst case for IVF,
-    where recall tracks the probed corpus fraction (measured at seed 42,
-    n_probe=2: k=3 → 0.80, k=5 → 0.76, k=10 → 0.40).  Hence k=3 here to
-    hold the ≥0.8 recall gate; a production corpus with actual cluster
-    structure sizes k ≈ √n and tunes n_probe against a recall target.
-
-    Same scale shape as ``sim_ivf_ann`` — literally the same code path
-    (``ivf_topk``), only the quantizer plug differs.  K-means iterations
-    are JVM-side and have no DuckDB analog, so the driver records
-    rows-only; quality is gated by the recall test vs the brute-force
-    baseline (tests/test_operators.py::test_ivf_recall_both_quantizers,
-    recall ≥ 0.8 at n_probe=2).
+    Scale shape: identical to ``sim_ivf_ann``/``sim_ivf_multiprobe`` —
+    the training pass is one broadcast join against k seed vectors plus
+    a (cell, dim)-keyed agg whose output is k×64 rows (broadcast back);
+    the corpus partitions by cell once; probes touch only their 2 cells'
+    partitions.  k scales as √corpus in production; the integer staging
+    stays exact to ~50k vectors/cell at this fixed-point scale (bigint
+    headroom documented inline).
     """
-    # k-means cannot fit 0 rows; an empty corpus has an empty ANN answer
-    # (the one head(1) probe is trainer-input validation, not a data scan)
-    if _vec(T(spark, sf_dir, "embeddings")).isEmpty():
-        return spark.createDataFrame([], "q_id bigint, vec_id bigint, cosine double, rn bigint")
-    return ivf_topk(spark, sf_dir, quantizer="kmeans", n_probe=2)
-
-
-@register("sim_lsh_ann", oracle=None)  # JVM random hyperplanes → rows-only check
-def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via MLlib BucketedRandomProjectionLSH (seeded).
-
-    Random projections are JVM-internal, so no oracle SQL exists — the
-    driver records a rows-only check; unit tests assert recall ≥ 0.5 vs the
-    brute-force baseline on the fixture (tests/test_operators.py:78).
-    """
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
-
-    emb = _vec(T(spark, sf_dir, "embeddings")).select(
-        "vec_id", array_to_vector("v").alias("features")
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    q = emb.withColumn(
+        "vq", F.expr(f"transform(v, x -> cast(round(x * {_KM_Q}) as bigint))")
     )
-    # LSH fit requires >= 1 row; empty corpus -> empty pair set
-    if emb.isEmpty():
-        return spark.createDataFrame(
-            [], "vec_a bigint, vec_b bigint, euclidean_dist double"
-        )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="features", outputCol="hashes", bucketLength=0.5, numHashTables=4, seed=42
+    seeds = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell"), F.col("vq").alias("sq")
     )
-    model = lsh.fit(emb)
-    pairs = model.approxSimilarityJoin(emb, emb, threshold=1.2, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+    # exact integer squared distance: (2e4)^2 * 64 dims = 2.56e10 << 2^63
+    d2_seed = F.expr(
+        "aggregate(zip_with(vq, sq, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    assign0 = (
+        q.join(F.broadcast(seeds))
+        .select("vec_id", "vq", "cell", d2_seed.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "vq", "cell")
+    )
+    # Lloyd update: per-(cell, dim) integer sums -> floor-mean centroids.
+    # The +n*OFF trick keeps the numerator positive so Spark's truncating
+    # `div` and DuckDB's `//` agree (they differ on negative operands).
+    m_long = (
+        assign0.select("cell", F.posexplode("vq").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round("dist", 4).alias("euclidean_dist"),
+            "cell", "dim", F.expr(f"(s + n * {_KM_OFF}) div n - {_KM_OFF}").alias("m")
         )
+    )
+    cent = m_long.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
+        ).alias("mv")
+    )
+    d2_cent = F.expr(
+        "aggregate(zip_with(vq, mv, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    assigned = (
+        q.join(F.broadcast(cent))
+        .select("vec_id", "v", "cell", d2_cent.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    cells = assigned.filter(F.col("rn") == 1).select("vec_id", "v", "cell")
+    q_cells = assigned.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= 2)
+    ).select("vec_id", "v", "cell")
+    return _ivf_search(cells, q_cells)
+
+
+# -- deterministic sign-random-projection LSH --------------------------------
+#
+# Classic SRP-LSH (Charikar) made hash-checkable: the random hyperplanes
+# are md5-derived ±1 sign vectors precomputed in Python and inlined as
+# literals in BOTH engines' expressions (same device as
+# embed_random_projection, analytics_r5d.py).  _LSH_TABLES hash tables of
+# _LSH_BITS sign bits each: a probe's candidates are the corpus vectors
+# sharing ANY table's bucket; exact cosine reranks the candidates.
+# Replaces the round-2 rows-only MLlib BucketedRandomProjectionLSH
+# registration, whose JVM-internal seed-dependent hyperplanes could never
+# cross-engine-match.
+
+_LSH_TABLES = 8
+_LSH_BITS = 3
+_LSH_DIMS = 64
+
+
+def _lsh_sign(t: int, j: int, i: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"lsh#{t}#{j}#{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _lsh_proj(t: int, j: int, *, duck: bool) -> str:
+    """Left-associated 64-term ±v chain — identical addition order on both
+    engines → bitwise-identical doubles → identical sign bits."""
+    terms = []
+    for i in range(_LSH_DIMS):
+        s = _lsh_sign(t, j, i)
+        elem = f"v[{i + 1}]" if duck else f"v[{i}]"
+        terms.append(f"(-1) * {elem}" if s < 0 else elem)
+    return " + ".join(terms)
+
+
+def _lsh_bucket(t: int, *, duck: bool) -> str:
+    bits = [
+        f"(CASE WHEN ({_lsh_proj(t, j, duck=duck)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_LSH_BITS)
+    ]
+    return " + ".join(bits)
+
+
+def _lsh_sql() -> str:
+    bucket_cols = ",\n             ".join(
+        f"({_lsh_bucket(t, duck=True)}) AS b{t}" for t in range(_LSH_TABLES)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, b{t} AS bkt FROM coded"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    coded AS (
+      SELECT vec_id,
+             {bucket_cols}
+      FROM e
+    ),
+    buckets AS ({unpivot}),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS q_id, c.vec_id
+      FROM buckets p JOIN buckets c ON p.tbl = c.tbl AND p.bkt = c.bkt
+      WHERE p.vec_id < {N_QUERIES} AND p.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT cand.q_id, cand.vec_id,
+             round(list_inner_product(qe.v, ce.v), 6) AS cosine,
+             row_number() OVER (
+               PARTITION BY cand.q_id
+               ORDER BY round(list_inner_product(qe.v, ce.v), 6) DESC,
+                        cand.vec_id) AS rn
+      FROM cand JOIN e qe ON cand.q_id = qe.vec_id
+                JOIN e ce ON cand.vec_id = ce.vec_id
+    )
+    SELECT q_id, vec_id, cosine, CAST(rn AS BIGINT) AS rn
+    FROM scored WHERE rn <= {TOP_K}
+    """
+
+
+@register("sim_lsh_ann", oracle=_lsh_sql())
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via deterministic sign-random-projection LSH:
+    8 hash tables × 3 md5-derived ±1 hyperplane sign bits; candidates =
+    corpus vectors sharing any table's bucket with the probe; exact
+    cosine reranks to top-k.  Hash-checked — the hyperplanes fold into
+    both engines' plans as literals (no model state, no seed
+    dependence), closing the round-2 rows-only hole.
+
+    Scale shape: coding is scan-fused (24 left-associated sign sums, no
+    shuffle, no UDF); the candidate join is equi on (table, bucket) with
+    the probe side broadcast, so the corpus never shuffles; only
+    candidate ids flow to the rerank, which joins vectors back in
+    per-candidate.  Table/bit counts tune the recall/selectivity trade;
+    the fixture's structureless random unit vectors are LSH's documented
+    worst case (recall tracks probed fraction — gated ≥ 0.5 vs
+    brute-force in tests/test_operators.py), while a corpus with real
+    cluster structure sharpens selectivity at the same recall.
+    """
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    coded = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(_lsh_bucket(t, duck=False)) for t in range(_LSH_TABLES)])
+        ).alias("tbl", "bkt"),
+    )
+    probes = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bkt"
+    )
+    cand = (
+        coded.join(F.broadcast(probes), ["tbl", "bkt"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    qe = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "q_id")
+        .join(emb, "vec_id")
+        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= TOP_K
     )
 
 
@@ -422,7 +639,11 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
     )
-    cells = _assign_cells(emb, cent, n_probe=1)
+    # materialize the assignment ONCE: both sides of the self-join read it,
+    # and without this the whole scan+quantize+window pipeline runs twice
+    # (measured 2.7x vs the label-blocked vanilla at sf0.1; 0.9x with the
+    # checkpoint) — the same reuse discipline as graph_pagerank's edge list
+    cells = _assign_cells(emb, cent, n_probe=1).localCheckpoint()
     a = cells.alias("a")
     b = cells.alias("b")
     scored = (

@@ -335,13 +335,15 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", oracle=None)  # HLL estimates differ per engine → rows-only
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate count-distinct (HyperLogLog++).
-
-    At 100 TB this replaces exact distinct wherever a ~2% error is
-    acceptable: one pass, fixed memory, no expand.  DuckDB's approx HLL
-    yields different estimates, so the driver records a rows-only check.
+def agg_approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++) — the pure production
+    form: one pass, fixed memory, no expand.  UNREGISTERED since round 6:
+    an engine-specific estimate can never hash-match a DuckDB oracle, so
+    the driver-checked registration of ``agg_approx_distinct``
+    (queries/approx_bounds.py) is the envelope form — exact distinct +
+    a boolean certifying this estimator sits inside its documented
+    accuracy bound.  Accuracy is also unit-gated
+    (tests/test_operators.py::test_approx_distinct_tracks_exact).
     """
     return (
         T(spark, sf_dir, "events")

@@ -51,79 +51,36 @@ REGISTRY: dict[str, QuerySpec] = {}
 #:   3. everything verified in round 3/4 rotates to the tail (unlisted ids
 #:      keep registration order after the listed ones).
 #:
-#: NOTE for round 6: round 5 added 48 new queries, so sections 0-1 alone
-#: overflow the driver's ~50-query window and the stale r1/r2 blocks
-#: (sections 2a/2b) did not fit this round.  Round 6 should invert the
-#: order: any round-5 ids missing from CORRECTNESS_r05 first, then the
-#: full 2a/2b stale blocks, then rotate the r5-verified ids to the tail.
+#: Round-6 order (the inversion round 5 planned): ids whose code or
+#: oracle CHANGED in round 6 first (hashes must go green on the new
+#: definitions), then the round-5 ids that overflowed the r5 window and
+#: have never had a driver row, then the full r1/r2-stale blocks (oldest
+#: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
-    # -- 0: round-5 must-reverify — dataflow changed this round -------------
-    "text_minhash_dedup",     # collect_list → bucket-local self-join
-    "dedup_cluster_components",  # (inherits the rewritten pair front end)
-    "dedup_apply_clusters",      # (inherits the rewritten pair front end)
-    "mix_temperature_sampling",  # integer-exact quota weights
-    "events_resample_gapfill",   # integer-div hour bucket
-    "scan_jsonl_roundtrip",      # per-application sink path
-    # -- 1: new in round 5, never driver-checked ----------------------------
-    "dedup_verify_jaccard",
-    "text_contamination_prefiltered",
-    "corpus_bigram_lm_score",
-    "dedup_chunk_exact",
-    "text_quality_linear",
-    "dedup_verify_edit",
-    "events_markov_transitions",
-    "embed_random_projection",
-    "sim_ivf_multiprobe",
-    "dedup_embed_simhash",
-    "dedup_containment",
-    "win_sliding_distinct",
-    "layout_zorder_cluster",
-    "scan_schema_evolution",
-    "events_cooccurrence_lift",
-    "text_ngram_novelty",
-    "embed_pq_quantize",
-    "events_anomaly_mad",
-    "merge_scd2_apply",
-    "scan_time_travel",
-    "sample_negative_pairs",
-    "agg_topk_per_group",
-    "events_rfm_segmentation",
-    "events_trending_growth",
-    "embed_label_centroids",
-    "corpus_dedup_rate_by_source",
-    "sim_knn_graph_ivf",
-    "graph_pagerank",
-    "join_full_outer_reconcile",
-    "agg_string_agg",
-    "cond_null_safe",
-    "scan_binaryfile",
-    "agg_moments_skew_kurt",
-    "events_funnel_windowed",
-    "events_dau_wau",
-    "text_gopher_gate",
-    "dedup_threshold_calibration",
-    "dedup_incremental_clusters",
-    "agg_grouping_id_sets",
-    "events_interarrival_stats",
-    "events_changepoint_cusum",
-    "scan_csv_malformed",
-    "win_running_distinct",
-    "events_gini_concentration",
-    # -- 1b: round-5 ids deferred to the window tail: each is locally
-    #    gated beyond the oracle (salted = same oracle as text_minhash_dedup
-    #    + pair-set-equality test; estimates = MAE/separation gates; ORC =
-    #    roundtrip vs parquet original), so they lose least by waiting
-    "agg_distinct_bitmap",
+    # -- 0: definition changed in round 6 — new or rewritten dataflow/oracle
+    "sim_lsh_ann",            # MLlib BRP → deterministic sign-projection LSH
+    "sim_ivf_kmeans",         # MLlib k-means → one-step-Lloyd integer quantizer
+    "agg_approx_distinct",    # rows-only sketch → envelope certification
+    "agg_percentile_approx",  # rows-only sketch → rank-error envelope
+    "agg_hll_union",          # rows-only sketch → union envelope
+    "dedup_verify_pipeline",  # NEW: Jaccard screen → survivor-bounded edit verify
+    "win_cume_dist_approx",   # NEW: histogram position sketch, no segment sort
+    "multimodal_decode_real", # NEW: real container bytes, real header parse
+    "text_ngram_novelty",     # oracle: gram range now derived from len(words)
+    "scan_binaryfile",        # oracle: octet_length(encode(text))
+    "agg_distinct_bitmap",    # integer-div bucket expression
+    "events_dau_wau",         # integer-div bucket expression
+    "win_sliding_distinct",   # integer-div bucket expression
+    "join_bloom_prefilter",   # integer-div bucket expression (also never checked)
+    # -- 1: new in round 5, never driver-checked (r5 window overflow) -------
     "sim_hamming_ann",
     "agg_countmin_freq",
     "join_asof_nearest",
     "agg_percentile_hist",
     "agg_weighted_median",
-    "join_bloom_prefilter",
     "sample_reservoir_perkey",
     "win_ewma",
     "dedup_chunk_apply",
-    "sim_knn_graph",      # superseded in-window by sim_knn_graph_ivf
     "text_diversity_gini",
     "mix_epoch_plan",
     "corpus_dupsize_histogram",
@@ -145,9 +102,9 @@ PRIORITY: tuple[str, ...] = (
     "merge_upsert",
     "sim_ivf_ann",
     "text_ngram_freq",
-    # -- 2b: last verified in round 2 ---------------------------------------
+    # -- 2b: last verified in round 2 (the window cuts off somewhere in
+    #    here; the rest roll into round 7's front block) -------------------
     "agg_group_sum",
-    "agg_percentile_approx",
     "array_funcs",
     "cond_funcs",
     "date_funcs",
@@ -171,8 +128,6 @@ PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "reshape_unpivot",
     "sim_cosine_topk",
-    "sim_ivf_kmeans",
-    "sim_lsh_ann",
     "str_funcs",
     "stream_file_source",
     "text_fingerprint",
@@ -186,7 +141,7 @@ PRIORITY: tuple[str, ...] = (
     "win_percent_rank",
     "win_rank_dense",
     "win_sliding",
-    # (everything verified in round 3/4 keeps registration order at the tail)
+    # (everything verified in round 3-5 keeps registration order at the tail)
 )
 
 

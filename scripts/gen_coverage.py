@@ -11,38 +11,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 #: why each rows-only query CANNOT have a cross-engine hash oracle, and
-#: where its correctness is gated instead
-ROWS_ONLY_RATIONALE = {
-    "agg_approx_distinct": (
-        "HLL++ estimates are engine-specific (DuckDB's HLL yields different "
-        "values), so no cross-engine hash can exist.  Accuracy vs exact is "
-        "gated by tests/test_operators.py::test_approx_distinct_tracks_exact; "
-        "the estimator's envelope is ALSO hash-checked by the companion "
-        "`agg_approx_distinct_bounds` oracle row."
-    ),
-    "agg_percentile_approx": (
-        "Greenwald-Khanna sketch values differ from DuckDB's t-digest — no "
-        "cross-engine hash.  Gated by tests/test_operators.py::"
-        "test_approx_percentile_tracks_exact; rank-error envelope hash-checked "
-        "by `agg_percentile_approx_bounds`."
-    ),
-    "agg_hll_union": (
-        "Unioned HLL sketch estimates are engine-specific — no cross-engine "
-        "hash.  Gated by tests/test_operators.py::test_hll_union_accuracy "
-        "(≤5% vs exact); union envelope hash-checked by `agg_hll_union_bounds`."
-    ),
-    "sim_ivf_kmeans": (
-        "k-means training is iterative and seed-dependent — not expressible "
-        "in ANSI SQL.  Recall ≥0.8 vs brute-force cosine is gated by "
-        "tests/test_operators.py::test_ivf_recall_both_quantizers."
-    ),
-    "sim_lsh_ann": (
-        "MLlib BucketedRandomProjectionLSH hash tables are seed-dependent "
-        "model state — not expressible in ANSI SQL.  Recall ≥0.5 vs "
-        "brute-force is gated by tests/test_operators.py::"
-        "test_lsh_ann_recall_vs_bruteforce."
-    ),
-}
+#: where its correctness is gated instead.  EMPTY since round 6: the last
+#: five rows-only ids were converted to hash-checked forms (envelope
+#: oracles for the three sketch aggs; deterministic sign-projection LSH;
+#: deterministic one-step-Lloyd IVF quantizer).
+ROWS_ONLY_RATIONALE: dict[str, str] = {}
 
 
 def main() -> None:
@@ -69,14 +42,21 @@ def main() -> None:
         lines.append(f"| `{name}` | {mod} | {check} |")
     lines += ["", f"Total: {len(REGISTRY)} queries ({n_oracle} oracle-checked)."]
     rows_only = [n for n in sorted(REGISTRY) if not REGISTRY[n].oracle]
-    lines += [
-        "",
-        "## Rows-only queries — why no oracle can exist, and what gates them",
-        "",
-    ]
-    for name in rows_only:
-        why = ROWS_ONLY_RATIONALE.get(name, "TODO: document rationale")
-        lines.append(f"- **`{name}`** — {why}")
+    if rows_only:
+        lines += [
+            "",
+            "## Rows-only queries — why no oracle can exist, and what gates them",
+            "",
+        ]
+        for name in rows_only:
+            why = ROWS_ONLY_RATIONALE.get(name, "TODO: document rationale")
+            lines.append(f"- **`{name}`** — {why}")
+    else:
+        lines += [
+            "",
+            "Every registered query is oracle-checked — no rows-only ids "
+            "remain (the last five converted in round 6).",
+        ]
     with open("COVERAGE.md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print(f"COVERAGE.md: {len(REGISTRY)} queries, {n_oracle} oracle-checked")

@@ -32,6 +32,11 @@ ENGINE_EQUIV = {
     "agg_distinct_bitmap": "bitmap_distinct_vanilla",
     "sim_hamming_ann": "hamming_ann_vanilla",
     "win_sliding_distinct": "sliding_distinct_vanilla",
+    # round-6 heavy tail
+    "sim_knn_graph_ivf": "knn_graph_vanilla",
+    "graph_pagerank": "pagerank_vanilla",
+    "dedup_incremental_clusters": "clusters_vanilla",
+    "dedup_verify_pipeline": "verify_pipeline_vanilla",
 }
 
 
@@ -379,6 +384,193 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("hour")
         )
 
+    # -- naive MinHash candidate pairs: the classic row-explode dataflow --
+    # Same hash/permutation formulas as the engine (so the pair SET is
+    # identical), but the textbook formulation: explode shingles to rows,
+    # hash each row, 8 groupBy-min aggs for the signature, band keys from
+    # the assembled signature — paying a full (doc, shingle) shuffle the
+    # engine's scan-fused array kernel never does.
+    _P = 4294967291
+    _A = [3, 5, 7, 11, 13, 17, 19, 23]
+    _B = [101, 211, 307, 401, 503, 601, 701, 809]
+
+    def _naive_minhash_pairs():
+        sh = t["documents"].select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),"
+                    " i -> concat_ws(' ', split(text, ' ')[i-1],"
+                    " split(text, ' ')[i], split(text, ' ')[i+1]))"
+                )
+            ).alias("s"),
+        )
+        hashed = sh.select(
+            "doc_id",
+            F.expr("cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint)").alias("h"),
+        )
+        sig = hashed.groupBy("doc_id").agg(
+            *[
+                F.min(F.expr(f"({a} * h + {b}) % {_P}")).alias(f"mh{p}")
+                for p, (a, b) in enumerate(zip(_A, _B))
+            ]
+        )
+        bands = sig.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.expr(
+                            f"md5(concat(cast(mh{2 * b} as string), '_',"
+                            f" cast(mh{2 * b + 1} as string)))"
+                        )
+                        for b in range(4)
+                    ]
+                )
+            ).alias("band_id", "band_key"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("doc_a", "doc_b")
+        )
+
+    def knn_graph_vanilla():
+        # the natural first blocked attempt at a k-NN graph: block on the
+        # existing label column (fixed cardinality — the quadratic-at-scale
+        # hazard the engine's corpus-scaled IVF quantizer removes)
+        e = t["embeddings"].select(
+            "vec_id", "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        a, b = e.alias("a"), e.alias("b")
+        dot = F.aggregate(
+            F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        ).select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            F.round(dot, 4).alias("cosine"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
+        return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+    def pagerank_vanilla():
+        # straightforward port: float scores, no edge materialization —
+        # the 5-iteration lineage re-derives the pair join each round and
+        # float addition order makes the result engine-run-dependent in
+        # the low bits (the engine's integer-micro-unit loop is exact)
+        pairs = _naive_minhash_pairs()
+        sym = (
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .unionByName(
+                pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+            )
+            .distinct()
+        )
+        deg = sym.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+        scores = deg.select("node", F.lit(1.0).alias("score"))
+        for _ in range(5):
+            contrib = scores.join(deg, "node").select(
+                F.col("node").alias("a"), (F.col("score") / F.col("deg")).alias("c")
+            )
+            scores = (
+                sym.join(contrib, "a")
+                .groupBy(F.col("b").alias("node"))
+                .agg((F.lit(0.15) + 0.85 * F.sum("c")).alias("score"))
+            )
+        return scores.orderBy("node")
+
+    def clusters_vanilla():
+        # the non-incremental formulation dedup_incremental_clusters
+        # replaces: re-cluster the FULL corpus from scratch via iterative
+        # min-label propagation (fixed 8 rounds covers the fixture's
+        # component diameters)
+        pairs = _naive_minhash_pairs()
+        sym = (
+            pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+            .unionByName(
+                pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+            "component", F.col("id")
+        )
+        for _ in range(8):
+            nbr_min = (
+                sym.join(labels, sym.b == labels.id)
+                .groupBy(F.col("a").alias("id2"))
+                .agg(F.min("component").alias("nbr_c"))
+            )
+            labels = (
+                labels.join(nbr_min, labels.id == F.col("id2"), "left")
+                .select(
+                    "id",
+                    F.least(
+                        "component", F.coalesce("nbr_c", F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+        return labels.orderBy("id")
+
+    def verify_pipeline_vanilla():
+        # the unstaged ordering dedup_verify_pipeline exists to replace:
+        # FULL-width edit DP on every band candidate (no Jaccard screen
+        # first, no equality short-circuit, no threshold band), then the
+        # Jaccard filter afterwards.  Conjunctive filters → identical
+        # final rows, very different cost profile on dup-heavy corpora.
+        pairs = _naive_minhash_pairs()
+        pre = t["documents"].select(
+            "doc_id", F.substring("text", 1, 400).alias("pre")
+        )
+        pa, pb = pre.alias("pa"), pre.alias("pb")
+        edited = (
+            pairs.join(pa, pairs.doc_a == F.col("pa.doc_id"))
+            .join(pb, pairs.doc_b == F.col("pb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.levenshtein("pa.pre", "pb.pre").cast("long").alias("edit_dist"),
+                F.greatest(F.length("pa.pre"), F.length("pb.pre")).alias("mx"),
+            )
+            .filter(F.col("edit_dist") <= 100)
+        )
+        docs = t["documents"].select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("uw")
+        )
+        da, db = docs.alias("da"), docs.alias("db")
+        inter = F.size(F.array_intersect(F.col("da.uw"), F.col("db.uw")))
+        union = F.size(F.array_union(F.col("da.uw"), F.col("db.uw")))
+        return (
+            edited.join(da, edited.doc_a == F.col("da.doc_id"))
+            .join(db, edited.doc_b == F.col("db.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(inter.cast("double") / union, 4).alias("jaccard"),
+                "edit_dist",
+                F.expr("(1000000 * (mx - edit_dist)) div mx").alias("edit_sim_micro"),
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .orderBy("doc_a", "doc_b")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -396,4 +588,8 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "bitmap_distinct_vanilla": bitmap_distinct_vanilla(),
         "hamming_ann_vanilla": hamming_ann_vanilla(),
         "sliding_distinct_vanilla": sliding_distinct_vanilla(),
+        "knn_graph_vanilla": knn_graph_vanilla(),
+        "pagerank_vanilla": pagerank_vanilla(),
+        "clusters_vanilla": clusters_vanilla(),
+        "verify_pipeline_vanilla": verify_pipeline_vanilla(),
     }

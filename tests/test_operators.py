@@ -97,7 +97,7 @@ def test_nearest_join_exact_ts_wins_with_zero_distance(spark):
     assert (row.matched_event_id, row.matched_ts) == (2, 10)
 
 
-def test_multimodal_decode_fake_and_stub(spark, sf_dir):
+def test_multimodal_decode_fake_and_real(spark, sf_dir):
     from cassandra_syncer_spark.session import load_table
 
     docs = load_table(spark, sf_dir, "documents").limit(20)
@@ -107,9 +107,13 @@ def test_multimodal_decode_fake_and_stub(spark, sf_dir):
     for r in decoded:
         assert 16 <= r.width < 256 and 16 <= r.height < 256
         assert len(r.checksum) == 32 and r.n_bytes > 0
-    # the non-fake path is an explicit stub per the environment contract
-    with pytest.raises(Exception, match="NotImplementedError|media decode"):
-        decode_media(with_payload, fake=False).collect()
+    # the real path sniffs magic bytes: text payloads are not images, so
+    # they classify as opaque bytes with null dims — no error, no stub
+    real = decode_media(with_payload, fake=False).collect()
+    assert len(real) == 20
+    for r in real:
+        assert r.media_type == "application/octet-stream"
+        assert r.width is None and r.height is None
 
 
 def test_frame_sample_shape(spark, sf_dir):
@@ -125,17 +129,17 @@ def test_frame_sample_shape(spark, sf_dir):
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
-    """MLlib LSH (rows-only in t2) must find a decent fraction of the true
-    top-5 neighbors on the fixture corpus."""
+    """Deterministic sign-projection LSH must find a decent fraction of
+    the true top-5 neighbors on the fixture corpus (structureless random
+    unit vectors — LSH's documented worst case)."""
     from cassandra_syncer_spark.queries.llm_similarity import sim_cosine_topk, sim_lsh_ann
 
     truth = {
         (r.q_id, r.vec_id) for r in sim_cosine_topk(spark, sf_dir).collect()
     }
-    lsh_pairs = set()
-    for r in sim_lsh_ann(spark, sf_dir).collect():
-        lsh_pairs.add((r.vec_a, r.vec_b))
-        lsh_pairs.add((r.vec_b, r.vec_a))
+    lsh_pairs = {
+        (r.q_id, r.vec_id) for r in sim_lsh_ann(spark, sf_dir).collect()
+    }
     recall = len(truth & lsh_pairs) / len(truth)
     assert recall >= 0.5, f"LSH recall too low: {recall:.2f}"
 
@@ -206,10 +210,16 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     """The approx percentile (rows-only in t2) must sit within 2% relative
     error of the exact percentile per group — the accuracy contract that
     justifies swapping it in at scale."""
-    from cassandra_syncer_spark.queries.incremental import agg_percentile, agg_percentile_approx
+    from cassandra_syncer_spark.queries.incremental import (
+        agg_percentile,
+        agg_percentile_approx_sketch,
+    )
 
     exact = {r.l_returnflag: (r.p50, r.p95) for r in agg_percentile(spark, sf_dir).collect()}
-    approx = {r.l_returnflag: (r.p50, r.p95) for r in agg_percentile_approx(spark, sf_dir).collect()}
+    approx = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in agg_percentile_approx_sketch(spark, sf_dir).collect()
+    }
     assert exact.keys() == approx.keys()
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
@@ -222,10 +232,16 @@ def test_approx_distinct_tracks_exact(spark, sf_dir):
     contract that justifies swapping it in at scale.  Also pins the row
     count to the event-type cardinality so the driver's rows-only check
     has a documented expectation."""
-    from cassandra_syncer_spark.queries.relational import agg_approx_distinct, agg_count_distinct
+    from cassandra_syncer_spark.queries.relational import (
+        agg_approx_distinct_sketch,
+        agg_count_distinct,
+    )
 
     exact = {r.event_type: r.n_users for r in agg_count_distinct(spark, sf_dir).collect()}
-    approx = {r.event_type: r.approx_users for r in agg_approx_distinct(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r.approx_users
+        for r in agg_approx_distinct_sketch(spark, sf_dir).collect()
+    }
     assert exact.keys() == approx.keys()
     assert len(approx) == 5  # one row per event_type at every sf
     for k in exact:
@@ -239,10 +255,10 @@ def test_hll_union_accuracy(spark, sf_dir):
     distinct word counts within 5% of exact — the accuracy contract that
     makes the mergeable-partials path (agg_hll_union, rows-only in t2)
     substitutable for exact countDistinct at scale."""
-    from cassandra_syncer_spark.queries.analytics_r3b import agg_hll_union
+    from cassandra_syncer_spark.queries.analytics_r3b import agg_hll_union_sketch
     from cassandra_syncer_spark.queries.relational import T
 
-    est = {r.lang: r.est_words for r in agg_hll_union(spark, sf_dir).collect()}
+    est = {r.lang: r.est_words for r in agg_hll_union_sketch(spark, sf_dir).collect()}
     words = T(spark, sf_dir, "documents").select(
         "lang", F.explode(F.split("text", " ")).alias("word")
     )
@@ -829,3 +845,65 @@ def test_scd2_apply_interval_invariants(spark, sf_dir):
             assert closed.segment != current[0].segment, key
         else:
             assert len(rs) == 1 and rs[0].valid_from == 0, key
+
+
+def test_real_media_decode_parses_actual_containers(spark):
+    """decode_media(fake=False) must sniff the magic bytes and parse the
+    true dimensions out of real PNG / JPEG / GIF / BMP containers — and
+    yield null dims (not an error) for unrecognized payloads."""
+    import struct
+
+    from cassandra_syncer_spark.operators.multimodal import decode_media
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4
+    )
+    jpg = (
+        b"\xff\xd8"                       # SOI
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0 skipped
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 1080, 1920)  # height, width
+        + b"\x03" + b"\x00" * 9 + b"\xff\xd9"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 256, -128)  # top-down
+    junk = b"not an image at all"
+    rows = [(1, png, "x"), (2, jpg, "x"), (3, gif, "x"), (4, bmp, "x"), (5, junk, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, media_type string")
+    got = {r.doc_id: r for r in decode_media(df, fake=False).collect()}
+    assert (got[1].media_type, got[1].width, got[1].height) == ("image/png", 640, 480)
+    assert (got[2].media_type, got[2].width, got[2].height) == ("image/jpeg", 1920, 1080)
+    assert (got[3].media_type, got[3].width, got[3].height) == ("image/gif", 320, 200)
+    assert (got[4].media_type, got[4].width, got[4].height) == ("image/bmp", 256, 128)
+    assert got[5].media_type == "application/octet-stream"
+    assert got[5].width is None and got[5].height is None
+    assert got[1].n_bytes == len(png)
+
+
+def test_cume_dist_approx_tracks_exact(spark, sf_dir):
+    """The histogram position estimate must bound the exact cume_dist
+    from above with error at most the occupancy share of the row's own
+    bin (the sketch's documented envelope)."""
+    from cassandra_syncer_spark.queries.analytics_r3b import win_cume_dist
+    from cassandra_syncer_spark.queries.analytics_r6 import win_cume_dist_approx
+
+    exact = {
+        r.c_custkey: (r.c_mktsegment, r.cd)
+        for r in win_cume_dist(spark, sf_dir).collect()
+    }
+    est_rows = win_cume_dist_approx(spark, sf_dir).collect()
+    # per-segment row counts for the bin-share bound
+    seg_n: dict[str, int] = {}
+    for seg, _ in exact.values():
+        seg_n[seg] = seg_n.get(seg, 0) + 1
+    assert est_rows and len(est_rows) == len(exact)
+    for r in est_rows:
+        seg, cd_exact = exact[r.c_custkey]
+        est = r.cd_est_micro / 1_000_000
+        # est floors to micro-units and the exact cd rounds to 6 dp, so
+        # allow 2 micro-units of slack on the lower bound
+        assert est >= cd_exact - 2e-6, (r.c_custkey, est, cd_exact)
+        # max one-bin overshoot: at 1024 bins over n rows a bin rarely
+        # holds more than ~1% of the segment; allow a generous 5%
+        assert est - cd_exact <= 0.05, (r.c_custkey, est, cd_exact)

@@ -574,3 +574,21 @@ def test_interarrival_single_window_shuffle(spark, sf_dir):
     window; the percentile agg adds only the tiny-key exchange."""
     p = plan_of(spark, sf_dir, "events_interarrival_stats")
     assert p.count("hashpartitioning(user_id") == 1, p
+
+
+def test_cume_dist_approx_windows_bins_not_rows(spark, sf_dir):
+    """win_cume_dist_approx: the only Window must run over the binned
+    HISTOGRAM aggregate (<=1024 counters per segment), never the row
+    stream — the exact form's single-task per-segment sort is the scale
+    hazard this query exists to remove.  Row-level dataflow reaches the
+    output via broadcast joins only."""
+    p = plan_of(spark, sf_dir, "win_cume_dist_approx")
+    lines = p.splitlines()
+    widx = [i for i, l in enumerate(lines) if "Window [" in l]
+    assert len(widx) == 1, p
+    below = "\n".join(lines[widx[0] : widx[0] + 4])
+    assert "HashAggregate" in below, (
+        "Window input is not the histogram aggregate:\n" + below
+    )
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
