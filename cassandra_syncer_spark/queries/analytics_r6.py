@@ -65,7 +65,9 @@ def _pipeline_sql() -> str:
 
 
 @register("dedup_verify_pipeline", oracle=_pipeline_sql())
-def dedup_verify_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_verify_pipeline(
+    spark: SparkSession, sf_dir: str, jacc_min: float = _JACC_MIN
+) -> DataFrame:
     """The PRODUCTION near-dup verify chain, registered end to end:
     MinHash band candidates → exact word-set Jaccard screen (≥ 0.5) →
     edit-distance verify on the JACCARD SURVIVORS ONLY.  Round 5 asserted
@@ -80,11 +82,19 @@ def dedup_verify_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     + an array intersect per candidate (cheap set algebra, no DP); only
     pairs passing the 0.5 cut reach the edit stage, which keeps the
     double screen from ``dedup_verify_edit`` (exact-equality
-    short-circuit, then banded ``levenshtein(a, b, k)``).  On a
-    dup-heavy corpus the Jaccard screen passes true dups (equal prefixes
-    → O(n) short-circuit) and kills the near-miss band that would
-    otherwise pay the DP — the measured SCALING.md companion row holds
-    the chained form ≤2× at 10× pair volume.
+    short-circuit, then banded ``levenshtein(a, b, k)``).
+
+    Survivor-boundedness is MEASURED, not asserted (SCALING.md round-6
+    threshold sweep on the controlled 10× replica, 20,116 candidates
+    fixed): total time 1.8 s when the screen passes nothing → 12.4 s
+    when it passes 17,786 — the DP term tracks the survivor count
+    linearly while the candidate front end stays constant.  Corollary,
+    stated honestly: on a corpus whose band candidates are almost all
+    GENUINE near-dups (the controlled replica passes 88% — by
+    construction), no screen ordering can dodge the inherent per-pair DP;
+    the chain's win is on real crawls where banding false positives and
+    sub-threshold pairs dominate, and those die in set algebra before
+    touching the DP.
     """
     from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
 
@@ -103,7 +113,7 @@ def dedup_verify_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= _JACC_MIN)
+        .filter(F.col("jaccard") >= jacc_min)
     )
     pre = T(spark, sf_dir, "documents").select(
         "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("pre")

@@ -582,18 +582,31 @@ def sim_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_IVF_SQL = """
+# sign-code prefix cells: the O(N) coarse quantizer for all-vectors work.
+# cell = top-b sign bits of the 63-bit code, b sized so the EXPECTED cell
+# holds ~250 vectors: m = ceil(N/250) clamped to >= 8, b = ceil(log2(m))
+# computed in exact integer arithmetic as length(bin(m - 1)).
+_KNN_CODE_SPARK = (
+    "aggregate(sequence(0, 62), 0L,"
+    " (acc, i) -> acc + IF(element_at(v, i + 1) > 0D, shiftleft(1L, i), 0L))"
+)
+_KNN_CODE_DUCK = (
+    "CAST(list_sum(list_transform(range(0, 63),"
+    " i -> CASE WHEN v[i + 1] > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END))"
+    " AS BIGINT)"
+)
+
+_KNN_IVF_SQL = f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-    n AS (SELECT greatest(8, count(*) // 250) AS k FROM e),
-    cent AS (SELECT vec_id AS cell, v AS cv FROM e, n WHERE vec_id < n.k),
-    assign AS (
-      SELECT e.vec_id, e.v, c.cell,
-             row_number() OVER (
-               PARTITION BY e.vec_id
-               ORDER BY round(list_inner_product(e.v, c.cv), 6) DESC, c.cell) AS rn
-      FROM e CROSS JOIN cent c
+    n AS (
+      SELECT CAST(length(bin(greatest((count(*) + 249) // 250, 8) - 1))
+             AS BIGINT) AS b
+      FROM e
     ),
-    cells AS (SELECT vec_id, v, cell FROM assign WHERE rn = 1),
+    cells AS (
+      SELECT vec_id, v, ({_KNN_CODE_DUCK}) >> (63 - n.b) AS cell
+      FROM e, n
+    ),
     scored AS (
       SELECT a.vec_id, b.vec_id AS nbr_id,
              round(list_inner_product(a.v, b.v), 4) AS cosine,
@@ -609,41 +622,55 @@ _KNN_IVF_SQL = """
 
 @register("sim_knn_graph_ivf", oracle=_KNN_IVF_SQL)
 def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN graph on the PRODUCTION blocking key: every vector is
-    assigned to its nearest IVF cell and finds its top-3 neighbors
-    cell-locally — the scale answer to ``sim_knn_graph``'s fixed-
-    cardinality label key (SCALING.md measured that demo key at 11.6×:
-    10× vectors in 10 fixed blocks = 100× within-block pairs).
+    """k-NN graph on a PRODUCTION blocking key: every vector lands in a
+    sign-code-prefix cell and finds its top-3 neighbors cell-locally —
+    the scale answer to the retired label-blocked demo (SCALING.md
+    measured that fixed-cardinality key at 11.6×: 10× vectors in 10
+    fixed blocks = 100× within-block pairs).
 
-    The lever is that the quantizer GROWS with the corpus:
-    k = max(8, N/250) centroids (the first k corpus vectors — the
-    deterministic stand-in for the trained k-means codebook, same
-    convention as ``sim_ivf_ann``), so cell size stays ~250 and
-    per-vector neighbor work is bounded at any corpus size — pairs grow
-    linearly with N, not quadratically with block size.  The cell count
-    is derived from a 1-row count broadcast (a metadata scalar, the q22
-    pattern), keeping the whole dataflow engine-reproducible and
-    hash-checked.
+    Two levers make the whole job LINEAR in corpus size:
+    - the cell COUNT grows with the corpus: b = ceil(log2(ceil(N/250)))
+      prefix bits (exact integer arithmetic off a 1-row count broadcast,
+      the q22 scalar pattern) keeps the expected cell at ~250 vectors,
+      so within-cell pairs grow ∝ N;
+    - the ASSIGNMENT is O(N): the cell is the top-b bits of the 63-bit
+      coordinate-sign code (scan-fused expression, the same kernel as
+      ``dedup_embed_simhash``/``sim_hamming_ann``) — no centroid join.
+      The earlier centroid form assigned via N×k dot products with
+      k = N/250, a hidden N²/250 term that measured 3.9× at the 10×
+      replica (assignment grew 100×); code-prefix cells removed it.
+      Centroid IVF remains the right tool for the PROBE queries
+      (``sim_ivf_ann``/``sim_ivf_kmeans``), where k is fixed and
+      assignment is N×k with small constant k.
 
-    Scale shape: one centroid broadcast + assignment scan, one shuffle
-    on cell id, bucket-local self-join + per-vector rank window.  At
-    recall-critical boundaries, union a second pass with n_probe=2
-    assignment (``sim_ivf_multiprobe``'s lever) — same dataflow.
+    Recall: sign-prefix cells are b-bit SRP-LSH buckets — two vectors
+    within angle θ share all b bits with prob (1 − θ/π)^b; the standard
+    recall lever is multi-probe over Hamming-1 neighbor cells (flip one
+    prefix bit — same union dataflow as ``sim_ivf_multiprobe``).
+
+    Scale shape: one scan computes codes, one shuffle on cell id
+    (materialized once — both sides of the self-join read the same
+    localCheckpoint, the ``graph_pagerank`` edge-list discipline), then
+    the bucket-local self-join + per-vector rank window; skewed cells
+    fall under the measured salting cap rule (operators/skew.py).
     """
     emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
-    k = emb.agg(
-        F.greatest(F.lit(8), F.expr("count(*) div 250")).cast("long").alias("k")
+    bbits = emb.agg(
+        F.expr(
+            "cast(length(bin(greatest((count(*) + 249) div 250, 8) - 1)) as bigint)"
+        ).alias("b")
     )
-    cent = (
-        emb.crossJoin(F.broadcast(k))
-        .filter(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    cells = (
+        emb.crossJoin(F.broadcast(bbits))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(f"shiftright({_KNN_CODE_SPARK}, cast(63 - b as int))").alias(
+                "cell"
+            ),
+        )
+        .localCheckpoint()
     )
-    # materialize the assignment ONCE: both sides of the self-join read it,
-    # and without this the whole scan+quantize+window pipeline runs twice
-    # (measured 2.7x vs the label-blocked vanilla at sf0.1; 0.9x with the
-    # checkpoint) — the same reuse discipline as graph_pagerank's edge list
-    cells = _assign_cells(emb, cent, n_probe=1).localCheckpoint()
     a = cells.alias("a")
     b = cells.alias("b")
     scored = (
