@@ -245,3 +245,494 @@ def win_cume_dist_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_vocab_coverage — coverage curve of the top-N vocabulary
+# ---------------------------------------------------------------------------
+
+_VOCAB_CUTS = (5, 10, 20)
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    freq AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY word),
+    ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rk FROM freq
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+                   CAST(count(*) AS BIGINT) AS vocab_size
+            FROM freq)
+    SELECT c.cut AS top_n,
+           CAST(sum(CASE WHEN ranked.rk <= c.cut THEN ranked.n ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           CAST((1000000 * sum(CASE WHEN ranked.rk <= c.cut THEN ranked.n ELSE 0 END))
+             // any_value(tot.total_tokens) AS BIGINT) AS coverage_micro,
+           any_value(tot.total_tokens) AS total_tokens,
+           any_value(tot.vocab_size) AS vocab_size
+    FROM ranked, tot, (SELECT unnest([{', '.join(str(c) for c in _VOCAB_CUTS)}]) AS cut) c
+    GROUP BY c.cut ORDER BY top_n
+    """,
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design diagnostic: what
+    fraction of all token OCCURRENCES the top-N word types cover (the
+    empirical Zipf mass that decides vocab size and the unk rate a fixed
+    vocabulary buys).  Cut points are 5/10/20 because the synthetic
+    fixture's vocabulary is 31 types — production uses 2^15..2^17 cuts;
+    the dataflow is cut-count-independent (one grouped conditional sum).
+
+    Scale shape: the only corpus-sized stage is the word explode → freq
+    hash agg (map-side combined, keyed on the word); everything after
+    operates on the VOCABULARY (freq table), which is sub-linear in the
+    corpus (Heaps' law).  The rank window sorts the vocab, not the
+    corpus, and the three cut points fold into one grouped conditional
+    sum — output is 3 rows.  At trillion-token scale the freq table
+    itself is large: the documented sketch path is count-min frequencies
+    (``agg_countmin_freq``) for the head and an exact tail cut.
+    """
+    w = T(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranked = freq.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), "word")).alias("rk")
+    )
+    tot = freq.agg(
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    cuts = F.explode(F.array(*[F.lit(c) for c in _VOCAB_CUTS])).alias("top_n")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("n", "rk", "total_tokens", "vocab_size", cuts)
+        .groupBy("top_n")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("top_n"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.any_value("total_tokens").alias("total_tokens"),
+            F.any_value("vocab_size").alias("vocab_size"),
+        )
+        .select(
+            "top_n",
+            "covered_tokens",
+            F.expr("(1000000 * covered_tokens) div total_tokens").alias(
+                "coverage_micro"
+            ),
+            "total_tokens",
+            "vocab_size",
+        )
+        .orderBy("top_n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_vocab_growth — Heaps-law curve: distinct vocab vs cumulative tokens
+# ---------------------------------------------------------------------------
+
+_GROWTH_BUCKETS = 10
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS words,
+             (doc_id * {_GROWTH_BUCKETS})
+               // (SELECT max(doc_id) + 1 FROM documents) AS bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT bucket,
+             md5(array_to_string(words[k : k + 7], ' ')) AS gh
+      FROM (
+        SELECT bucket, words, unnest(range(1, len(words) - 6)) AS k FROM d
+      )
+    ),
+    tok AS (
+      SELECT bucket, CAST(count(*) AS BIGINT) AS grams FROM g GROUP BY bucket
+    ),
+    first_seen AS (SELECT min(bucket) AS bucket FROM g GROUP BY gh),
+    nv AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_types
+           FROM first_seen GROUP BY bucket)
+    SELECT tok.bucket AS bucket,
+           CAST(sum(tok.grams) OVER w AS BIGINT) AS cum_grams,
+           CAST(sum(coalesce(nv.new_types, 0)) OVER w AS BIGINT) AS cum_types,
+           CAST((1000000 * sum(coalesce(nv.new_types, 0)) OVER w)
+                // sum(tok.grams) OVER w AS BIGINT) AS type_token_micro
+    FROM tok LEFT JOIN nv ON tok.bucket = nv.bucket
+    WINDOW w AS (ORDER BY tok.bucket)
+    ORDER BY tok.bucket
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law growth curve: cumulative distinct 8-GRAM types vs
+    cumulative gram occurrences at 10 corpus checkpoints (ingest order =
+    doc_id) — the diminishing-returns signal that says when additional
+    crawl of a source stops contributing new content, the corpus-level
+    complement of ``text_ngram_novelty``'s per-document novelty.  Types
+    are 8-grams, not unigrams: the synthetic fixture's 31-word
+    vocabulary saturates in the first bucket (production picks the type
+    granularity — unigrams for tokenizer sizing, n-grams for content
+    novelty; the dataflow is identical).
+
+    Scale shape: the gram explode is the same scan-fused kernel as
+    ``decontam_ngram_overlap``; the only corpus-sized shuffle is the
+    first-bucket-per-type hash agg keyed on the gram hash (min bucket,
+    map-side combined).  The cumulative windows run over 10 bucket rows.
+    Output: 10 (bucket, cum_grams, cum_types, type/token ratio) points.
+    """
+    docs = T(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("mxd"))
+    d = docs.crossJoin(F.broadcast(mx)).select(
+        F.split("text", " ").alias("words"),
+        F.expr(f"(doc_id * {_GROWTH_BUCKETS}) div mxd").alias("bucket"),
+    )
+    g = d.select(
+        "bucket",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(words) - 7, 0)),"
+                " k -> md5(array_join(slice(words, k, 8), ' ')))"
+            )
+        ).alias("gh"),
+    )
+    tok = g.groupBy("bucket").agg(F.count(F.lit(1)).cast("long").alias("grams"))
+    first_seen = g.groupBy("gh").agg(F.min("bucket").alias("bucket"))
+    nv = first_seen.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_types")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        tok.join(nv, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("grams").over(w).cast("long").alias("cum_grams"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_types"),
+        )
+        .select(
+            "bucket",
+            "cum_grams",
+            "cum_types",
+            F.expr("(1000000 * cum_types) div cum_grams").alias("type_token_micro"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_sessionize_gap — gap-rule session assignment + session stats
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_SEC = 1800  # 30-minute inactivity gap starts a new session
+
+
+@register(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS ts_sec
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_sec,
+             CASE WHEN ts_sec - lag(ts_sec) OVER w > {_SESSION_GAP_SEC}
+                  OR lag(ts_sec) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_sec,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_sec
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts_sec) - min(ts_sec) AS dur_sec
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST((1000000 * sum(n_events)) // count(*) AS BIGINT)
+             AS events_per_session_micro,
+           CAST((1000000 * sum(dur_sec)) // count(*) AS BIGINT)
+             AS mean_dur_sec_micro,
+           CAST(max(dur_sec) AS BIGINT) AS max_dur_sec,
+           CAST(count(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT) AS n_bounces
+    FROM per_session
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-rule sessionization — the batch form of ``win_session``'s
+    streaming session window: a 30-minute inactivity gap starts a new
+    session, session ids are per-user running counts of gap flags, and
+    the output is the session-quality dashboard row (sessions, bounce
+    count, mean events/duration in exact integer micro-units).
+
+    Scale shape: ONE shuffle on user_id serves both windows (lag flag +
+    running sum share the same sort spec — one Window operator pair over
+    one exchange); the per-session agg collapses to (user, session) keys
+    map-side, and the final global agg is a single row.  This is the
+    standard sessionize kernel every events pipeline runs daily at any
+    scale.
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000000000").alias("ts_sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts_sec",
+        F.when(
+            F.coalesce(
+                (F.col("ts_sec") - F.lag("ts_sec").over(w)) > _SESSION_GAP_SEC,
+                F.lit(True),
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts_sec").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.select(
+        "user_id", "ts_sec", F.sum("new_s").over(ws).alias("session_id")
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("dur_sec"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.expr("(1000000 * sum(n_events)) div count(*)").alias(
+            "events_per_session_micro"
+        ),
+        F.expr("(1000000 * sum(dur_sec)) div count(*)").alias("mean_dur_sec_micro"),
+        F.max("dur_sec").cast("long").alias("max_dur_sec"),
+        F.count(F.when(F.col("n_events") == 1, 1)).cast("long").alias("n_bounces"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_intersection — sketch set-intersection via inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_hll_intersection",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS p, o_custkey AS c FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS inter_exact
+      FROM s a JOIN s b ON a.c = b.c AND a.p < b.p
+      GROUP BY 1, 2
+    ),
+    uni AS (
+      SELECT a.pa, a.pb, CAST(count(DISTINCT s.c) AS BIGINT) AS union_exact
+      FROM (SELECT DISTINCT pa, pb FROM pairs) a
+      JOIN s ON s.p = a.pa OR s.p = a.pb
+      GROUP BY 1, 2
+    )
+    SELECT p.pa AS pa, p.pb AS pb, p.inter_exact, u.union_exact,
+           true AS est_within_10pct_of_union
+    FROM pairs p JOIN uni u ON p.pa = u.pa AND p.pb = u.pb
+    ORDER BY p.pa, p.pb
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET-INTERSECTION estimation — the audience-overlap /
+    cross-source-contamination primitive: |A∩B| estimated by
+    inclusion-exclusion over mergeable HLL sketches
+    (est(A) + est(B) − est(A∪B), the union sketch from ``hll_union``
+    of the two per-set sketches — never a re-scan), certified against
+    the exact intersection with the same envelope-oracle device as the
+    ``agg_approx_distinct`` family.  Inclusion-exclusion error compounds
+    three ±2% estimates, so the certified bound is 10% of the UNION
+    cardinality — the honest bound for this estimator (relative-to-
+    intersection error is unbounded as the overlap shrinks; production
+    uses theta sketches when small intersections must be tight).
+
+    Scale shape: one pass builds a sketch per set (fixed memory); every
+    pairwise overlap after that is sketch algebra on the tiny sketch
+    table — no revisit of the raw data, the property that makes overlap
+    matrices over hundreds of sources feasible at 100 TB.
+    """
+    s = (
+        T(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    sk = s.groupBy("p").agg(
+        F.hll_sketch_agg("c").alias("sk"),
+        F.countDistinct("c").alias("n_exact"),
+    )
+    a = sk.select(
+        F.col("p").alias("pa"), F.col("sk").alias("ska"), F.col("n_exact").alias("na")
+    )
+    b = sk.select(
+        F.col("p").alias("pb"), F.col("sk").alias("skb"), F.col("n_exact").alias("nb")
+    )
+    est = (
+        a.join(b, F.col("pa") < F.col("pb"))
+        .select(
+            "pa",
+            "pb",
+            F.hll_sketch_estimate("ska").alias("ea"),
+            F.hll_sketch_estimate("skb").alias("eb"),
+            F.hll_sketch_estimate(
+                F.expr("hll_union(ska, skb)")
+            ).alias("eu"),
+        )
+        .select("pa", "pb", (F.col("ea") + F.col("eb") - F.col("eu")).alias("est"), "eu")
+    )
+    sa, sb = s.alias("sa"), s.alias("sb")
+    exact = (
+        sa.join(
+            sb,
+            (F.col("sa.c") == F.col("sb.c")) & (F.col("sa.p") < F.col("sb.p")),
+        )
+        .groupBy(F.col("sa.p").alias("pa"), F.col("sb.p").alias("pb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_exact"))
+    )
+    pair_union = (
+        exact.select("pa", "pb")
+        .join(s, (F.col("p") == F.col("pa")) | (F.col("p") == F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.countDistinct("c").cast("long").alias("union_exact"))
+    )
+    return (
+        exact.join(pair_union, ["pa", "pb"])
+        .join(est, ["pa", "pb"])
+        .select(
+            "pa",
+            "pb",
+            "inter_exact",
+            "union_exact",
+            (
+                F.abs(F.col("est") - F.col("inter_exact"))
+                <= 0.10 * F.col("union_exact")
+            ).alias("est_within_10pct_of_union"),
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup_embed_clusters — chained semantic dedup: simhash bands → CC
+# ---------------------------------------------------------------------------
+
+
+def _embed_clusters_sql() -> str:
+    from cassandra_syncer_spark.queries.analytics_r5e import (
+        _CODE_DUCK,
+        _EMB_BAND_BITS,
+        _EMB_BANDS,
+        _EMB_HAMMING_MAX,
+    )
+
+    return f"""
+    WITH RECURSIVE e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c AS (SELECT vec_id, {_CODE_DUCK} AS code FROM e),
+    bands AS (
+      SELECT vec_id, code, b.k AS band_id,
+             (code >> ({_EMB_BAND_BITS} * b.k)) & {(1 << _EMB_BAND_BITS) - 1} AS band_val
+      FROM c, (SELECT unnest(range({_EMB_BANDS})) AS k) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id
+      WHERE bit_count(xor(a.code, b.code)) <= {_EMB_HAMMING_MAX}
+    ),
+    edges AS (SELECT va AS a, vb AS b FROM cand
+              UNION SELECT vb, va FROM cand),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a
+    )
+    SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY id ORDER BY vec_id
+    """
+
+
+@register("dedup_embed_clusters", oracle=_embed_clusters_sql())
+def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end to end: the ``dedup_embed_simhash`` candidate
+    stage (63-bit sign codes, 7×9-bit bands, Hamming ≤ 16 verify)
+    chained into connected components over the surviving pairs — the
+    embedding-space parallel of the text chain
+    ``text_minhash_dedup → dedup_cluster_components``, and the missing
+    registered link between pairwise embedding near-dup and the cluster
+    labels a pipeline actually deduplicates with (keep min vec_id per
+    cluster, drop the rest).
+
+    Scale shape: candidate generation is the banded 8-byte-code
+    self-join (never corpus², vectors join in only for survivors — the
+    Hamming verify here needs no vectors at all); components run
+    min-label propagation with rounds bounded by cluster diameter
+    (operators/components.py), and near-dup clusters are short-diameter
+    by construction.  Oracle: identical band formulas + recursive
+    transitive-closure CTE.
+    """
+    from cassandra_syncer_spark.operators.components import connected_components
+    from cassandra_syncer_spark.queries.analytics_r5e import (
+        _CODE_SPARK,
+        _EMB_BAND_BITS,
+        _EMB_BANDS,
+        _EMB_HAMMING_MAX,
+    )
+
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    bands = e.select("vec_id", F.expr(_CODE_SPARK).alias("code")).select(
+        "vec_id",
+        "code",
+        F.expr(
+            f"posexplode(transform(sequence(0, {_EMB_BANDS - 1}),"
+            f" k -> shiftright(code, {_EMB_BAND_BITS} * k)"
+            f" & {(1 << _EMB_BAND_BITS) - 1}))"
+        ).alias("band_id", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.expr("a.code ^ b.code"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(hamming <= _EMB_HAMMING_MAX)
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .distinct()
+    )
+    return (
+        connected_components(cand, src="va", dst="vb")
+        .select(
+            F.col("id").cast("long").alias("vec_id"),
+            F.col("component").cast("long").alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )

@@ -66,6 +66,11 @@ PRIORITY: tuple[str, ...] = (
     "dedup_verify_pipeline",  # NEW: Jaccard screen → survivor-bounded edit verify
     "win_cume_dist_approx",   # NEW: histogram position sketch, no segment sort
     "multimodal_decode_real", # NEW: real container bytes, real header parse
+    "tokenizer_vocab_coverage",  # NEW round 6
+    "corpus_vocab_growth",       # NEW round 6
+    "events_sessionize_gap",     # NEW round 6
+    "agg_hll_intersection",      # NEW round 6
+    "dedup_embed_clusters",      # NEW round 6
     "text_ngram_novelty",     # oracle: gram range now derived from len(words)
     "scan_binaryfile",        # oracle: octet_length(encode(text))
     "agg_distinct_bitmap",    # integer-div bucket expression

@@ -592,3 +592,13 @@ def test_cume_dist_approx_windows_bins_not_rows(spark, sf_dir):
     )
     assert "SortMergeJoin" not in p, p
     assert p.count("BroadcastHashJoin") >= 3, p
+
+
+def test_sessionize_one_user_shuffle(spark, sf_dir):
+    """events_sessionize_gap: the lag flag and the running session id must
+    ride ONE user_id exchange + one sort (two Window operators stacked);
+    the only other exchange is the 1-row global agg's SinglePartition."""
+    p = plan_of(spark, sf_dir, "events_sessionize_gap")
+    assert p.count("Window [") == 2, p
+    assert p.count("Exchange hashpartitioning(user_id") == 1, p
+    assert p.count("Sort [") == 1, p
