@@ -736,3 +736,69 @@ def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# join_dynamic_partition_prune — runtime (dynamic) partition pruning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_dynamic_partition_prune",
+    oracle="""
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS revenue_centi
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_regionkey = 0
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the runtime companion to
+    ``sink_partitioned_prune``'s static pruning, and the layout feature
+    that makes star-schema joins feasible at 100 TB: the fact table is
+    partitioned by nation key, the dimension filter (nations of region
+    0) is only known at RUN time through the join, and Catalyst injects
+    the dim side's key set into the fact scan as a
+    ``dynamicpruningexpression`` — the fact reader LISTS only the ~1/5
+    of partition directories that can match, reusing the join's own
+    broadcast as the filter (plan-asserted in tests/test_plans.py::
+    test_dynamic_partition_pruning_fires).
+
+    Staging: orders×customer pre-joined once per process and written
+    ``partitionBy(c_nationkey)`` (25 dirs) — the pattern of a fact table
+    laid out by its most-joined dimension key.  The oracle computes the
+    same aggregate from the raw unpartitioned tables, so the hash also
+    proves the staged layout loses nothing.
+    """
+    from cassandra_syncer_spark.queries.analytics_r3 import _scratch
+
+    out = _scratch(sf_dir, "dpp_fact")
+    fact = (
+        T(spark, sf_dir, "orders")
+        .join(
+            T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100.0).cast("long").alias("price_centi"),
+            "c_nationkey",
+        )
+    )
+    fact.write.partitionBy("c_nationkey").mode("overwrite").parquet(out)
+    back = spark.read.schema("o_orderkey long, price_centi long, c_nationkey long").parquet(out)
+    dim = T(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 0)
+    return (
+        back.join(F.broadcast(dim), back.c_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_centi").cast("long").alias("revenue_centi"),
+        )
+        .orderBy("n_name")
+    )

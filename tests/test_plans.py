@@ -602,3 +602,12 @@ def test_sessionize_one_user_shuffle(spark, sf_dir):
     assert p.count("Window [") == 2, p
     assert p.count("Exchange hashpartitioning(user_id") == 1, p
     assert p.count("Sort [") == 1, p
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """join_dynamic_partition_prune: the fact scan's PartitionFilters must
+    carry a dynamicpruningexpression injected from the filtered dim side —
+    runtime pruning, not a static predicate."""
+    p = plan_of(spark, sf_dir, "join_dynamic_partition_prune")
+    assert "dynamicpruningexpression" in p.lower(), p
+    assert "BroadcastHashJoin" in p, p
