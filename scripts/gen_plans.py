@@ -170,6 +170,36 @@ FLAGSHIPS = [
         "map-side, shuffle carries ≤ keys×idspace/64 longs — the roaring "
         "pattern, mergeable across batches (r5)",
     ),
+    (
+        "dedup_verify_pipeline",
+        "staged verify chain: band candidates (bucket-local join) → Jaccard "
+        "set algebra → edit DP on survivors only — DP cost tracks survivor "
+        "count, measured by the SCALING.md threshold sweep (r6)",
+    ),
+    (
+        "win_cume_dist_approx",
+        "the ONLY Window runs over the ≤1024-bin histogram aggregate, never "
+        "the row stream; rows rejoin their bin via broadcast — no single-task "
+        "segment sort anywhere (r6)",
+    ),
+    (
+        "join_dynamic_partition_prune",
+        "fact scan carries dynamicpruningexpression injected from the "
+        "run-time-filtered dim broadcast — only matching partition dirs are "
+        "listed/read (r6)",
+    ),
+    (
+        "sim_lsh_ann",
+        "deterministic sign-projection coding is scan-fused literals; "
+        "candidate join is equi on (table, bucket) with the probe side "
+        "broadcast — the corpus never shuffles (r6)",
+    ),
+    (
+        "events_sessionize_gap",
+        "lag flag + running session id stacked over ONE user_id exchange and "
+        "one sort; per-session agg collapses map-side to a 1-row dashboard "
+        "output (r6)",
+    ),
 ]
 
 
