@@ -108,7 +108,11 @@ def _resolve_config(args) -> None:
         if args.store is None:
             raise SystemExit(f"error: {cmd} needs a store (positional or config)")
     if getattr(args, "container", None) is None:
-        args.container = cfg.get("container", "default")
+        # reference default: the machine's hostname names the container
+        # (bin/cassandra-syncer-restore:37, os.hostname())
+        import socket
+
+        args.container = cfg.get("container") or socket.gethostname()
     if getattr(args, "interval", None) is None and hasattr(args, "interval"):
         args.interval = cfg.get("interval", "1 second")
     if getattr(args, "older_than_days", None) is None and hasattr(args, "older_than_days"):
@@ -335,6 +339,11 @@ def cmd_watch(args) -> int:
     return 0
 
 
+#: name of the local restore-manifest cache the reference keeps at the
+#: restore destination (bin/cassandra-syncer-restore:28,91-94)
+RESTORE_MANIFEST = "restoremanifest.json"
+
+
 def cmd_restore(args) -> int:
     from cassandra_syncer_spark.sync import SyncPipeline
     from cassandra_syncer_spark.sync.targets import DirectoryTarget
@@ -353,6 +362,35 @@ def cmd_restore(args) -> int:
         if manifests.limit(1).count() == 0:
             print("error: no manifest at or before --as-of-ms", file=sys.stderr)
             return 2
+    # local restoremanifest.json cache (bin/cassandra-syncer-restore:28,
+    # 91-94): a completed restore records the snapshot it materialized; a
+    # re-run targeting the SAME snapshot short-circuits before listing or
+    # downloading anything.  One tiny metadata read on the driver — delete
+    # the file (or restore a different snapshot) to force a full pass.
+    target_ts = p.latest_manifests(manifests).agg(
+        F.max("manifest_ts").alias("ts")
+    ).collect()[0]["ts"]
+    cache_path = os.path.join(args.dst, RESTORE_MANIFEST)
+    if os.path.isfile(cache_path):
+        try:
+            with open(cache_path) as fh:
+                cached = json.load(fh)
+        except (OSError, ValueError):
+            cached = {}
+        if (
+            cached.get("manifest_ts") == target_ts
+            and cached.get("container") == args.container
+        ):
+            _emit(
+                {
+                    "cmd": "restore",
+                    "restored": 0,
+                    "missing": 0,
+                    "cached": True,
+                    "manifest_ts": target_ts,
+                }
+            )
+            return 0
     stored = store_target.list_files(spark).filter(~F.col("name").startswith("__"))
     plan = p.restore_plan(manifests, stored)
     missing = plan.filter("is_missing").count()
@@ -361,6 +399,20 @@ def cmd_restore(args) -> int:
         n = store_target.download(wanted, args.dst, cache_root=args.cache_dir)
     else:
         n = DirectoryTarget(args.dst, args.container).upload(wanted, store_path)
+    if missing == 0:
+        # record the materialized snapshot only when it restored completely
+        # — a partial restore must re-list next run so late-arriving store
+        # objects are picked up
+        os.makedirs(args.dst, exist_ok=True)
+        with open(cache_path, "w") as fh:
+            json.dump(
+                {
+                    "container": args.container,
+                    "manifest_ts": target_ts,
+                    "restored": n,
+                },
+                fh,
+            )
     _emit({"cmd": "restore", "restored": n, "missing": missing})
     return 0 if missing == 0 else 3
 

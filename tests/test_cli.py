@@ -61,7 +61,12 @@ def test_cli_objstore_scheme_lifecycle(tmp_path):
     r = run_cli("backup", str(src), url)
     assert r["uploaded"] == 1 and r["target"] == "objstore"
     # data lives inside the container, metadata beside it
-    assert (store / "default/ks1/a-Data.db").read_bytes() == b"alpha"
+    # default container = the machine hostname (reference parity,
+    # bin/cassandra-syncer-restore:37)
+    import socket
+
+    host = socket.gethostname()
+    assert (store / host / "ks1/a-Data.db").read_bytes() == b"alpha"
 
     # unchanged tree: etag identity plans nothing
     r = run_cli("backup", str(src), url)
@@ -200,7 +205,9 @@ def test_cli_multi_path_backup(tmp_path):
     rows = duckdb.sql(
         f"SELECT container, len(paths) AS n FROM read_parquet('{store}/__manifests__/*.parquet')"
     ).fetchall()
-    assert rows == [("default", 2)]
+    import socket
+
+    assert rows == [(socket.gethostname(), 2)]
 
     r = run_cli("restore", str(store), str(dst))
     assert r["restored"] == 2
@@ -290,3 +297,36 @@ def test_bench_contract_smoke():
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["queries"] and all(v > 0 for v in d["queries"].values())
     assert all(r > 0 for r in d["ratio_vs_baseline_same_session"].values())
+
+
+def test_cli_restore_manifest_cache(tmp_path):
+    """Reference restoremanifest.json parity (bin/cassandra-syncer-
+    restore:28,91-94): a completed restore records the materialized
+    snapshot at the destination; a re-run against the SAME snapshot
+    short-circuits (cached:true, nothing listed or transferred), a new
+    backup invalidates it, and deleting the file forces a full pass."""
+    src, store, dst = tmp_path / "src", tmp_path / "store", tmp_path / "dst"
+    (src / "ks1").mkdir(parents=True)
+    (src / "ks1/a-Data.db").write_bytes(b"alpha")
+
+    run_cli("backup", str(src), str(store))
+    r = run_cli("restore", str(store), str(dst))
+    assert r["restored"] == 1 and "cached" not in r
+    cache = dst / "restoremanifest.json"
+    assert cache.is_file()
+
+    # same snapshot → cached short-circuit
+    r = run_cli("restore", str(store), str(dst))
+    assert r.get("cached") is True and r["restored"] == 0
+
+    # a NEW backup advances the snapshot → cache no longer matches
+    (src / "ks1/b-Data.db").write_bytes(b"beta")
+    run_cli("backup", str(src), str(store))
+    r = run_cli("restore", str(store), str(dst))
+    assert "cached" not in r and r["restored"] >= 1
+    assert (dst / "ks1/b-Data.db").read_bytes() == b"beta"
+
+    # deleting the cache forces a full (but etag-no-op) pass
+    cache.unlink()
+    r = run_cli("restore", str(store), str(dst))
+    assert "cached" not in r
