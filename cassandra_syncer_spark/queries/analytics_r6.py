@@ -811,3 +811,132 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_bitmap_intersect — EXACT set intersections via bitmap AND
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bitmap_intersect",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS p, o_custkey AS c FROM orders GROUP BY 1, 2
+    )
+    SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS inter_exact
+    FROM s a JOIN s b ON a.c = b.c AND a.p < b.p
+    GROUP BY 1, 2 ORDER BY pa, pb
+    """,
+)
+def agg_bitmap_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT pairwise set intersections via bitmap AND — the exact
+    counterpart of ``agg_hll_intersection``, and the better scale shape
+    than a member-level self-join: each set folds once into per-bucket
+    bitmap partials (bucket = member div 64, the ``agg_distinct_bitmap``
+    kernel), and every pairwise overlap is then popcount(bm_a & bm_b)
+    summed over co-bucketed partials — set-pair work touches 8-byte
+    words, never member rows.
+
+    Scale shape: the raw data is read ONCE (the bitmap fold, map-side
+    bit_or combine); the pair stage joins the partial tables on bucket —
+    ≤ |sets|² × |id-space|/64 word operations, independent of the
+    original row count.  Partials are the same mergeable cells the
+    streaming bitmap loop persists (streaming/sketches.py), so overlap
+    matrices refresh incrementally.  The member-level self-join the
+    oracle uses is the validation-scale formulation only.  Non-negative
+    integer id contract as ``agg_distinct_bitmap``.
+    """
+    s = (
+        T(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("p"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    cells = (
+        s.select(
+            "p",
+            F.expr("c div 64").alias("bucket"),
+            F.expr("shiftleft(1L, int(c % 64))").alias("bit"),
+        )
+        .groupBy("p", "bucket")
+        .agg(F.expr("bit_or(bit)").alias("bm"))
+    )
+    a = cells.select(
+        F.col("p").alias("pa"), "bucket", F.col("bm").alias("bma")
+    )
+    b = cells.select(
+        F.col("p").alias("pb"), "bucket", F.col("bm").alias("bmb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.sum(F.bit_count(F.expr("bma & bmb"))).cast("long").alias("inter_exact")
+        )
+        .orderBy("pa", "pb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_top_paths — most common 3-step behavioral paths
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events WINDOW w AS (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id)
+    ),
+    paths AS (
+      SELECT concat(event_type, '>', e2, '>', e3) AS path,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+    SELECT p.path, p.n,
+           CAST((1000000 * p.n) // t.total AS BIGINT) AS share_micro,
+           CAST(row_number() OVER (ORDER BY p.n DESC, p.path) AS BIGINT) AS rk
+    FROM paths p, tot t
+    QUALIFY rk <= 10 ORDER BY rk
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavioral paths (the journey/Sankey source
+    table): sliding 3-grams of each user's event-type sequence, counted
+    and ranked — the order-sensitive extension of
+    ``events_markov_transitions``'s 2-gram matrix.
+
+    Scale shape: ONE user_id shuffle (two stacked leads over the same
+    window sort); paths collapse to ≤ |types|³ keys with map-side
+    combine, the share normalizer is a 1-row broadcast, and the final
+    rank window orders ≤ |types|³ rows — the corpus is touched once.
+    """
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    tot = paths.agg(F.sum("n").cast("long").alias("total"))
+    rk = Window.orderBy(F.desc("n"), "path")
+    return (
+        paths.crossJoin(F.broadcast(tot))
+        .select(
+            "path",
+            "n",
+            F.expr("(1000000 * n) div total").alias("share_micro"),
+            F.row_number().over(rk).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 10)
+        .orderBy("rk")
+    )
