@@ -940,3 +940,134 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# embed_outlier_knn — embedding-space outlier scoring from neighbor similarity
+# ---------------------------------------------------------------------------
+
+_OUT_OFF = 100_000  # floor-div offset: truncating div == floor for positives
+
+
+def _outlier_sql() -> str:
+    from cassandra_syncer_spark.queries.llm_similarity import (
+        _KNN_CODE_DUCK,
+    )
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (
+      SELECT CAST(length(bin(greatest((count(*) + 249) // 250, 8) - 1))
+             AS BIGINT) AS b
+      FROM e
+    ),
+    cells AS (
+      SELECT vec_id, v, ({_KNN_CODE_DUCK}) >> (63 - n.b) AS cell
+      FROM e, n
+    ),
+    scored AS (
+      SELECT a.vec_id, round(list_inner_product(a.v, b.v), 4) AS cosine,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY round(list_inner_product(a.v, b.v), 4) DESC, b.vec_id) AS rk
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+    ),
+    iso AS (
+      SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+             CAST(sum(CAST(round(cosine * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_cos_e4
+      FROM scored WHERE rk <= 3 GROUP BY vec_id
+    ),
+    ranked AS (
+      SELECT vec_id, n_nbrs,
+             CAST((sum_cos_e4 + n_nbrs * {_OUT_OFF}) // n_nbrs - {_OUT_OFF}
+                  AS BIGINT) AS mean_cos_e4,
+             row_number() OVER (
+               ORDER BY (sum_cos_e4 + n_nbrs * {_OUT_OFF}) // n_nbrs, vec_id
+             ) AS rk
+      FROM iso
+    )
+    SELECT vec_id, n_nbrs, mean_cos_e4, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """
+
+
+@register("embed_outlier_knn", oracle=_outlier_sql())
+def embed_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space OUTLIER scoring — the data-quality screen that
+    surfaces mislabeled / garbage / off-distribution vectors before they
+    enter training: each vector's isolation is the mean cosine to its 3
+    nearest cell-local neighbors (low mean similarity = far from
+    everything near it); the 20 most isolated vectors are flagged.
+    Reuses ``sim_knn_graph_ivf``'s sign-code-prefix cells, so the
+    neighbor search stays O(N)-assigned and cell-local.
+
+    Determinism: per-vector sums of round(cosine·1e4) are exact bigints;
+    the mean uses the +n·OFF floor-div trick (sums can be negative, and
+    Spark's truncating ``div`` and DuckDB's ``//`` disagree on
+    negatives), so the isolation ranking is identical cross-engine.
+
+    Scale shape: identical to the k-NN graph (one scan for codes, one
+    cell shuffle, bucket-local pairs, per-vector rank window) plus a
+    vector-keyed agg and a final top-20 over per-vector rows.
+    """
+    from cassandra_syncer_spark.queries.llm_similarity import (
+        _KNN_CODE_SPARK,
+        _dot,
+        _vec,
+    )
+
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    bbits = emb.agg(
+        F.expr(
+            "cast(length(bin(greatest((count(*) + 249) div 250, 8) - 1)) as bigint)"
+        ).alias("b")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(bbits))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(f"shiftright({_KNN_CODE_SPARK}, cast(63 - b as int))").alias("cell"),
+        )
+        .localCheckpoint()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    scored = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.round(_dot(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        F.row_number()
+        .over(
+            Window.partitionBy("a.vec_id").orderBy(
+                F.desc(F.round(_dot(F.col("a.v"), F.col("b.v")), 4)), "b.vec_id"
+            )
+        )
+        .alias("rk"),
+    )
+    iso = (
+        scored.filter(F.col("rk") <= 3)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nbrs"),
+            F.sum(F.expr("cast(round(cosine * 10000) as bigint)"))
+            .cast("long")
+            .alias("sum_cos_e4"),
+        )
+        .select(
+            "vec_id",
+            "n_nbrs",
+            F.expr(
+                f"(sum_cos_e4 + n_nbrs * {_OUT_OFF}) div n_nbrs - {_OUT_OFF}"
+            ).cast("long").alias("mean_cos_e4"),
+        )
+    )
+    # global bottom-20 via orderBy+limit → TakeOrderedAndProject (each
+    # partition ships only its own top candidates); the rank window then
+    # orders 20 rows, never the full per-vector table — a bare global
+    # row_number window here would serialize every vector through one task
+    top = iso.orderBy("mean_cos_e4", "vec_id").limit(20)
+    rkw = Window.orderBy("mean_cos_e4", "vec_id")
+    return top.withColumn("rk", F.row_number().over(rkw).cast("long")).orderBy("rk")
