@@ -522,10 +522,10 @@ def sim_knn_graph_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``label`` column.  Blocking on a key whose cardinality does NOT grow
     with the corpus makes within-block pairs quadratic in corpus size
     (measured 11.6× at 10×, SCALING.md) — the registered production form
-    is ``sim_knn_graph_ivf`` (llm_similarity.py), whose IVF quantizer
-    scales cell count with the corpus so block size stays bounded.  Kept
-    unregistered as the small-data validation reference for the IVF
-    variant's within-cell exactness tests.
+    is ``sim_knn_graph_ivf`` (llm_similarity.py), whose sign-code-prefix
+    cells scale in count with the corpus so block size stays bounded
+    (within-cell exactness is oracle-checked there).  Kept unregistered
+    as the documented counter-example.
     """
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id",

@@ -907,3 +907,21 @@ def test_cume_dist_approx_tracks_exact(spark, sf_dir):
         # max one-bin overshoot: at 1024 bins over n rows a bin rarely
         # holds more than ~1% of the segment; allow a generous 5%
         assert est - cd_exact <= 0.05, (r.c_custkey, est, cd_exact)
+
+
+def test_bitmap_intersect_matches_hll_exact_columns(spark, sf_dir):
+    """agg_bitmap_intersect (bitmap AND popcounts) and agg_hll_intersection
+    (member-level exact side) compute the same ground truth through two
+    unrelated dataflows — they must agree pair for pair."""
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    bit = {
+        (r.pa, r.pb): r.inter_exact
+        for r in REGISTRY["agg_bitmap_intersect"].fn(spark, sf_dir).collect()
+    }
+    hll = {
+        (r.pa, r.pb): r.inter_exact
+        for r in REGISTRY["agg_hll_intersection"].fn(spark, sf_dir).collect()
+    }
+    assert bit and bit == hll
