@@ -1071,3 +1071,77 @@ def embed_outlier_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = iso.orderBy("mean_cos_e4", "vec_id").limit(20)
     rkw = Window.orderBy("mean_cos_e4", "vec_id")
     return top.withColumn("rk", F.row_number().over(rkw).cast("long")).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# mix_dedup_aware_weights — mixing quotas corrected by per-source dup rate
+# ---------------------------------------------------------------------------
+
+_MIX_TOTAL = 100_000  # target sample size the quotas distribute
+
+
+@register(
+    "mix_dedup_aware_weights",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source, md5(text) AS hh FROM documents),
+    canon AS (
+      SELECT hh, min(doc_id) AS keeper FROM h GROUP BY hh
+    ),
+    per_source AS (
+      SELECT h.source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(CASE WHEN c.keeper = h.doc_id THEN 1 END) AS BIGINT)
+               AS n_unique
+      FROM h JOIN canon c ON h.hh = c.hh
+      GROUP BY h.source
+    ),
+    tot AS (SELECT CAST(sum(n_unique) AS BIGINT) AS total_unique FROM per_source)
+    SELECT p.source, p.n_docs, p.n_unique,
+           CAST((1000000 * p.n_unique) // p.n_docs AS BIGINT) AS unique_micro,
+           CAST(({_MIX_TOTAL} * p.n_unique) // t.total_unique AS BIGINT)
+             AS quota
+    FROM per_source p, tot t
+    ORDER BY p.source
+    """,
+)
+def mix_dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware mixing weights — the correction every multi-source
+    training mix needs: naive proportional quotas over-sample sources
+    whose volume is inflated by duplicates, so quotas here distribute
+    the sampling budget by each source's UNIQUE-document count
+    (canonical = min doc_id per content hash, the
+    ``dedup_exact_canonical`` rule).  Chains the exact-dedup and
+    mix-quota kernels into one registered artifact: raw volume, unique
+    volume, uniqueness rate, and the integer-exact budget share.
+
+    Scale shape: one md5 hash-agg finds canonical keepers (the
+    ``dedup_exact`` shuffle), one source-keyed agg collapses to
+    |sources| rows, and the budget math is a 1-row broadcast — the
+    corpus is read once.
+    """
+    h = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5("text").alias("hh")
+    )
+    canon = h.groupBy("hh").agg(F.min("doc_id").alias("keeper"))
+    per_source = (
+        h.join(canon, "hh")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("keeper") == F.col("doc_id"), 1))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    tot = per_source.agg(F.sum("n_unique").cast("long").alias("total_unique"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_unique",
+            F.expr("(1000000 * n_unique) div n_docs").alias("unique_micro"),
+            F.expr(f"({_MIX_TOTAL} * n_unique) div total_unique").alias("quota"),
+        )
+        .orderBy("source")
+    )

@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_bitmap_intersect",          # NEW round 6
     "events_top_paths",              # NEW round 6
     "embed_outlier_knn",             # NEW round 6
+    "mix_dedup_aware_weights",       # NEW round 6
     "text_ngram_novelty",     # oracle: gram range now derived from len(words)
     "scan_binaryfile",        # oracle: octet_length(encode(text))
     "agg_distinct_bitmap",    # integer-div bucket expression

@@ -925,3 +925,30 @@ def test_bitmap_intersect_matches_hll_exact_columns(spark, sf_dir):
         for r in REGISTRY["agg_hll_intersection"].fn(spark, sf_dir).collect()
     }
     assert bit and bit == hll
+
+
+def test_sniff_and_parse_never_crashes_on_arbitrary_bytes():
+    """The header parser is exposed to untrusted payloads: truncated
+    containers, lying magic bytes, and random garbage must classify or
+    yield null dims — never raise."""
+    import random
+
+    from cassandra_syncer_spark.operators.multimodal import _sniff_and_parse
+
+    rng = random.Random(42)
+    magics = [
+        b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM", b"\xff\xd8", b""
+    ]
+    for trial in range(500):
+        head = rng.choice(magics)
+        body = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+        mt, w, h = _sniff_and_parse(head + body)
+        assert isinstance(mt, str)
+        assert w is None or isinstance(w, int)
+        assert h is None or isinstance(h, int)
+    # truncated real containers: magic present, header cut short
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+    for cut in range(len(png) + 8):
+        _sniff_and_parse(png[:cut])  # must not raise
