@@ -155,22 +155,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_count_forced": timings_cf,
-                "baseline_same_session": baseline_ss,
-                "ratio_vs_baseline_same_session": ratios,
-                "forcing": "noop-write (honest full materialization); count_forced rows for BASELINE.md method parity; baseline_same_session = vanilla-PySpark counterparts timed interleaved in this same session (noise-cancelled 2x gate)",
-                "sf": float(m.group(1)) if m else SF_DIR,
-                "sf_dir": SF_DIR,
-            }
-        )
-    )
+    detail = {
+        "metric": "headline_queries_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_count_forced": timings_cf,
+        "baseline_same_session": baseline_ss,
+        "ratio_vs_baseline_same_session": ratios,
+        "forcing": "noop-write (honest full materialization); count_forced rows for BASELINE.md method parity; baseline_same_session = vanilla-PySpark counterparts timed interleaved in this same session (noise-cancelled 2x gate)",
+        "sf": float(m.group(1)) if m else SF_DIR,
+        "sf_dir": SF_DIR,
+    }
+    # full artifact to a side file; stdout gets a COMPACT line — the driver
+    # records only the tail of stdout and a >2000-char line truncates into
+    # unparseable JSON (BENCH_r05/r06 both show parsed:null), so the line
+    # keeps the contract keys + timings + the gate ratios and points at the
+    # detail file for the rest
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    compact = {
+        "metric": detail["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": detail["sf"],
+        "queries": timings,
+        "baseline_same_session": baseline_ss,
+        "ratio_vs_baseline_same_session": ratios,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # keep the whole line inside the driver's tail
+        compact.pop("baseline_same_session")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

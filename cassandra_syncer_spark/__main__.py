@@ -109,10 +109,15 @@ def _resolve_config(args) -> None:
             raise SystemExit(f"error: {cmd} needs a store (positional or config)")
     if getattr(args, "container", None) is None:
         # reference default: the machine's hostname names the container
-        # (bin/cassandra-syncer-restore:37, os.hostname())
+        # (bin/cassandra-syncer-restore:37, os.hostname()).  Implicit
+        # hostname defaults may fall back to the pre-round-6 literal
+        # "default" container on restore/prune (_fallback_container).
         import socket
 
+        args.container_explicit = "container" in cfg
         args.container = cfg.get("container") or socket.gethostname()
+    else:
+        args.container_explicit = True
     if getattr(args, "interval", None) is None and hasattr(args, "interval"):
         args.interval = cfg.get("interval", "1 second")
     if getattr(args, "older_than_days", None) is None and hasattr(args, "older_than_days"):
@@ -155,6 +160,29 @@ def _scan(spark, src: str, container: str, scheme: str):
 
 def _manifest_dir(store: str) -> str:
     return os.path.join(store, "__manifests__")
+
+
+def _fallback_container(manifests, args, cfg_explicit: bool) -> None:
+    """Hostname-default migration shim: containers created before the
+    default changed from the literal ``"default"`` to the machine
+    hostname (reference parity, bin/cassandra-syncer-restore:37) would
+    otherwise stop restoring/pruning without an explicit ``--container``.
+    When the implicit hostname container has NO manifests in this store
+    but the legacy ``"default"`` container does, fall back to it (and say
+    so).  Never overrides an explicit --container/config value."""
+    if cfg_explicit:
+        return
+    present = {
+        r["container"]
+        for r in manifests.select("container").distinct().collect()
+    }
+    if args.container not in present and "default" in present:
+        print(
+            f"note: no manifests for container {args.container!r}; "
+            "falling back to legacy container 'default'",
+            file=sys.stderr,
+        )
+        args.container = "default"
 
 
 def _compact_manifest_log(
@@ -356,20 +384,29 @@ def cmd_restore(args) -> int:
         print("error: no manifest log under store", file=sys.stderr)
         return 2
     manifests = spark.read.parquet(mdir)
+    _fallback_container(manifests, args, getattr(args, "container_explicit", True))
+    store_target, store_path, scheme = _target(args.store, args.container)
+    # restore is per-container: another machine's snapshots in the same
+    # store must not leak into this restore's target_ts / skip cache
+    manifests = manifests.filter(F.col("container") == args.container)
     if args.as_of_ms is not None:
         # time travel: restore the snapshot as of a past instant
         manifests = manifests.filter(F.col("manifest_ts") <= args.as_of_ms)
         if manifests.limit(1).count() == 0:
             print("error: no manifest at or before --as-of-ms", file=sys.stderr)
             return 2
-    # local restoremanifest.json cache (bin/cassandra-syncer-restore:28,
-    # 91-94): a completed restore records the snapshot it materialized; a
-    # re-run targeting the SAME snapshot short-circuits before listing or
-    # downloading anything.  One tiny metadata read on the driver — delete
-    # the file (or restore a different snapshot) to force a full pass.
-    target_ts = p.latest_manifests(manifests).agg(
-        F.max("manifest_ts").alias("ts")
-    ).collect()[0]["ts"]
+    # Local restoremanifest.json skip cache — an EXTENSION, not reference
+    # parity: the reference's restoremanifest.json (bin/cassandra-syncer-
+    # restore:28,91-94) is just the downloaded latest manifest, and the
+    # reference ALWAYS re-lists and re-downloads.  Here a completed restore
+    # records (store, container, manifest_ts); a re-run targeting the same
+    # snapshot from the same store skips the store listing + downloads —
+    # but only after cheaply verifying every manifest-named file still
+    # exists in dst (deleting restored files invalidates the skip; the
+    # store key stops a same-container/same-ts restore from a DIFFERENT
+    # store being wrongly skipped).  Delete the file to force a full pass.
+    latest = p.latest_manifests(manifests)
+    target_ts = latest.agg(F.max("manifest_ts").alias("ts")).collect()[0]["ts"]
     cache_path = os.path.join(args.dst, RESTORE_MANIFEST)
     if os.path.isfile(cache_path):
         try:
@@ -380,17 +417,30 @@ def cmd_restore(args) -> int:
         if (
             cached.get("manifest_ts") == target_ts
             and cached.get("container") == args.container
+            and cached.get("store") == args.store
         ):
-            _emit(
-                {
-                    "cmd": "restore",
-                    "restored": 0,
-                    "missing": 0,
-                    "cached": True,
-                    "manifest_ts": target_ts,
-                }
-            )
-            return 0
+            # dst verification: existence of every manifest path (names
+            # only — dst is a local directory, so this is inherently a
+            # driver-local stat pass, bounded by manifest size)
+            names = [
+                r["name"]
+                for r in latest.select(
+                    F.explode("paths").alias("name")
+                ).collect()
+            ]
+            if names and all(
+                os.path.exists(os.path.join(args.dst, n)) for n in names
+            ):
+                _emit(
+                    {
+                        "cmd": "restore",
+                        "restored": 0,
+                        "missing": 0,
+                        "cached": True,
+                        "manifest_ts": target_ts,
+                    }
+                )
+                return 0
     stored = store_target.list_files(spark).filter(~F.col("name").startswith("__"))
     plan = p.restore_plan(manifests, stored)
     missing = plan.filter("is_missing").count()
@@ -407,6 +457,7 @@ def cmd_restore(args) -> int:
         with open(cache_path, "w") as fh:
             json.dump(
                 {
+                    "store": args.store,
                     "container": args.container,
                     "manifest_ts": target_ts,
                     "restored": n,
@@ -428,6 +479,8 @@ def cmd_prune(args) -> int:
         print("error: no manifest log under store", file=sys.stderr)
         return 2
     manifests = spark.read.parquet(mdir)
+    _fallback_container(manifests, args, getattr(args, "container_explicit", True))
+    target, store_path, scheme = _target(args.store, args.container)
     stored = target.list_files(spark).filter(~F.col("name").startswith("__"))
     prunable = p.prune_plan(
         manifests,

@@ -44,7 +44,13 @@ def words_expr(text_col: str, *, duck: bool) -> str:
 
 
 def shingles_expr(words: str, *, duck: bool) -> str:
-    """3-word shingles; for texts under 3 words, one (padded) shingle."""
+    """3-word shingles; for texts under 3 words, one (padded) shingle.
+
+    Spark side must use ``get()`` — ANSI bracket indexing throws
+    INVALID_ARRAY_INDEX past the end for sub-3-word docs, while DuckDB's
+    1-based ``[i]`` returns NULL there; ``get()`` matches that (NULL on
+    out-of-bounds) and ``concat_ws`` skips NULLs identically on both
+    engines, so the padded shingle is byte-identical."""
     if duck:
         return (
             f"list_transform(range(1, greatest(len({words}) - 2, 1) + 1), "
@@ -52,7 +58,7 @@ def shingles_expr(words: str, *, duck: bool) -> str:
         )
     return (
         f"transform(sequence(1, greatest(size({words}) - 2, 1)), "
-        f"i -> concat_ws(' ', {words}[i-1], {words}[i], {words}[i+1]))"
+        f"i -> concat_ws(' ', get({words}, i-1), get({words}, i), get({words}, i+1)))"
     )
 
 

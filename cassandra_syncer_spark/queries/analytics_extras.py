@@ -101,9 +101,12 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = T(spark, sf_dir, "documents")
     # words projected before the lambda (no CSE inside transform)
+    # get(w, i): 1-word docs hit i = size(w); ANSI bracket indexing throws
+    # there, get() yields NULL and concat_ws skips it — identical to the
+    # oracle's out-of-bounds-NULL 1-based w[i+1]
     bigrams = F.expr(
         "transform(sequence(1, greatest(size(w) - 1, 1)), "
-        "i -> concat_ws(' ', w[i-1], w[i]))"
+        "i -> concat_ws(' ', w[i-1], get(w, i)))"
     )
     counted = (
         docs.select("lang", F.split("text", " ").alias("w"))

@@ -321,7 +321,8 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT source,
-             CAST(regexp_extract(source, '[0-9]+') AS BIGINT) % 4 AS m,
+             coalesce(TRY_CAST(regexp_extract(source, '[0-9]+') AS BIGINT), 0)
+               % 4 AS m,
              CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS UBIGINT) AS BIGINT) % 10000 AS bucket,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -357,7 +358,12 @@ def mix_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_syncer_spark.operators import fingerprint as fp
 
     docs = T(spark, sf_dir, "documents")
-    m = F.regexp_extract("source", "[0-9]+", 0).cast("long") % 4
+    # try_cast + coalesce: a source name with no digits extracts '' and an
+    # ANSI cast of '' to bigint throws (both engines) — digit-less sources
+    # deterministically land in mix family 0
+    m = F.expr(
+        "coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS BIGINT), 0) % 4"
+    )
     rate = (
         F.when(m == 0, F.lit(1.0))
         .when(m == 1, F.lit(0.5))

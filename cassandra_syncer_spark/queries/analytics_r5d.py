@@ -102,9 +102,12 @@ def _edit_sql() -> str:
     p AS (SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS pre FROM documents)
     SELECT c.doc_a, c.doc_b,
            CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS edit_dist,
-           (1000000 * (greatest(len(pa.pre), len(pb.pre))
-                       - levenshtein(pa.pre, pb.pre)))
-             // greatest(len(pa.pre), len(pb.pre)) AS edit_sim_micro
+           -- mx=0 guard: two empty texts that band-collide are a perfect
+           -- match, not a division by zero
+           CASE WHEN greatest(len(pa.pre), len(pb.pre)) = 0 THEN 1000000
+                ELSE (1000000 * (greatest(len(pa.pre), len(pb.pre))
+                                 - levenshtein(pa.pre, pb.pre)))
+                     // greatest(len(pa.pre), len(pb.pre)) END AS edit_sim_micro
     FROM cand c
     JOIN p pa ON c.doc_a = pa.doc_id
     JOIN p pb ON c.doc_b = pb.doc_id
@@ -167,7 +170,9 @@ def dedup_verify_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a",
             "doc_b",
             "edit_dist",
-            F.expr("(1000000 * (mx - edit_dist)) div mx").alias("edit_sim_micro"),
+            F.expr(
+                "IF(mx = 0, 1000000L, (1000000 * (mx - edit_dist)) div mx)"
+            ).alias("edit_sim_micro"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -140,9 +140,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.select(
             "doc_id",
             F.explode(
+                # Guard short docs: sequence(1, 0) is DESCENDING in Spark and
+                # slice(words, 0, n) throws — docs with < _NOV_N words must
+                # emit no grams (the oracle's range() already emits nothing).
                 F.expr(
-                    f"transform(sequence(1, greatest(size(words) - {_NOV_N - 1}, 0)),"
-                    f" k -> md5(array_join(slice(words, k, {_NOV_N}), ' ')))"
+                    f"IF(size(words) >= {_NOV_N},"
+                    f" transform(sequence(1, size(words) - {_NOV_N - 1}),"
+                    f" k -> md5(array_join(slice(words, k, {_NOV_N}), ' '))),"
+                    f" array())"
                 )
             ).alias("gh"),
         )

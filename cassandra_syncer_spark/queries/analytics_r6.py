@@ -53,9 +53,12 @@ def _pipeline_sql() -> str:
     p AS (SELECT doc_id, substr(text, 1, {_EDIT_PREFIX}) AS pre FROM documents)
     SELECT j.doc_a, j.doc_b, j.jaccard,
            CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS edit_dist,
-           (1000000 * (greatest(len(pa.pre), len(pb.pre))
-                       - levenshtein(pa.pre, pb.pre)))
-             // greatest(len(pa.pre), len(pb.pre)) AS edit_sim_micro
+           -- mx=0 (two empty texts) guard: identical-empty pairs are a
+           -- perfect match; DuckDB // raises on /0, Spark div yields null
+           CASE WHEN greatest(len(pa.pre), len(pb.pre)) = 0 THEN 1000000
+                ELSE (1000000 * (greatest(len(pa.pre), len(pb.pre))
+                                 - levenshtein(pa.pre, pb.pre)))
+                     // greatest(len(pa.pre), len(pb.pre)) END AS edit_sim_micro
     FROM jac j
     JOIN p pa ON j.doc_a = pa.doc_id
     JOIN p pb ON j.doc_b = pb.doc_id
@@ -138,7 +141,12 @@ def dedup_verify_pipeline(
             "doc_b",
             "jaccard",
             "edit_dist",
-            F.expr("(1000000 * (mx - edit_dist)) div mx").alias("edit_sim_micro"),
+            # mx=0 guard mirrors the oracle CASE: two empty prefixes that
+            # band-collide are a perfect match, not a null / div-by-zero
+            F.expr(
+                "IF(mx = 0, 1000000L,"
+                " (1000000 * (mx - edit_dist)) div mx)"
+            ).alias("edit_sim_micro"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -396,9 +404,15 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "bucket",
         F.explode(
+            # Guard short docs: sequence(1, 0) is DESCENDING ([1, 0]) in
+            # Spark, and slice(words, 0, 8) throws INVALID_PARAMETER_VALUE —
+            # docs with < 8 words must emit no grams (the oracle's
+            # range(1, len-6) already emits nothing for them).
             F.expr(
-                "transform(sequence(1, greatest(size(words) - 7, 0)),"
-                " k -> md5(array_join(slice(words, k, 8), ' ')))"
+                "IF(size(words) >= 8,"
+                " transform(sequence(1, size(words) - 7),"
+                " k -> md5(array_join(slice(words, k, 8), ' '))),"
+                " array())"
             )
         ).alias("gh"),
     )

@@ -90,7 +90,7 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            round(CAST(n_stop AS DOUBLE) / n_words, 8) AS stopword_ratio,
-           round(CAST(n_punct AS DOUBLE) / n_chars, 8) AS punct_ratio,
+           round(CAST(n_punct AS DOUBLE) / nullif(n_chars, 0), 8) AS punct_ratio,
            round(CAST(n_chars AS DOUBLE) / n_words, 8) AS avg_word_len,
            CASE WHEN n_words >= 50 AND CAST(n_stop AS DOUBLE) / n_words > 0.05
                 THEN 1 ELSE 0 END AS passes_quality
@@ -110,7 +110,11 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_words.cast("long").alias("n_words"),
         F.round(n_stop.cast("double") / n_words, 8).alias("stopword_ratio"),
-        F.round(n_punct.cast("double") / F.col("n_chars"), 8).alias("punct_ratio"),
+        # nullif: an empty doc has n_chars = 0 and ANSI division throws —
+        # its punct ratio is undefined (NULL), identically on both engines
+        F.round(
+            n_punct.cast("double") / F.expr("nullif(n_chars, 0)"), 8
+        ).alias("punct_ratio"),
         F.round(F.col("n_chars").cast("double") / n_words, 8).alias("avg_word_len"),
         F.when((n_words >= 50) & (n_stop.cast("double") / n_words > 0.05), 1)
         .otherwise(0)

@@ -57,63 +57,30 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: have never had a driver row, then the full r1/r2-stale blocks (oldest
 #: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
-    # -- 0: definition changed in round 6 — new or rewritten dataflow/oracle
-    "sim_lsh_ann",            # MLlib BRP → deterministic sign-projection LSH
-    "sim_ivf_kmeans",         # MLlib k-means → one-step-Lloyd integer quantizer
-    "agg_approx_distinct",    # rows-only sketch → envelope certification
-    "agg_percentile_approx",  # rows-only sketch → rank-error envelope
-    "agg_hll_union",          # rows-only sketch → union envelope
-    "dedup_verify_pipeline",  # NEW: Jaccard screen → survivor-bounded edit verify
-    "win_cume_dist_approx",   # NEW: histogram position sketch, no segment sort
-    "multimodal_decode_real", # NEW: real container bytes, real header parse
-    "tokenizer_vocab_coverage",  # NEW round 6
-    "corpus_vocab_growth",       # NEW round 6
-    "events_sessionize_gap",     # NEW round 6
-    "agg_hll_intersection",      # NEW round 6
-    "dedup_embed_clusters",      # NEW round 6
-    "join_dynamic_partition_prune",  # NEW round 6
-    "agg_bitmap_intersect",          # NEW round 6
-    "events_top_paths",              # NEW round 6
-    "embed_outlier_knn",             # NEW round 6
-    "mix_dedup_aware_weights",       # NEW round 6
-    "text_ngram_novelty",     # oracle: gram range now derived from len(words)
-    "scan_binaryfile",        # oracle: octet_length(encode(text))
-    "agg_distinct_bitmap",    # integer-div bucket expression
-    "events_dau_wau",         # integer-div bucket expression
-    "win_sliding_distinct",   # integer-div bucket expression
-    "join_bloom_prefilter",   # integer-div bucket expression (also never checked)
-    # -- 1: new in round 5, never driver-checked (r5 window overflow) -------
-    "sim_hamming_ann",
-    "agg_countmin_freq",
-    "join_asof_nearest",
-    "agg_percentile_hist",
-    "agg_weighted_median",
-    "sample_reservoir_perkey",
-    "win_ewma",
-    "dedup_chunk_apply",
-    "text_diversity_gini",
-    "mix_epoch_plan",
-    "corpus_dupsize_histogram",
-    "split_train_valid_test",
-    "join_asof_tolerance",
-    "dedup_minhash_salted",
-    "scan_orc_roundtrip",
-    "dedup_minhash_estimate",
-    "dedup_simhash_estimate",
-    # -- 2a: last verified in round 1 (oldest first) ------------------------
-    "agg_percentile",
-    "agg_pivot",
-    "dedup_embed_cosine",
-    "dedup_exact_text",
-    "dedup_ngram_jaccard",
-    "join_3table_topk",
-    "join_left_outer",
-    "join_self_dedup",
-    "merge_upsert",
+    # Round-7 order: (0) ids whose dataflow or oracle CHANGED in round 7 —
+    # the ADVICE short-doc/div-zero guards and the shingle-kernel get()
+    # rewrite (value-neutral on ≥3-word docs; hashes must confirm that) —
+    # then (1) the two round-1-stale ids the r6 window cut off, then
+    # (2) the full remaining r2-stale block (last driver check predates
+    # the round-3 fixture regeneration), then (3) queries NEW in round 7.
+    # 0+1+2 ≈ 48 ids, inside the driver's ~50-query window, so after this
+    # round no registered id's last check predates round 3; new round-7
+    # ids overflow into round 8's front block (all covered by the local
+    # PARITY artifact meanwhile).
+    # -- 0: definition changed in round 7 -----------------------------------
+    "text_ngram_novelty",      # short-doc guard on the 8-gram expansion
+    "corpus_vocab_growth",     # short-doc guard on the 8-gram expansion
+    "dedup_verify_pipeline",   # mx=0 guard on edit_sim_micro (both engines)
+    "dedup_verify_edit",       # mx=0 guard on edit_sim_micro (both engines)
+    "text_quality",            # nullif(n_chars,0) punct-ratio guard
+    "mix_sample_weighted",     # try_cast on digit-less source names
+    "text_ngram_freq",         # get(w,i) bigram kernel (OOB-null, not throw)
+    "text_minhash_dedup",      # shingles_expr get() rewrite (representative)
+    "dedup_verify_jaccard",    # consumes the same shingle/band kernel
+    # -- 1: last verified in round 1 — cut off by the r6 window -------------
     "sim_ivf_ann",
-    "text_ngram_freq",
-    # -- 2b: last verified in round 2 (the window cuts off somewhere in
-    #    here; the rest roll into round 7's front block) -------------------
+    # -- 2: last verified in round 2 (oldest-stale block, completes the
+    #    no-pre-round-3-checks goal) ----------------------------------------
     "agg_group_sum",
     "array_funcs",
     "cond_funcs",
@@ -143,7 +110,6 @@ PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "text_langid",
     "text_normalize",
-    "text_quality",
     "text_tokens",
     "udaf_grouped",
     "udf_scalar",
@@ -151,7 +117,14 @@ PRIORITY: tuple[str, ...] = (
     "win_percent_rank",
     "win_rank_dense",
     "win_sliding",
-    # (everything verified in round 3-5 keeps registration order at the tail)
+    # -- 3: new in round 7 (window overflow expected; PARITY covers them
+    #    locally until the round-8 rotation) --------------------------------
+    "join_interval_coalesce",
+    "win_rolling_median",
+    "agg_percentile_disc",
+    "events_seasonality_profile",
+    "mix_budget_waterfill",
+    "graph_triangle_count",
 )
 
 

@@ -115,8 +115,13 @@ def read_pairs(spark: SparkSession, pairs_log: str) -> DataFrame:
     (pair, batch_id, n_shared_bands) rows, so the inner max over
     (pair, batch_id) collapses them before the cross-batch sum.  Logs
     written before the batch_id column existed read as batch_id=null,
-    which the same grouping handles (one group per pair)."""
-    raw = spark.read.parquet(pairs_log)
+    which the same grouping handles (one group per pair).  mergeSchema
+    is forced: a MIXED log (pre-upgrade files without batch_id plus new
+    files) must not let Spark infer the old schema from one footer and
+    project batch_id away for every row — that would collapse all
+    batches into one null group and degrade the cross-batch sum to a
+    max (undercount)."""
+    raw = spark.read.option("mergeSchema", "true").parquet(pairs_log)
     if "batch_id" not in raw.columns:
         raw = raw.withColumn("batch_id", F.lit(None).cast("long"))
     return (

@@ -565,7 +565,9 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
                 "doc_b",
                 F.round(inter.cast("double") / union, 4).alias("jaccard"),
                 "edit_dist",
-                F.expr("(1000000 * (mx - edit_dist)) div mx").alias("edit_sim_micro"),
+                F.expr(
+                    "IF(mx = 0, 1000000L, (1000000 * (mx - edit_dist)) div mx)"
+                ).alias("edit_sim_micro"),
             )
             .filter(F.col("jaccard") >= 0.5)
             .orderBy("doc_a", "doc_b")

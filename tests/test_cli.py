@@ -290,13 +290,22 @@ def test_bench_contract_smoke():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
+    # the driver records only the TAIL of stdout — the whole line must fit
+    # or the artifact parses to null (BENCH_r05/r06 regression)
+    assert len(line) <= 1900, len(line)
     d = json.loads(line)
     for key in ("metric", "value", "unit", "queries", "sf",
-                "baseline_same_session", "ratio_vs_baseline_same_session"):
+                "ratio_vs_baseline_same_session"):
         assert key in d, key
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["queries"] and all(v > 0 for v in d["queries"].values())
     assert all(r > 0 for r in d["ratio_vs_baseline_same_session"].values())
+    # full artifact (incl. absolute vanilla timings + forcing notes) lands
+    # in the side file
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_DETAIL.json")) as fh:
+        detail = json.load(fh)
+    assert "baseline_same_session" in detail and "forcing" in detail
 
 
 def test_cli_restore_manifest_cache(tmp_path):
@@ -330,3 +339,51 @@ def test_cli_restore_manifest_cache(tmp_path):
     cache.unlink()
     r = run_cli("restore", str(store), str(dst))
     assert "cached" not in r
+
+    # deleting a restored FILE (cache intact) must invalidate the skip —
+    # the cache alone is not evidence the tree is materialized (ADVICE r6)
+    r = run_cli("restore", str(store), str(dst))
+    assert r.get("cached") is True
+    (dst / "ks1/a-Data.db").unlink()
+    r = run_cli("restore", str(store), str(dst))
+    assert "cached" not in r
+    assert (dst / "ks1/a-Data.db").read_bytes() == b"alpha"
+
+    # a DIFFERENT store with the same container + manifest_ts must not be
+    # skipped: the cache is keyed on store identity
+    import json as _json
+
+    store2 = tmp_path / "store2"
+    run_cli("backup", str(src), str(store2))
+    r = run_cli("restore", str(store2), str(dst))   # writes store2 cache
+    r = run_cli("restore", str(store2), str(dst))
+    assert r.get("cached") is True                  # sanity: skip works
+    cached = _json.loads(cache.read_text())
+    cached["store"] = str(store)                    # forge: other store
+    cache.write_text(_json.dumps(cached))
+    r = run_cli("restore", str(store2), str(dst))
+    assert "cached" not in r
+
+
+def test_cli_container_default_fallback(tmp_path):
+    """Hostname-default migration shim: a store backed up under the
+    legacy literal 'default' container still restores/prunes with no
+    --container flag — the CLI falls back when the implicit hostname
+    container has no manifests (and never overrides an explicit one)."""
+    src, store, dst = tmp_path / "src", tmp_path / "store", tmp_path / "dst"
+    (src / "ks1").mkdir(parents=True)
+    (src / "ks1/a-Data.db").write_bytes(b"alpha")
+    run_cli("backup", str(src), str(store), "--container", "default")
+
+    r = run_cli("restore", str(store), str(dst))  # implicit hostname
+    assert r["restored"] == 1 and r["missing"] == 0
+    assert (dst / "ks1/a-Data.db").read_bytes() == b"alpha"
+
+    r = run_cli("prune", str(store), "--older-than-days", "0", "--dry-run")
+    assert r["pruned"] == 0
+
+    # explicit --container naming a container with no manifests is
+    # honored verbatim: nothing restored, no silent fallback
+    dst2 = tmp_path / "dst2"
+    r = run_cli("restore", str(store), str(dst2), "--container", "nosuch")
+    assert r["restored"] == 0

@@ -1,0 +1,152 @@
+"""Round-7 regression tests for the ADVICE round-6 findings.
+
+Each test reconstructs the exact degenerate input the fixtures never
+exercise — short documents, empty-text band collisions, mixed-schema
+pair logs — so the fixed hazards stay fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _write_docs(spark, tmp_path, rows):
+    """A minimal sf-dir containing only a documents table."""
+    out = str(tmp_path / "sf_docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_gram_queries_survive_short_docs(spark, tmp_path):
+    """Docs with < 8 words crashed the 8-gram expansion: Spark's
+    sequence(1, 0) is DESCENDING ([1, 0]) and slice(words, 0, 8) throws
+    INVALID_PARAMETER_VALUE.START (ADVICE r6, analytics_r6.py /
+    analytics_r5f.py).  Short docs must contribute zero grams, exactly
+    as the DuckDB oracle's range() does."""
+    from cassandra_syncer_spark.queries.analytics_r5f import text_ngram_novelty
+    from cassandra_syncer_spark.queries.analytics_r6 import corpus_vocab_growth
+
+    long_text = " ".join(f"w{i}" for i in range(12))  # 12 words → 5 grams
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (0, "", "en", "web", 0),                   # empty text
+            (1, "one", "en", "web", 3),                # 1 word
+            (2, "a b c d e f g", "en", "web", 13),     # exactly 7 words
+            (3, long_text, "en", "web", len(long_text)),
+        ],
+    )
+    nov = text_ngram_novelty(spark, sf).collect()
+    # only doc 3 is long enough to emit grams; all its grams are novel
+    assert [r["doc_id"] for r in nov] == [3]
+    assert nov[0]["n_grams"] == 5 and nov[0]["n_novel"] == 5
+    assert nov[0]["novelty_micro"] == 1000000
+
+    growth = corpus_vocab_growth(spark, sf).collect()
+    # one bucket row (only doc 3 contributes grams), cumulative = totals
+    assert len(growth) == 1
+    assert growth[0]["cum_grams"] == 5 and growth[0]["cum_types"] == 5
+
+
+def test_verify_pipeline_empty_text_collision(spark, tmp_path):
+    """Two empty-text docs band-collide (identical degenerate minhash),
+    giving mx = 0 in the edit-similarity ratio: Spark `div` yielded
+    null and the DuckDB oracle raised Division by zero (ADVICE r6).
+    Identical-empty pairs are a PERFECT match: edit_sim_micro must be
+    1000000, never null."""
+    from cassandra_syncer_spark.queries.analytics_r6 import dedup_verify_pipeline
+
+    sf = _write_docs(
+        spark,
+        tmp_path,
+        [(0, "", "en", "web", 0), (1, "", "en", "web", 0)],
+    )
+    rows = dedup_verify_pipeline(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["edit_dist"] == 0
+    assert r["edit_sim_micro"] == 1000000  # not null, not a crash
+
+
+def test_all_queries_survive_degenerate_docs(spark, tmp_path):
+    """Robustness law, round-7 edition: every registered query must
+    execute cleanly when the documents/embeddings content is DEGENERATE
+    — empty texts, 1-word and 7-word docs (below every gram width),
+    zero vectors — while the other tables are real.  Short docs crashed
+    three gram kernels this round (ANSI sequence/slice/index); a crawl
+    with a single short doc must never abort a pipeline."""
+    import os
+
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import FIXTURE_TABLES
+
+    all_queries()
+    out = str(tmp_path / "degenerate_sf")
+    os.makedirs(out, exist_ok=True)
+    for t in FIXTURE_TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if t == "documents":
+            docs = [
+                (i, txt, "en" if i % 2 else "de", "web", len(txt))
+                for i, txt in enumerate(
+                    ["", "one", "a b", "a b c d e f g", "x " * 3, ""]
+                )
+            ]
+            spark.createDataFrame(
+                docs,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        elif t == "embeddings":
+            # keep the real schema/dim but only 4 rows incl. a zero vector
+            (
+                spark.read.parquet(src)
+                .limit(4)
+                .withColumn(
+                    "embedding",
+                    F.expr(
+                        "IF(vec_id % 2 = 0, transform(embedding, x -> float(0.0)), embedding)"
+                    ),
+                )
+                .write.mode("overwrite")
+                .parquet(f"{out}/{t}.parquet")
+            )
+        else:
+            spark.read.parquet(src).write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            spec.fn(spark, out).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all offenders
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_read_pairs_merges_mixed_schema_logs(spark, tmp_path):
+    """A pairs log holding pre-upgrade files (no batch_id column) PLUS
+    new files must not let parquet schema inference project batch_id
+    away (ADVICE r6, dedup_stream.py): without mergeSchema every row
+    collapses into one null batch group and the cross-batch sum of
+    n_shared_bands degrades to a max.  With the fix, distinct batches
+    keep their identity and the sums add."""
+    from cassandra_syncer_spark.streaming.dedup_stream import read_pairs
+
+    log = str(tmp_path / "pairs_log")
+    # pre-upgrade file: no batch_id
+    spark.createDataFrame(
+        [(1, 2, 3)], "doc_a long, doc_b long, n_shared_bands long"
+    ).write.mode("append").parquet(log)
+    # two post-upgrade batches for the same pair
+    spark.createDataFrame(
+        [(1, 2, 4, 7), (1, 2, 5, 8)],
+        "doc_a long, doc_b long, n_shared_bands long, batch_id long",
+    ).write.mode("append").parquet(log)
+
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared_bands"] for r in read_pairs(spark, log).collect()}
+    # null-batch 3 + batch-7's 4 + batch-8's 5 = 12 (a max would give 5)
+    assert out == {(1, 2): 12}
