@@ -375,8 +375,14 @@ def mix_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the totals.  All arithmetic is integer division — hash-exact.
     """
     docs = T(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail")
+    # materialize the |sources|-row availability table ONCE: it feeds the
+    # total scalar, pass-1, the leftover scalar, and the final projection —
+    # without the checkpoint each consumer re-runs the corpus scan + agg
+    # (the agg_hll_intersection lesson, measured 5.3x there)
+    s = (
+        docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).cast("long").alias("avail"))
+        .localCheckpoint()
     )
     tot = s.agg(
         F.sum("avail").cast("long").alias("t"),
@@ -525,4 +531,140 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ELSE 0 END AS BIGINT)"
             ).alias("clustering_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_recall_audit — measured recall of the sign-prefix ANN vs exact top-k
+# ---------------------------------------------------------------------------
+
+_RA_K = 5  # audit depth: top-5
+
+
+def _recall_sql() -> str:
+    from cassandra_syncer_spark.queries.llm_similarity import _KNN_CODE_DUCK
+
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    n AS (
+      SELECT CAST(length(bin(greatest((count(*) + 249) // 250, 8) - 1))
+             AS BIGINT) AS b
+      FROM e
+    ),
+    cells AS (
+      SELECT vec_id, v, ({_KNN_CODE_DUCK}) >> (63 - n.b) AS cell
+      FROM e, n
+    ),
+    q AS (SELECT vec_id AS q_id, v AS qv, cell AS qcell
+          FROM cells WHERE vec_id < {_RA_K}),
+    exact AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_inner_product(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS rn
+        FROM q CROSS JOIN e WHERE q.q_id <> e.vec_id
+      ) WHERE rn <= {_RA_K}
+    ),
+    ann AS (
+      SELECT q_id, vec_id, n_cand FROM (
+        SELECT q.q_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.q_id
+                 ORDER BY round(list_inner_product(q.qv, c.v), 6) DESC,
+                          c.vec_id) AS rn,
+               CAST(count(*) OVER (PARTITION BY q.q_id) AS BIGINT) AS n_cand
+        FROM q JOIN cells c ON q.qcell = c.cell AND q.q_id <> c.vec_id
+      ) WHERE rn <= {_RA_K}
+    )
+    SELECT a.q_id,
+           CAST(max(a.n_cand) AS BIGINT) AS n_candidates,
+           CAST(count(x.vec_id) AS BIGINT) AS n_hit,
+           CAST(1000000 * count(x.vec_id) // {_RA_K} AS BIGINT) AS recall_micro
+    FROM ann a LEFT JOIN exact x
+      ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+    GROUP BY a.q_id ORDER BY a.q_id
+    """
+
+
+@register("sim_recall_audit", oracle=_recall_sql())
+def sim_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED ANN recall — the certification row every approximate
+    index needs before it replaces the exact path: for a probe sample,
+    run the sign-code-prefix-cell ANN (the ``sim_knn_graph_ivf``
+    blocking key) AND the exact brute-force top-5, and report per probe
+    how many exact neighbors the ANN recovered plus the candidate count
+    it paid for.  This closes the loop the estimator-certification
+    family (``dedup_minhash_estimate`` etc.) opened for sketches:
+    sketch accuracy AND index recall are both driver-checked artifacts,
+    not prose claims.
+
+    Scale shape: the exact side is probe-broadcast × corpus — linear in
+    the corpus and proportional to the PROBE SAMPLE, which is the knob
+    (a 1000-probe audit over 100 TB is 1000 broadcast scans fused into
+    one); the ANN side touches only the probes' cells.  Ranking is
+    round(·,6)+id tie-broken, identical on both engines, so the audit
+    hashes exactly.
+    """
+    from cassandra_syncer_spark.queries.llm_similarity import (
+        _KNN_CODE_SPARK,
+        _dot,
+        _vec,
+    )
+
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    bbits = emb.agg(
+        F.expr(
+            "cast(length(bin(greatest((count(*) + 249) div 250, 8) - 1)) as bigint)"
+        ).alias("b")
+    )
+    cells = (
+        emb.crossJoin(F.broadcast(bbits))
+        .select(
+            "vec_id",
+            "v",
+            F.expr(f"shiftright({_KNN_CODE_SPARK}, cast(63 - b as int))").alias(
+                "cell"
+            ),
+        )
+        .localCheckpoint()
+    )
+    q = cells.filter(F.col("vec_id") < _RA_K).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    exact = (
+        cells.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _RA_K)
+        .select("q_id", "vec_id")
+    )
+    ann_scored = (
+        cells.join(
+            F.broadcast(q),
+            (F.col("qcell") == F.col("cell")) & (F.col("q_id") != F.col("vec_id")),
+        )
+        .select("q_id", "vec_id", F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cos"))
+    )
+    wc = Window.partitionBy("q_id")
+    ann = (
+        ann_scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_cand", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") <= _RA_K)
+        .select("q_id", "vec_id", "n_cand")
+    )
+    hit = exact.select("q_id", "vec_id", F.lit(1).alias("is_hit"))
+    return (
+        ann.join(hit, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.max("n_cand").cast("long").alias("n_candidates"),
+            F.count("is_hit").cast("long").alias("n_hit"),
+            F.expr(f"CAST(1000000 * count(is_hit) div {_RA_K} AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+        .orderBy("q_id")
     )

@@ -125,6 +125,7 @@ PRIORITY: tuple[str, ...] = (
     "events_seasonality_profile",
     "mix_budget_waterfill",
     "graph_triangle_count",
+    "sim_recall_audit",
 )
 
 
