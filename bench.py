@@ -71,6 +71,10 @@ HEADLINE = [
     "graph_pagerank",
     "dedup_incremental_clusters",
     "dedup_verify_pipeline",
+    # round-7 gate rows: oriented triangle join vs the unoriented wedge
+    # join; streaming-frame rolling median vs the range-self-join port
+    "graph_triangle_count",
+    "win_rolling_median",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

@@ -37,6 +37,9 @@ ENGINE_EQUIV = {
     "graph_pagerank": "pagerank_vanilla",
     "dedup_incremental_clusters": "clusters_vanilla",
     "dedup_verify_pipeline": "verify_pipeline_vanilla",
+    # round-7 heavy tail
+    "graph_triangle_count": "triangle_vanilla",
+    "win_rolling_median": "rolling_median_vanilla",
 }
 
 
@@ -573,6 +576,83 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("doc_a", "doc_b")
         )
 
+    def triangle_vanilla():
+        # the natural first triangle formulation: UNORIENTED adjacency
+        # wedge join closed against the edge set, each triangle generated
+        # from all 3 apexes then divided by 3 — hub nodes explode the
+        # wedge join (fan-out = degree², not out-degree²), which is what
+        # graph_triangle_count's (degree, id) orientation removes.
+        e = _naive_minhash_pairs().localCheckpoint()
+        adj = e.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("w")).unionAll(
+            e.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("w"))
+        )
+        a1 = adj.select(F.col("u").alias("b"), F.col("w").alias("x"))
+        a2 = adj.select(F.col("u").alias("b"), F.col("w").alias("z"))
+        wedge = a1.join(a2, "b").filter(F.col("x") < F.col("z"))
+        ed = e.select(
+            F.col("doc_a").alias("x"), F.col("doc_b").alias("z"), F.lit(1).alias("ok")
+        )
+        tri = (
+            wedge.join(ed, ["x", "z"])
+            .agg((F.count(F.lit(1)) / 3).cast("long").alias("n_triangles"))
+        )
+        deg = (
+            adj.groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        wedges = deg.agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        )
+        n_edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        return (
+            n_edges.crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(tri))
+            .crossJoin(F.broadcast(wedges))
+            .select(
+                "n_edges",
+                "n_nodes",
+                "n_triangles",
+                "n_wedges",
+                F.expr(
+                    "CAST(CASE WHEN n_wedges > 0"
+                    " THEN 3000000 * n_triangles div n_wedges"
+                    " ELSE 0 END AS BIGINT)"
+                ).alias("clustering_micro"),
+            )
+        )
+
+    def rolling_median_vanilla():
+        # the naive rolling-median formulation: rank rows, RANGE self-join
+        # each row to its 5-row frame, percentile per (user, row) group —
+        # a frame-sized row blow-up plus a second shuffle, vs the engine's
+        # single streaming window
+        ev = events.select(
+            "user_id",
+            "event_id",
+            F.col("ts_sec").cast("long").alias("ts_sec"),
+            F.expr("CAST(round(value * 100.0) AS BIGINT)").alias("v_centi"),
+        )
+        w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+        r = ev.withColumn("rn", F.row_number().over(w))
+        a = r.select("user_id", "event_id", F.col("rn").alias("arn"))
+        b = r.select(
+            F.col("user_id").alias("user_id"),
+            F.col("rn").alias("brn"),
+            F.col("v_centi").alias("bv"),
+        )
+        return (
+            a.join(b, "user_id")
+            .filter((F.col("brn") >= F.col("arn") - 4) & (F.col("brn") <= F.col("arn")))
+            .groupBy("user_id", "event_id")
+            .agg(
+                F.expr(
+                    "CAST(round(2.0 * percentile(bv, 0.5)) AS BIGINT)"
+                ).alias("med_demi_centi")
+            )
+            .orderBy("user_id", "event_id")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -594,4 +674,6 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "pagerank_vanilla": pagerank_vanilla(),
         "clusters_vanilla": clusters_vanilla(),
         "verify_pipeline_vanilla": verify_pipeline_vanilla(),
+        "triangle_vanilla": triangle_vanilla(),
+        "rolling_median_vanilla": rolling_median_vanilla(),
     }

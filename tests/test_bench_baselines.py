@@ -27,6 +27,8 @@ def test_verbatim_vanilla_rows_match_engine(spark, sf_dir):
         "win_running_frame",
         "corpus_bigram_lm_score",
         "win_sliding_distinct",
+        "graph_triangle_count",
+        "win_rolling_median",
     ]:
         engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
         vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
