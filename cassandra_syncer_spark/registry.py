@@ -126,6 +126,10 @@ PRIORITY: tuple[str, ...] = (
     "mix_budget_waterfill",
     "graph_triangle_count",
     "sim_recall_audit",
+    "text_html_strip",
+    "feat_target_encode",
+    "sample_balanced_classes",
+    "stream_dedup_stateful",
 )
 
 
