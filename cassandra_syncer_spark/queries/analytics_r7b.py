@@ -304,3 +304,103 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("css_stream_dedup_stateful").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# sample_balanced_threshold — the no-big-sort scale path for class balance
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sample_balanced_threshold",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type FROM events),
+    counts AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM e GROUP BY event_type),
+    m AS (SELECT CAST(min(n) AS BIGINT) AS m FROM counts),
+    ranked AS (
+      SELECT event_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                         event_id) AS rk
+      FROM e
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(r.event_id) AS BIGINT) AS sum_kept_ids
+    FROM ranked r, m WHERE r.rk <= m.m
+    GROUP BY r.event_type ORDER BY r.event_type
+    """,
+)
+def sample_balanced_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance downsampling WITHOUT the per-class corpus sort —
+    the 100 TB form of ``sample_balanced_classes``, selecting the
+    IDENTICAL row set (the oracle is the rank formulation verbatim):
+    because the bucket key is a PREFIX of the rank key (first 12 bits of
+    the same md5), ordering by (bucket, hash, id) ≡ ordering by
+    (hash, id) — so a histogram cut at the bucket level plus an exact
+    rank over only the BOUNDARY bucket reproduces the full sort's
+    selection with none of its cost.
+
+    Dataflow: (1) map-side histogram of 4096 hash buckets per class;
+    (2) cumulative counts + boundary bucket on the |classes|·4096
+    dimension table; (3) rows below the boundary kept sort-free, rows
+    IN the boundary bucket (expected n/4096 per class) ranked to fill
+    the remainder.  The only sort touches the boundary slice — per-task
+    work is corpus/4096 regardless of class skew, where the rank form
+    serializes each class onto one task.  This is the selection analog
+    of ``win_cume_dist_approx``'s position histogram, made EXACT by the
+    boundary refinement.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.md5(F.col("event_id").cast("string")).alias("h"),
+    ).withColumn("bkt", F.expr("cast(conv(substr(h, 1, 3), 16, 10) as bigint)"))
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    m = counts.agg(F.min("n").cast("long").alias("m"))
+    hist = e.groupBy("event_type", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    boundary = (
+        cum.crossJoin(F.broadcast(m))
+        .filter(F.col("cum") >= F.col("m"))
+        .groupBy("event_type")
+        .agg(
+            F.min("bkt").cast("long").alias("b"),
+            F.max("m").alias("m"),
+        )
+    )
+    # cum count strictly below the boundary bucket
+    below = (
+        cum.join(F.broadcast(boundary.select("event_type", "b")), "event_type")
+        .filter(F.col("bkt") == F.col("b"))
+        .select("event_type", (F.col("cum") - F.col("cnt")).alias("c_lt"))
+    )
+    bd = boundary.join(below, "event_type")  # event_type, b, m, c_lt
+    tagged = e.join(F.broadcast(bd), "event_type")
+    keep_lt = tagged.filter(F.col("bkt") < F.col("b")).select(
+        "event_type", "event_id"
+    )
+    wb = Window.partitionBy("event_type").orderBy("h", "event_id")
+    keep_eq = (
+        tagged.filter(F.col("bkt") == F.col("b"))
+        .withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= F.col("m") - F.col("c_lt"))
+        .select("event_type", "event_id")
+    )
+    return (
+        keep_lt.unionByName(keep_eq)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("event_id").cast("long").alias("sum_kept_ids"),
+        )
+        .orderBy("event_type")
+    )

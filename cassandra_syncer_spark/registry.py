@@ -130,6 +130,7 @@ PRIORITY: tuple[str, ...] = (
     "feat_target_encode",
     "sample_balanced_classes",
     "stream_dedup_stateful",
+    "sample_balanced_threshold",
 )
 
 
