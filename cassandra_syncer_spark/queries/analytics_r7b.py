@@ -404,3 +404,182 @@ def sample_balanced_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_abtest_lift — deterministic A/B split + conversion lift
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_abtest_lift",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                       AS UBIGINT) AS BIGINT) % 2 AS arm,
+             CAST(CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                            >= 14 THEN 1 ELSE 0 END AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_conv,
+             CAST((1000000 * sum(converted)) // count(*) AS BIGINT) AS conv_micro
+      FROM u GROUP BY arm
+    )
+    SELECT a.arm, a.n_users, a.n_conv, a.conv_micro,
+           CAST(a.conv_micro
+                - (SELECT conv_micro FROM arms WHERE arm = 0) AS BIGINT)
+             AS lift_vs_control_micro
+    FROM arms a ORDER BY a.arm
+    """,
+)
+def events_abtest_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with a DETERMINISTIC assignment: users
+    split into arms by md5 hash parity (the same content-independent
+    device as every sampler here — re-runnable, join-consistent, no
+    rand()), per-arm conversion to 'purchase' at USER grain (any
+    conversion counts once), and each arm's lift against the control
+    arm in exact micro-units.  The hash assignment is what production
+    experimentation systems actually do (bucketing by user-id hash), so
+    this query doubles as the analysis-side verification that a hash
+    split is balanced.
+
+    Scale shape: one user-grain agg (map-side partial over the event
+    scan) then a 2-row arm table; the control scalar broadcasts back.
+    No corpus-sized shuffle beyond the user-key agg that any per-user
+    metric pays.
+    """
+    from cassandra_syncer_spark.operators import fingerprint as fp
+
+    u = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            # conversion = a "heavy purchaser" (≥ 14 purchase events) so the
+            # fixture yields a non-degenerate ~50/50 outcome; production
+            # plugs in whatever user-grain success predicate applies
+            F.when(
+                F.count(F.when(F.col("event_type") == "purchase", 1)) >= 14, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("converted")
+        )
+        .select(
+            (F.expr(fp.hash32("CAST(user_id AS STRING)", duck=False)) % 2).alias(
+                "arm"
+            ),
+            "converted",
+        )
+    )
+    arms = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_conv"),
+        F.expr(
+            "CAST((1000000 * sum(converted)) div count(*) AS BIGINT)"
+        ).alias("conv_micro"),
+    )
+    control = arms.filter(F.col("arm") == 0).select(
+        F.col("conv_micro").alias("control_micro")
+    )
+    return (
+        arms.crossJoin(F.broadcast(control))
+        .select(
+            "arm",
+            "n_users",
+            "n_conv",
+            "conv_micro",
+            (F.col("conv_micro") - F.col("control_micro"))
+            .cast("long")
+            .alias("lift_vs_control_micro"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_cluster_purity — label purity of the sign-prefix blocking cells
+# ---------------------------------------------------------------------------
+
+
+def _purity_sql() -> str:
+    from cassandra_syncer_spark.queries.llm_similarity import _KNN_CODE_DUCK
+
+    return f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    n AS (
+      SELECT CAST(length(bin(greatest((count(*) + 249) // 250, 8) - 1))
+             AS BIGINT) AS b
+      FROM e
+    ),
+    cells AS (
+      SELECT vec_id, label, ({_KNN_CODE_DUCK}) >> (63 - n.b) AS cell
+      FROM e, n
+    ),
+    cl AS (
+      SELECT cell, label, CAST(count(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY cell, label
+    ),
+    per_cell AS (
+      SELECT cell, CAST(sum(cnt) AS BIGINT) AS n_vecs,
+             CAST(max(cnt) AS BIGINT) AS n_major
+      FROM cl GROUP BY cell
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+           CAST(max(n_vecs) AS BIGINT) AS max_cell,
+           CAST((1000000 * sum(n_major)) // sum(n_vecs) AS BIGINT)
+             AS purity_micro
+    FROM per_cell
+    """
+
+
+@register("embed_cluster_purity", oracle=_purity_sql())
+def embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality AUDIT, label side: for every sign-prefix cell
+    (the ANN blocking key of ``sim_knn_graph_ivf``/``sim_recall_audit``),
+    the fraction of vectors sharing the cell's majority label —
+    corpus-weighted into one purity score plus the cell-size ceiling.
+    ``sim_recall_audit`` certifies the blocking GEOMETRICALLY (does it
+    recover true neighbors); this certifies it SEMANTICALLY (do
+    same-label vectors co-locate) — together they are the two-sided
+    index-quality report a production ANN deployment watches.
+
+    Scale shape: O(N) scan-fused code assignment (no centroid join), one
+    (cell, label) hash agg, then pure dimension-table math over the
+    cell histogram.  One corpus shuffle total, keyed on (cell, label).
+    """
+    from cassandra_syncer_spark.queries.llm_similarity import (
+        _KNN_CODE_SPARK,
+        _vec,
+    )
+
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "label", "v")
+    bbits = emb.agg(
+        F.expr(
+            "cast(length(bin(greatest((count(*) + 249) div 250, 8) - 1)) as bigint)"
+        ).alias("b")
+    )
+    cells = emb.crossJoin(F.broadcast(bbits)).select(
+        "vec_id",
+        "label",
+        F.expr(f"shiftright({_KNN_CODE_SPARK}, cast(63 - b as int))").alias("cell"),
+    )
+    cl = cells.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_cell = cl.groupBy("cell").agg(
+        F.sum("cnt").cast("long").alias("n_vecs"),
+        F.max("cnt").cast("long").alias("n_major"),
+    )
+    return per_cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("n_vecs").cast("long").alias("n_vecs"),
+        F.max("n_vecs").cast("long").alias("max_cell"),
+        F.expr(
+            "CAST((1000000 * sum(n_major)) div sum(n_vecs) AS BIGINT)"
+        ).alias("purity_micro"),
+    )

@@ -131,6 +131,8 @@ PRIORITY: tuple[str, ...] = (
     "sample_balanced_classes",
     "stream_dedup_stateful",
     "sample_balanced_threshold",
+    "events_abtest_lift",
+    "embed_cluster_purity",
 )
 
 

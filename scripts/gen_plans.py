@@ -200,6 +200,25 @@ FLAGSHIPS = [
         "one sort; per-session agg collapses map-side to a 1-row dashboard "
         "output (r6)",
     ),
+    (
+        "graph_triangle_count",
+        "degree-ORIENTED wedge join: both wedge sides read the same "
+        "checkpointed oriented edge list, fan-out bounded by max out-degree "
+        "= O(sqrt(m)); totals come from the degree table, no second corpus "
+        "pass (r7)",
+    ),
+    (
+        "sample_balanced_threshold",
+        "the only corpus-wide ops are a map-side 4096-bucket histogram and a "
+        "boundary-bucket-only rank — per-task work corpus/4096 regardless of "
+        "class skew; selection identical to the rank form (r7)",
+    ),
+    (
+        "mix_budget_waterfill",
+        "corpus token count checkpointed ONCE; every later pass is "
+        "|sources|-row dimension math with 1-row broadcast scalars — depth-k "
+        "waterfilling never re-scans the corpus (r7)",
+    ),
 ]
 
 
