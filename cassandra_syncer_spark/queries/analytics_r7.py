@@ -484,7 +484,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _minhash_pairs(spark, sf_dir).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint()
+    )
+    return triangle_stats(e)
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Oriented triangle counting over an arbitrary (u, v) edge list
+    (u < v, distinct) — the kernel behind ``graph_triangle_count``,
+    factored out so property tests can drive it on random graphs."""
+    e = edges.localCheckpoint()
     deg = (
         e.select(F.col("u").alias("id"))
         .unionAll(e.select(F.col("v").alias("id")))

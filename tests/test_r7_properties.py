@@ -1,0 +1,147 @@
+"""Property tests for the round-7 operators: each law is checked against
+an independent brute-force computation on randomized inputs, so the
+operators' correctness doesn't rest only on the fixture-shaped oracle."""
+
+from __future__ import annotations
+
+import random
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+
+def test_triangle_stats_match_bruteforce_random_graphs(spark):
+    """Oriented wedge-join triangle count == brute-force enumeration on
+    random graphs (including hubs and disconnected parts)."""
+    from cassandra_syncer_spark.queries.analytics_r7 import triangle_stats
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = rng.randint(5, 30)
+        density = rng.choice([0.1, 0.3, 0.6])
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in combinations(range(n), 2)
+                if rng.random() < density
+            }
+        )
+        if not edges:
+            continue
+        adj = {u: set() for e in edges for u in e}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = sum(
+            1
+            for a, b, c in combinations(sorted(adj), 3)
+            if b in adj[a] and c in adj[a] and c in adj[b]
+        )
+        wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+        df = spark.createDataFrame(edges, "u long, v long")
+        row = triangle_stats(df).collect()[0]
+        assert row["n_edges"] == len(edges), trial
+        assert row["n_nodes"] == len(adj), trial
+        assert row["n_triangles"] == tri, (trial, tri)
+        assert row["n_wedges"] == wedges, trial
+        if wedges:
+            assert row["clustering_micro"] == 3000000 * tri // wedges
+
+
+def _stage_events(spark, tmp_path, rows, name):
+    out = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    return out
+
+
+def test_interval_coalesce_matches_bruteforce(spark, tmp_path):
+    """covered_sec / n_spans == brute-force union of [ts, ts+300) per
+    user on random timestamps (dense → one span, sparse → many)."""
+    import datetime as dt
+
+    from cassandra_syncer_spark.queries.analytics_r7 import (
+        _IV_WIDTH_SEC,
+        join_interval_coalesce,
+    )
+
+    rng = random.Random(11)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    per_user = {}
+    for user in range(6):
+        stamps = sorted(
+            rng.randint(0, 4000) for _ in range(rng.randint(1, 40))
+        )
+        per_user[user] = stamps
+        for s in stamps:
+            rows.append((eid, base + dt.timedelta(seconds=s), user, "click", 1.0))
+            eid += 1
+    sf = _stage_events(spark, tmp_path, rows, "sf_iv")
+    got = {
+        r["user_id"]: r for r in join_interval_coalesce(spark, sf).collect()
+    }
+    for user, stamps in per_user.items():
+        spans = []
+        for s in stamps:
+            lo, hi = s, s + _IV_WIDTH_SEC
+            if spans and lo <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], hi)
+            else:
+                spans.append([lo, hi])
+        r = got[user]
+        assert r["n_spans"] == len(spans), user
+        assert r["covered_sec"] == sum(hi - lo for lo, hi in spans), user
+        assert r["max_span_sec"] == max(hi - lo for lo, hi in spans), user
+        assert r["n_events"] == len(stamps), user
+
+
+def test_balanced_samplers_identical_selection_random_skew(spark, tmp_path):
+    """sample_balanced_threshold must select EXACTLY the rows the rank
+    form selects (bucket key is a prefix of the rank key) — checked on
+    random heavily-skewed class sizes, where the boundary-bucket logic
+    actually has to fill a remainder."""
+    import datetime as dt
+
+    from cassandra_syncer_spark.queries.analytics_r7b import (
+        sample_balanced_classes,
+        sample_balanced_threshold,
+    )
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for cls, size in (("a", 17), ("b", 400), ("c", 1500), ("d", 90)):
+        for _ in range(size):
+            rows.append((eid, base, rng.randint(0, 50), cls, 1.0))
+            eid += 1
+    sf = _stage_events(spark, tmp_path, rows, "sf_bal")
+
+    def rowset(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a = rowset(sample_balanced_classes(spark, sf))
+    b = rowset(sample_balanced_threshold(spark, sf))
+    assert a == b
+    # every class reduced to exactly the min class size
+    assert all(r[1] == 17 for r in a)
+
+
+def test_abtest_arms_partition_users(spark, sf_dir):
+    """Arm assignment is a partition of the user set: user counts across
+    arms sum to the distinct-user count, and both arms are non-empty at
+    fixture scale (hash parity is balanced)."""
+    from cassandra_syncer_spark.queries.analytics_r7b import events_abtest_lift
+    from cassandra_syncer_spark.queries.relational import T
+
+    rows = events_abtest_lift(spark, sf_dir).collect()
+    n_users = (
+        T(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    assert len(rows) == 2 and all(r["n_users"] > 0 for r in rows)
+    control = next(r for r in rows if r["arm"] == 0)
+    assert control["lift_vs_control_micro"] == 0
