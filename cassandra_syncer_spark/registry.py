@@ -133,6 +133,10 @@ PRIORITY: tuple[str, ...] = (
     "sample_balanced_threshold",
     "events_abtest_lift",
     "embed_cluster_purity",
+    "corpus_quality_report",
+    "decontam_embedding",
+    "win_rolling_slope",
+    "graph_common_neighbors",
 )
 
 
