@@ -443,6 +443,8 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # materialize the 12k-row histogram once — it feeds BOTH lookup sides
+    # (without the checkpoint each side re-runs the calendar build + window)
     cum = (
         cal.crossJoin(prios)
         .join(day_counts, ["o_orderpriority", "d"], "left")
@@ -451,6 +453,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             F.sum(F.coalesce("c", F.lit(0))).over(wcum).alias("cum"),
         )
+        .localCheckpoint()
     )
     # C(o_lo < hi): starts are midnight-aligned, so o_lo < hi ⇔ o_lo ≤ hi − 1 day
     c_hi = cum.select(

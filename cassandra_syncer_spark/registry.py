@@ -77,6 +77,7 @@ PRIORITY: tuple[str, ...] = (
     "text_ngram_freq",         # get(w,i) bigram kernel (OOB-null, not throw)
     "text_minhash_dedup",      # shingles_expr get() rewrite (representative)
     "dedup_verify_jaccard",    # consumes the same shingle/band kernel
+    "join_interval_overlap",   # prefix-sum rewrite (40.5 s → 2.1 s), same oracle
     # -- 1: last verified in round 1 — cut off by the r6 window -------------
     "sim_ivf_ann",
     # -- 2: last verified in round 2 (oldest-stale block, completes the

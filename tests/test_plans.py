@@ -97,18 +97,20 @@ def test_banded_anti_join_is_equi_large_x_large(spark, sf_dir):
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
 
 
-def test_banded_interval_join_is_equi_large_x_large(spark, sf_dir):
-    """Interval×interval overlap (join_interval_overlap) must stay an equi
-    join on the band key with both sides large and broadcast disabled."""
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        p = plan_of(spark, sf_dir, "join_interval_overlap")
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert "BroadcastNestedLoopJoin" not in p, "interval join fell back to BNLJ"
+def test_interval_overlap_is_prefix_sum_not_pair_join(spark, sf_dir):
+    """join_interval_overlap (round-7 prefix-sum rewrite) must never
+    materialize overlap pairs: the lineitem side joins ONLY the broadcast
+    cumulative histograms — the plan carries broadcast hash joins for the
+    two date-keyed lookups, no cartesian product, and no band-explode
+    generator feeding a join (the round-3 pair-join shape this replaced,
+    measured 40.5 s vs 2.1 s at sf0.1)."""
+    p = plan_of(spark, sf_dir, "join_interval_overlap")
     assert "CartesianProduct" not in p
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+    assert "BroadcastHashJoin" in p, "histogram lookups must stay broadcast"
+    # the old form exploded each interval into covered bands and joined on
+    # the band id; the only generator allowed now is the day-calendar
+    # sequence (a dimension build), never an explode on the lineitem side
+    assert p.count("Generate explode") <= 1, p
 
 
 def test_partitioned_sink_prunes_partitions(spark, sf_dir):
