@@ -383,3 +383,66 @@ def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_compact_small_files — the small-files compaction maintenance op
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+           true AS files_reduced
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMALL-FILES COMPACTION — the table-maintenance op every streaming
+    or incremental sink eventually needs: a table fragmented into many
+    tiny parquet files (staged here as 64 shards, the worst case a
+    per-trigger file sink produces) is rewritten into size-targeted
+    files, and the query proves (a) the file count actually dropped and
+    (b) the rewrite lost nothing — row count, key checksum, and
+    distinct-group count all match the pre-compaction data, which is
+    what the oracle computes from the source table directly.
+
+    Scale shape: compaction is one repartition-by-size write — rows
+    shuffle once into ceil(bytes/target) output tasks; at 100 TB this
+    runs per-partition-directory (compact only directories whose file
+    count exceeds a threshold) so the unit of work is a partition, not
+    the table.  File-count math reads the FILE LISTING, never data.
+    """
+    import glob as _glob
+    import os as _os
+    import tempfile as _tmp
+
+    frag = _os.path.join(
+        _tmp.gettempdir(),
+        f"css_compact_{_os.path.basename(_os.path.normpath(sf_dir))}_{_os.getpid()}",
+    )
+    compacted = frag + "_out"
+    src = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_orderpriority")
+    )
+    # stage the fragmented table: 64 tiny files
+    src.repartition(64).write.mode("overwrite").parquet(frag)
+    n_small = len(_glob.glob(_os.path.join(frag, "part-*")))
+    # compact: size-targeted rewrite (fixture rows are tiny; 4 output
+    # tasks stands in for ceil(bytes/128MB))
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compacted
+    )
+    n_big = len(_glob.glob(_os.path.join(compacted, "part-*")))
+    back = spark.read.parquet(compacted)
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_orderkey").cast("long").alias("key_sum"),
+        F.countDistinct("o_orderpriority").cast("long").alias("n_prios"),
+        F.lit(n_big < n_small).alias("files_reduced"),
+    )

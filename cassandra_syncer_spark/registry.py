@@ -138,6 +138,7 @@ PRIORITY: tuple[str, ...] = (
     "decontam_embedding",
     "win_rolling_slope",
     "graph_common_neighbors",
+    "sink_compact_small_files",
 )
 
 
