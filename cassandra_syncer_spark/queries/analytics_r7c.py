@@ -446,3 +446,95 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").cast("long").alias("n_prios"),
         F.lit(n_big < n_small).alias("files_reduced"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cdc_snapshot_diff — typed change feed between two table snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             md5(concat(o_orderstatus, '|', CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR))) AS h
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             md5(concat(
+               CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END,
+               '|', CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR))) AS h
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    d AS (
+      SELECT coalesce(a.k, b.k) AS k,
+             CASE WHEN a.k IS NULL THEN 'insert'
+                  WHEN b.k IS NULL THEN 'delete'
+                  WHEN a.h <> b.h THEN 'update'
+                  ELSE 'unchanged' END AS op
+      FROM a FULL JOIN b ON a.k = b.k
+    )
+    SELECT op, CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum
+    FROM d GROUP BY op ORDER BY op
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE-DATA-CAPTURE between two snapshots — the analytics form of
+    the reference's core loop (manifest diff: what must upload, what was
+    deleted, what is unchanged — bin/cassandra-syncer:83-110, and this
+    engine's ``sync/pipeline.py::plan_upload``): key-join the old and new
+    snapshots on the primary key, classify every key as
+    insert/delete/update/unchanged by content hash (the etag analog,
+    storage-object.js:123-124), and emit the typed change feed summary
+    (counts + key checksums per op).  The snapshots here are two
+    deterministic filtered/mutated views of ``orders``, standing in for
+    time-travel reads of the same table.
+
+    Scale shape: ONE full-outer shuffle join on the primary key — the
+    minimum any snapshot diff pays; content comparison is hash equality
+    on fixed-width md5, never column-by-column; the op classification is
+    scan-fused CASE math and the summary collapses map-side to 4 rows.
+    On a bucketed/partitioned lakehouse layout the join co-locates and
+    even that one shuffle disappears (``join_bucketed_colocated``).
+    """
+    o = T(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat("o_orderstatus", F.lit("|"), F.expr("CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS STRING)"))
+        ).alias("h"),
+    )
+    b = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat(
+                F.when(F.col("o_orderkey") % 5 == 0, F.lit("X")).otherwise(
+                    F.col("o_orderstatus")
+                ),
+                F.lit("|"),
+                F.expr("CAST(CAST(round(o_totalprice * 100.0) AS BIGINT) AS STRING)"),
+            )
+        ).alias("h"),
+    )
+    d = (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("a.k").isNull(), "insert")
+            .when(F.col("b.k").isNull(), "delete")
+            .when(F.col("a.h") != F.col("b.h"), "update")
+            .otherwise("unchanged")
+            .alias("op"),
+        )
+    )
+    return (
+        d.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("key_sum"),
+        )
+        .orderBy("op")
+    )

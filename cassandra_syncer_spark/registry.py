@@ -139,6 +139,7 @@ PRIORITY: tuple[str, ...] = (
     "win_rolling_slope",
     "graph_common_neighbors",
     "sink_compact_small_files",
+    "cdc_snapshot_diff",
 )
 
 
