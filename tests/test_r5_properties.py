@@ -162,6 +162,12 @@ def test_order_sensitive_queries_partition_invariant(spark, sf_dir):
         "win_ntile_bucket",
         "events_rfm_segmentation",
         "agg_weighted_median",
+        # round-7 selection/windowed ops
+        "sample_balanced_classes",
+        "sample_balanced_threshold",
+        "win_rolling_median",
+        "win_rolling_slope",
+        "graph_common_neighbors",
     ]
 
     def rows(name):
