@@ -1,0 +1,242 @@
+"""Round-7 batch 4 — structural template mining, seasonal-naive
+forecasting with backtest, and embedding-table hygiene auditing.
+
+Reference parity note: analytics extensions beyond the reference's sync
+surface; integer/micro-unit exact formulas on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# text_dedup_templates — boilerplate detection by content-stripped skeleton
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_dedup_templates",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             md5(array_to_string(list_transform(string_split(text, ' '),
+               w -> CASE WHEN len(w) = 0 THEN '0'
+                         WHEN len(w) <= 3 THEN 'S'
+                         WHEN len(w) <= 6 THEN 'M' ELSE 'L' END), '')) AS skel
+      FROM documents
+    ),
+    fam AS (
+      SELECT skel, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             CAST(min(doc_id) AS BIGINT) AS exemplar_doc
+      FROM s GROUP BY skel
+    )
+    SELECT skel, n_docs, n_sources, exemplar_doc,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, skel) AS BIGINT) AS rk
+    FROM fam
+    QUALIFY rk <= 10 AND n_docs >= 2
+    ORDER BY rk
+    """,
+)
+def text_dedup_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPLATE MINING — boilerplate families by STRUCTURE, not content:
+    each document collapses to a skeleton (its sequence of word-length
+    buckets 0/S/M/L), and skeletons shared by many docs across many
+    sources are generated templates (listing pages, auto-reports,
+    spun articles) that word-level MinHash misses because the slot
+    FILLERS differ while the frame repeats.  Top-10 families with doc
+    count, source spread, and an exemplar doc for inspection.
+
+    Scale shape: the skeleton is one scan-fused higher-order transform
+    + md5 (no explode — one hash per document), the family table is a
+    skeleton-keyed hash agg (map-side combined), and the rank window
+    runs over the FAMILY table, which Zipf keeps far smaller than the
+    corpus.  Identical kernel discipline to ``dedup_exact_text``, one
+    representation to the left.
+    """
+    s = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.expr(
+                "array_join(transform(split(text, ' '),"
+                " w -> CASE WHEN length(w) = 0 THEN '0'"
+                " WHEN length(w) <= 3 THEN 'S'"
+                " WHEN length(w) <= 6 THEN 'M' ELSE 'L' END), '')"
+            )
+        ).alias("skel"),
+    )
+    fam = s.groupBy("skel").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.min("doc_id").cast("long").alias("exemplar_doc"),
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("skel"))
+    return (
+        fam.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter((F.col("rk") <= 10) & (F.col("n_docs") >= 2))
+        .orderBy("rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_forecast_backtest — seasonal-naive forecast + integer MAE backtest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_forecast_backtest",
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             epoch_ns(ts) // 1000000000 // 3600 AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT max(hr) AS h1 FROM h),
+    joined AS (
+      SELECT a.event_type, a.hr, a.n AS actual,
+             coalesce(b.n, 0) AS forecast
+      FROM h a LEFT JOIN h b
+        ON a.event_type = b.event_type AND b.hr = a.hr - 24
+      CROSS JOIN span
+      WHERE a.hr > span.h1 - 24
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(sum(actual) AS BIGINT) AS actual_total,
+           CAST(sum(forecast) AS BIGINT) AS forecast_total,
+           CAST((1000000 * sum(abs(actual - forecast))) // count(*) AS BIGINT)
+             AS mae_micro
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive FORECAST BACKTEST — the baseline every time-series
+    model must beat, evaluated the honest way: forecast each of the
+    last 24 hours as the count 24 hours earlier, and report per-type
+    MAE against the actuals in exact integer micro-units.  A pipeline
+    uses this to pick alert thresholds and to gate fancier models (if
+    your model's backtest MAE isn't under the seasonal-naive row,
+    ship the naive).
+
+    Scale shape: the (type, hour) pre-agg collapses the corpus map-side
+    to a dimension table; the forecast join is a self-join of that
+    dimension on (type, hour−24); the backtest window is the last 24
+    rows per type.  Nothing downstream of the first agg touches corpus-
+    sized data.
+    """
+    h = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.expr("CAST(unix_seconds(ts) AS BIGINT) div 3600").alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    span = h.agg(F.max("hr").alias("h1"))
+    b = h.select(
+        "event_type", (F.col("hr") + 24).alias("hr"), F.col("n").alias("fc")
+    )
+    joined = (
+        h.join(b, ["event_type", "hr"], "left")
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("hr") > F.col("h1") - 24)
+        .select(
+            "event_type",
+            F.col("n").alias("actual"),
+            F.coalesce("fc", F.lit(0)).alias("forecast"),
+        )
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("actual").cast("long").alias("actual_total"),
+            F.sum("forecast").cast("long").alias("forecast_total"),
+            F.expr(
+                "CAST((1000000 * sum(abs(actual - forecast))) div count(*) AS BIGINT)"
+            ).alias("mae_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embed_norm_audit — vector-table hygiene audit
+# ---------------------------------------------------------------------------
+
+_NORM_EPS_MICRO = 1000  # |norm² − 1| ≤ 0.001 counts as unit-norm
+
+
+@register(
+    "embed_norm_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, len(v) AS dim,
+             CAST(round(1000000 * list_sum(list_transform(v, x -> x * x)))
+                  AS BIGINT) AS sq_micro,
+             len(list_filter(v, x -> x IS NULL)) AS n_null,
+             len(list_filter(v, x -> isnan(x))) AS n_nan
+      FROM e
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(CASE WHEN dim <> 64 THEN 1 END) AS BIGINT) AS n_bad_dim,
+           CAST(count(CASE WHEN n_null > 0 OR n_nan > 0 THEN 1 END) AS BIGINT)
+             AS n_bad_values,
+           CAST(count(CASE WHEN abs(sq_micro - 1000000) <= {_NORM_EPS_MICRO}
+                           THEN 1 END) AS BIGINT) AS n_unit_norm,
+           CAST(count(CASE WHEN sq_micro = 0 THEN 1 END) AS BIGINT) AS n_zero
+    FROM m
+    """,
+)
+def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-TABLE HYGIENE AUDIT — the preflight every vector
+    pipeline needs before cosine math means anything: dimension
+    mismatches, NULL/NaN components, zero vectors, and the unit-norm
+    count (cosine = dot only holds on unit vectors; a model change that
+    ships unnormalized vectors silently breaks every similarity
+    threshold downstream).  One audit row; alert when n_unit_norm <
+    n_vecs − n_bad.
+
+    Scale shape: pure scan-fused higher-order array math (fold for the
+    squared norm, filters for bad values) into one map-side global agg
+    — the whole audit is one pass at scan speed, no shuffle beyond the
+    single-row reduce.  Norm² is rounded to micro before the envelope
+    compare (left-associated fold order is identical on both engines,
+    and micro-rounding absorbs the last-ulp difference).
+    """
+    m = T(spark, sf_dir, "embeddings").select(
+        F.size("embedding").alias("dim"),
+        F.expr(
+            "CAST(round(1000000 * aggregate(embedding, 0D,"
+            " (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("sq_micro"),
+        F.size(F.filter("embedding", lambda x: x.isNull())).alias("n_null"),
+        F.size(F.filter("embedding", lambda x: F.isnan(x))).alias("n_nan"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.count(F.when(F.col("dim") != 64, 1)).cast("long").alias("n_bad_dim"),
+        F.count(F.when((F.col("n_null") > 0) | (F.col("n_nan") > 0), 1))
+        .cast("long")
+        .alias("n_bad_values"),
+        F.count(
+            F.when(
+                F.abs(F.col("sq_micro") - 1000000) <= _NORM_EPS_MICRO, 1
+            )
+        )
+        .cast("long")
+        .alias("n_unit_norm"),
+        F.count(F.when(F.col("sq_micro") == 0, 1)).cast("long").alias("n_zero"),
+    )

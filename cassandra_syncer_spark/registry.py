@@ -140,6 +140,9 @@ PRIORITY: tuple[str, ...] = (
     "graph_common_neighbors",
     "sink_compact_small_files",
     "cdc_snapshot_diff",
+    "text_dedup_templates",
+    "events_forecast_backtest",
+    "embed_norm_audit",
 )
 
 
