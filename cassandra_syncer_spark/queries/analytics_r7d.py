@@ -240,3 +240,91 @@ def embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_unit_norm"),
         F.count(F.when(F.col("sq_micro") == 0, 1)).cast("long").alias("n_zero"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_stateful_ledger — applyInPandasWithState driven as a checkable query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stateful_ledger",
+    oracle="""
+    SELECT o_orderpriority AS container,
+           CAST(count(*) AS BIGINT) AS files_seen,
+           CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT) % 100000)
+                AS BIGINT) AS bytes_total
+    FROM orders WHERE o_orderkey % 4 = 0
+    GROUP BY o_orderpriority ORDER BY container
+    """,
+)
+def stream_stateful_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL OPERATOR (``applyInPandasWithState``) driven end
+    to end as a driver-checked query: the per-container upload ledger
+    (``streaming/stateful.py`` — the stateful form of the reference's
+    only-new-files invariant, bin/cassandra-syncer:268-277) consumes a
+    file stream staged TWICE (duplicate deliveries), maintains
+    arbitrary per-key state (seen-name hash set + byte total) across
+    micro-batches, and must converge to exactly the single-copy truth:
+    the oracle is plain per-container COUNT/SUM over the original rows.
+    The ledger emits an updated row per key per batch; the final state
+    is recovered batching-independently as the max over emissions
+    (files_seen and bytes_total are monotone under the ledger's
+    skip-already-seen rule) — so the hash check is stable no matter how
+    the files split into triggers.
+
+    Scale shape: state is keyed on container and bounded (8-byte name
+    hashes, idle-key eviction in the long-running form); each
+    micro-batch costs O(batch), never O(history).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from cassandra_syncer_spark.streaming.stateful import upload_ledger
+
+    stage = os.path.join(tempfile.gettempdir(), f"css_ledger_stage_{os.getpid()}")
+    ckpt = os.path.join(tempfile.gettempdir(), f"css_ledger_ckpt_{os.getpid()}")
+    for d in (stage, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    files = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .select(
+            F.col("o_orderpriority").alias("container"),
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("name"),
+            F.expr(
+                "CAST(round(o_totalprice * 100.0) AS BIGINT) % 100000"
+            ).alias("bytes"),
+        )
+    )
+    # duplicate deliveries: the same file set staged twice
+    files.coalesce(2).write.mode("overwrite").json(os.path.join(stage, "c1"))
+    files.coalesce(3).write.mode("append").json(os.path.join(stage, "c2"))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("container string, name string, bytes long")
+        .option("maxFilesPerTrigger", 2)
+        .load(os.path.join(stage, "*"))
+    )
+    ledger = upload_ledger(stream, idle_evict_ms=None)  # availableNow drain
+    q = (
+        ledger.writeStream.format("memory")
+        .queryName("css_stream_stateful_ledger")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table("css_stream_stateful_ledger")
+        .groupBy("container")
+        .agg(
+            F.max("files_seen").cast("long").alias("files_seen"),
+            F.max("bytes_total").cast("long").alias("bytes_total"),
+        )
+        .orderBy("container")
+    )

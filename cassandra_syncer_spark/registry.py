@@ -143,6 +143,7 @@ PRIORITY: tuple[str, ...] = (
     "text_dedup_templates",
     "events_forecast_backtest",
     "embed_norm_audit",
+    "stream_stateful_ledger",
 )
 
 
