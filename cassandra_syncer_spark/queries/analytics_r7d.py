@@ -328,3 +328,121 @@ def stream_stateful_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("container")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_banding_recall — measured MinHash-banding recall vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_BR_JACC_MICRO = 200000  # true-neighbor cut: exact shingle Jaccard >= 0.2
+#   (deliberately BELOW the 0.5 verify cut: the audit must measure the
+#   candidate-generation curve in the region where banding probability
+#   1-(1-j^2)^4 is not yet saturated — at j=0.2 theory gives ~15%, at
+#   j=0.5 ~66%; fixture probes are 1-in-5 docs)
+
+
+def _banding_recall_sql() -> str:
+    from cassandra_syncer_spark.operators import fingerprint as fp
+    from cassandra_syncer_spark.queries.llm_dedup import _band_union, _minhash_cte
+
+    _SH_DUCK = fp.shingles_expr("words", duck=True)
+
+    return f"""
+    {_minhash_cte(True)},
+    bands AS ({_band_union(True)}),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    d AS (SELECT doc_id,
+                 list_distinct({_SH_DUCK}) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
+    p AS (SELECT doc_id AS probe, sh AS psh FROM d WHERE doc_id % 5 = 0),
+    truth AS (
+      SELECT p.probe, d.doc_id AS other
+      FROM p JOIN d ON p.probe <> d.doc_id
+      WHERE (1000000 * len(list_intersect(p.psh, d.sh)))
+            // len(list_distinct(list_concat(p.psh, d.sh))) >= {_BR_JACC_MICRO}
+    ),
+    caught AS (
+      SELECT t.probe, t.other,
+             CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM truth t LEFT JOIN cand c
+        ON least(t.probe, t.other) = c.doc_a
+       AND greatest(t.probe, t.other) = c.doc_b
+    )
+    SELECT probe,
+           CAST(count(*) AS BIGINT) AS n_true_neighbors,
+           CAST(sum(hit) AS BIGINT) AS n_caught,
+           CAST((1000000 * sum(hit)) // count(*) AS BIGINT) AS recall_micro
+    FROM caught GROUP BY probe ORDER BY probe
+    """
+
+
+@register("dedup_banding_recall", oracle=_banding_recall_sql())
+def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED BANDING RECALL — the text-side twin of
+    ``sim_recall_audit``: for a probe sample of documents, compute the
+    exact SHINGLE-set-Jaccard ≥ 0.2 true neighbors by brute force
+    (the quantity the MinHash signature actually estimates) and report how
+    many of them the MinHash band candidates actually caught.  With
+    ``dedup_threshold_calibration`` (candidate PRECISION profile) this
+    closes the banding-quality loop: calibration says what the
+    candidates are worth, this says what the bands MISS — the number a
+    production dedup run must watch when it tunes bands/rows (the
+    1−(1−j^r)^b curve is theory; this row is the measurement).
+
+    Scale shape: the brute-force truth side is probe-broadcast × corpus
+    — linear in the corpus and proportional to the probe SAMPLE (the
+    audit knob); the candidate side is the ordinary banded self-join
+    restricted to probe pairs.  Integer-micro Jaccard on both engines.
+    """
+    from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
+
+    from cassandra_syncer_spark.operators import fingerprint as fp
+
+    sh = fp.shingles_expr("words", duck=False)
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("words"))
+        .select("doc_id", F.array_distinct(F.expr(sh)).alias("sh"))
+    )
+    p = d.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("probe"), F.col("sh").alias("psh")
+    )
+    jmicro = F.expr(
+        "(1000000 * size(array_intersect(psh, sh)))"
+        " div size(array_union(psh, sh))"
+    )
+    truth = (
+        d.join(F.broadcast(p), F.col("probe") != F.col("doc_id"))
+        .filter(jmicro >= _BR_JACC_MICRO)
+        .select("probe", F.col("doc_id").alias("other"))
+    )
+    cand = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    hit = (
+        truth.join(
+            cand,
+            (F.least("probe", "other") == cand.doc_a)
+            & (F.greatest("probe", "other") == cand.doc_b),
+            "left",
+        )
+        .select(
+            "probe",
+            F.when(F.col("doc_a").isNotNull(), 1).otherwise(0).alias("hit"),
+        )
+    )
+    return (
+        hit.groupBy("probe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true_neighbors"),
+            F.sum("hit").cast("long").alias("n_caught"),
+            F.expr(
+                "CAST((1000000 * sum(hit)) div count(*) AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+        .orderBy("probe")
+    )

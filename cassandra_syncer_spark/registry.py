@@ -144,6 +144,7 @@ PRIORITY: tuple[str, ...] = (
     "events_forecast_backtest",
     "embed_norm_audit",
     "stream_stateful_ledger",
+    "dedup_banding_recall",
 )
 
 
