@@ -145,6 +145,12 @@ PRIORITY: tuple[str, ...] = (
     "embed_norm_audit",
     "stream_stateful_ledger",
     "dedup_banding_recall",
+    "dedup_normalized",
+    "text_code_detect",
+    "events_cohort_matrix",
+    "embed_variance_prune",
+    "scan_minmax_prune",
+    "graph_label_propagation",
 )
 
 

@@ -613,3 +613,58 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
     p = plan_of(spark, sf_dir, "join_dynamic_partition_prune")
     assert "dynamicpruningexpression" in p.lower(), p
     assert "BroadcastHashJoin" in p, p
+
+
+def test_minmax_prune_pushes_range_to_sorted_layout(spark, sf_dir):
+    """scan_minmax_prune: the key-range predicate must reach the re-read
+    parquet scan as footer-evaluable pushed filters (on the sorted layout
+    these skip whole files/row groups), and the scan must read only the
+    two projected columns."""
+    p = plan_of(spark, sf_dir, "scan_minmax_prune")
+    assert "GreaterThanOrEqual(o_orderkey,1000)" in p, p
+    assert "LessThanOrEqual(o_orderkey,3000)" in p, p
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in p, p
+
+
+def test_cohort_matrix_single_fact_scan(spark, sf_dir):
+    """events_cohort_matrix: the cohort week must derive from the deduped
+    user-week rows (min-window), never a second scan of events — the
+    naive self-join form scans the fact twice."""
+    p = plan_of(spark, sf_dir, "events_cohort_matrix")
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Window [") == 1, p
+
+
+def test_normalized_dedup_scan_fused_no_join(spark, sf_dir):
+    """dedup_normalized / text_code_detect: one document scan, regex +
+    hash fused into the scan projection, one grouping shuffle, no joins."""
+    for name in ("dedup_normalized", "text_code_detect"):
+        p = plan_of(spark, sf_dir, name)
+        assert p.count("FileScan") == 1, (name, p)
+        assert "Join" not in p, (name, p)
+        assert "Generate" not in p, (name, p)  # no tokenize-explode
+
+
+def test_variance_prune_one_dim_shuffle(spark, sf_dir):
+    """embed_variance_prune: one posexplode, one dim-keyed aggregation
+    shuffle with map-side partials; the rank window runs on |dims| rows
+    behind a SinglePartition exchange (64 rows — free)."""
+    p = plan_of(spark, sf_dir, "embed_variance_prune")
+    assert p.count("Generate posexplode") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial_sum" in p, p
+    assert "Join" not in p, p
+
+
+def test_label_propagation_no_cartesian_bounded_rounds(spark, sf_dir):
+    """graph_label_propagation: both rounds are node-keyed joins + per-node
+    top-1 windows — no cartesian anywhere, exactly two vote windows, and
+    the adjacency comes from the banded pair join (localCheckpoint scans),
+    never a corpus self-join."""
+    p = plan_of(spark, sf_dir, "graph_label_propagation")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window [row_number()") == 2, p
+    # rank-1 vote selection short-circuits via WindowGroupLimit (top-1
+    # kept per node map-side — never a full per-node sort materialized)
+    assert "WindowGroupLimit" in p, p
