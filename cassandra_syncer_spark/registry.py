@@ -151,6 +151,9 @@ PRIORITY: tuple[str, ...] = (
     "embed_variance_prune",
     "scan_minmax_prune",
     "graph_label_propagation",
+    "embed_pca_power",
+    "events_survival_curve",
+    "tokenizer_fertility",
 )
 
 

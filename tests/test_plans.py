@@ -668,3 +668,36 @@ def test_label_propagation_no_cartesian_bounded_rounds(spark, sf_dir):
     # rank-1 vote selection short-circuits via WindowGroupLimit (top-1
     # kept per node map-side — never a full per-node sort materialized)
     assert "WindowGroupLimit" in p, p
+
+
+def test_pca_power_broadcast_v_no_smj(spark, sf_dir):
+    """embed_pca_power: the 64-row v vector must broadcast into both
+    per-iteration joins (never a sort-merge against the exploded rows),
+    the quantized (vec,dim) rows materialize ONCE (localCheckpoint —
+    no re-explode per iteration), and nothing is cartesian except the
+    1-row max-abs normalizer broadcast."""
+    p = plan_of(spark, sf_dir, "embed_pca_power")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastHashJoin") >= 3, p
+    assert p.count("Generate") == 0, p  # explode happened once, pre-checkpoint
+
+
+def test_survival_curve_single_scan_window_total(spark, sf_dir):
+    """events_survival_curve: one fact scan; the grand total must be a
+    window over the dimension-sized histogram, not an agg + crossJoin
+    (which re-expands lineage into a second fact scan)."""
+    p = plan_of(spark, sf_dir, "events_survival_curve")
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Window [") == 2, p
+
+
+def test_tokenizer_fertility_scan_fused(spark, sf_dir):
+    """tokenizer_fertility: token counts are scan-fused split/regex
+    lengths — no explode, no join, one grouping shuffle."""
+    p = plan_of(spark, sf_dir, "tokenizer_fertility")
+    assert p.count("FileScan") == 1, p
+    assert "Generate" not in p, p
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
