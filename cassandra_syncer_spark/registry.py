@@ -154,6 +154,9 @@ PRIORITY: tuple[str, ...] = (
     "embed_pca_power",
     "events_survival_curve",
     "tokenizer_fertility",
+    "select_pareto_skyline",
+    "stream_watermark_finalize",
+    "sample_ab_srm",
 )
 
 

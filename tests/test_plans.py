@@ -701,3 +701,27 @@ def test_tokenizer_fertility_scan_fused(spark, sf_dir):
     assert "Generate" not in p, p
     assert "Join" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_skyline_broadcast_prune_no_global_sort(spark, sf_dir):
+    """select_pareto_skyline: the coarse prune bound joins back by
+    BROADCAST (bucket-dim table), refinement windows are bucket-local,
+    and the only SinglePartition exchange feeds the bucket-maxima
+    cumulative window (dimension-sized) — never a corpus-wide sort."""
+    p = plan_of(spark, sf_dir, "select_pareto_skyline")
+    assert p.count("BroadcastHashJoin") == 1, p
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # fact scans carry only the three projected columns
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double,o_orderdate" in p, p
+
+
+def test_ab_srm_single_scan_two_aggs(spark, sf_dir):
+    """sample_ab_srm: one events scan, the distinct + count pipeline is
+    two hash aggs (map-side combined), chi-square is computed on the
+    dimension-sized segment table — no joins, no windows."""
+    p = plan_of(spark, sf_dir, "sample_ab_srm")
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p

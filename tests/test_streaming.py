@@ -466,3 +466,78 @@ def test_streaming_dedup_pairs_equal_batch_dedup(spark, tmp_path):
     assert probed and all(r.n_shared_bands <= fp.BANDS for r in probed), (
         "duplicated index rows inflated n_shared_bands past the band count"
     )
+
+
+def test_watermark_finalize_two_batches_and_admission_semantics(spark, tmp_path):
+    """stream_watermark_finalize's contract rests on two measured facts,
+    pinned here so a Spark upgrade that changes either breaks loudly:
+
+    1. the mtime-ordered file source really does split the staged dirs
+       into two micro-batches (on-time first) — asserted from the
+       checkpoint's source log after driving the registered query;
+    2. this build ADMITS below-watermark input rows to a windowed
+       aggregation (late rows re-create their evicted window group and
+       the closed window re-emits) — the minimal repro.  If an upgrade
+       starts hard-dropping late input, the registered oracle (which
+       counts the late slice) would silently diverge; this test
+       localizes the cause.
+    """
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    # --- fact 2: minimal late-admission repro -----------------------------
+    stage = str(tmp_path / "wm_stage")
+    ckpt = str(tmp_path / "wm_ckpt")
+    os.makedirs(stage + "/a")
+    os.makedirs(stage + "/b")
+    DAY = 86400 * 1000000
+    with open(stage + "/a/f.json", "w") as f:
+        for d in (100, 101, 106, 107):
+            f.write(_json.dumps({"us": d * DAY}) + "\n")
+    with open(stage + "/b/f.json", "w") as f:
+        f.write(_json.dumps({"us": 50 * DAY}) + "\n")  # far below watermark
+    os.utime(stage + "/a/f.json", (1000, 1000))
+    os.utime(stage + "/b/f.json", (2000, 2000))
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("us long")
+        .option("maxFilesPerTrigger", 1)
+        .load(stage + "/*")
+    )
+    agg = (
+        stream.select(F.timestamp_micros(F.col("us")).alias("ts"))
+        .withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.select(F.unix_timestamp("w.start").alias("ws"), "n")
+        .writeStream.format("memory")
+        .queryName("wm_admission_repro")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted((r.ws // 86400, r.n) for r in spark.table("wm_admission_repro").collect())
+    # closed windows emit (100, 101); open windows withheld (106, 107);
+    # and the below-watermark late row IS admitted + emitted (day 50)
+    assert got == [(50, 1), (100, 1), (101, 1)], got
+
+    # --- fact 1: the registered query's staged batches are ordered --------
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+    all_queries()
+    REGISTRY["stream_watermark_finalize"].fn(spark, "/root/testdata/sf0.001").collect()
+    src_log = f"/tmp/css_wm_ckpt_{os.getpid()}/sources/0"
+    batches = {}
+    for b in sorted(p for p in os.listdir(src_log) if p.isdigit()):
+        with open(os.path.join(src_log, b), errors="ignore") as f:
+            lines = [_json.loads(l) for l in f if l.startswith("{") and '"path"' in l]
+        batches[int(b)] = {os.path.basename(os.path.dirname(e["path"])) for e in lines}
+    assert batches[0] == {"a"}, batches  # on-time slice strictly first
+    assert batches[1] == {"b"}, batches  # late slice strictly second
