@@ -75,6 +75,12 @@ HEADLINE = [
     # join; streaming-frame rolling median vs the range-self-join port
     "graph_triangle_count",
     "win_rolling_median",
+    # round-7 batch 5-7: skyline vs the naive global-window form (gate);
+    # power-iteration PCA and band-graph label propagation as timed rows
+    # (SCALING.md carries the 10x evidence)
+    "select_pareto_skyline",
+    "embed_pca_power",
+    "graph_label_propagation",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

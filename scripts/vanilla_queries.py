@@ -40,6 +40,8 @@ ENGINE_EQUIV = {
     # round-7 heavy tail
     "graph_triangle_count": "triangle_vanilla",
     "win_rolling_median": "rolling_median_vanilla",
+    # round-7 batch 7: skyline vs the naive global-window formulation
+    "select_pareto_skyline": "skyline_vanilla",
 }
 
 
@@ -653,6 +655,36 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("user_id", "event_id")
         )
 
+    def skyline_vanilla():
+        # the form users write first: ONE global range window over the
+        # whole table sorted by price (exact, same tie semantics as the
+        # engine's bucketed rewrite — but the window is a single
+        # partition, the scale hazard select_pareto_skyline's coarse
+        # prune exists to remove)
+        o = t["orders"].select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_centi"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        wg = Window.partitionBy("price_centi")
+        wp = Window.orderBy(F.desc("price_centi")).rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+        return (
+            o.withColumn("gmax_d", F.max("d").over(wg))
+            .withColumn("hp_d", F.max("d").over(wp))
+            .filter(
+                (F.col("d") == F.col("gmax_d"))
+                & (F.col("hp_d").isNull() | (F.col("d") > F.col("hp_d")))
+            )
+            .select(
+                "o_orderkey",
+                "price_centi",
+                F.col("d").cast("string").alias("order_date"),
+            )
+            .orderBy(F.desc("price_centi"), "o_orderkey")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -676,4 +708,5 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "verify_pipeline_vanilla": verify_pipeline_vanilla(),
         "triangle_vanilla": triangle_vanilla(),
         "rolling_median_vanilla": rolling_median_vanilla(),
+        "skyline_vanilla": skyline_vanilla(),
     }

@@ -29,6 +29,7 @@ def test_verbatim_vanilla_rows_match_engine(spark, sf_dir):
         "win_sliding_distinct",
         "graph_triangle_count",
         "win_rolling_median",
+        "select_pareto_skyline",
     ]:
         engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
         vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
