@@ -157,6 +157,9 @@ PRIORITY: tuple[str, ...] = (
     "select_pareto_skyline",
     "stream_watermark_finalize",
     "sample_ab_srm",
+    "agg_ks_test",
+    "events_uplift_cuped",
+    "dedup_boundary_overlap",
 )
 
 

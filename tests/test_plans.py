@@ -725,3 +725,37 @@ def test_ab_srm_single_scan_two_aggs(spark, sf_dir):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_ks_test_prefix_sum_shape(spark, sf_dir):
+    """agg_ks_test: the fact table is scanned ONCE (the distinct-value
+    count table localCheckpoints; every branch — bounds, bucket
+    partials, totals, ECDF walk — reads the checkpoint), the only
+    windows are the dimension-sized bucket cumsum and the bucket-local
+    running sums, and nothing is a sort-merge or cartesian join."""
+    p = plan_of(spark, sf_dir, "agg_ks_test")
+    assert p.count("FileScan") == 0, p  # fact consumed pre-checkpoint
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window [") == 2, p
+
+
+def test_cuped_single_scan_single_row(spark, sf_dir):
+    """events_uplift_cuped: one fact scan, one user-keyed agg shuffle,
+    one single-row global agg — no joins, no windows."""
+    p = plan_of(spark, sf_dir, "events_uplift_cuped")
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_boundary_overlap_hash_once_equi_join(spark, sf_dir):
+    """dedup_boundary_overlap: heads/tails hash once (checkpoint; the
+    tail→head self-join reads it twice, never re-scanning documents),
+    and the join is a hash EQUI join on the gram hash — collision-
+    bounded, not all-pairs."""
+    p = plan_of(spark, sf_dir, "dedup_boundary_overlap")
+    assert p.count("FileScan") == 0, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
