@@ -47,7 +47,7 @@ from cassandra_syncer_spark.registry import register
     ),
     d AS (
       SELECT vc,
-             abs(cuma * t.nb - cumb * t.na) * 1000000 // (t.na * t.nb)
+             abs((1000000 * cuma) // t.na - (1000000 * cumb) // t.nb)
                AS diff_micro
       FROM c, t
     )
@@ -76,7 +76,10 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
        (≤4096 rows) → each bucket's exclusive offset;
     3. within-bucket running sums (bounded partitions) + broadcast
        offset = the exact global ECDF at every sample point; the KS
-       statistic is one max-agg over |cumA·nB − cumB·nA| micro ints.
+       statistic is one max-agg over |1e6·cumA/nA − 1e6·cumB/nB| micro
+       ints (per-term division keeps every intermediate ≤ 10¹⁵ at 10⁹
+       rows — the cross-product form cumA·nB·10⁶ would overflow int64;
+       quantization error ≤ 2·10⁻⁶, identical truncation both engines).
 
     Integer throughout (values centi-quantized first), so the statistic
     and its argmax threshold are hash-identical across engines.  The
@@ -135,9 +138,9 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vc",
         "na",
         "nb",
-        F.expr("abs(cuma * nb - cumb * na) * 1000000 div (na * nb)").alias(
-            "diff_micro"
-        ),
+        F.expr(
+            "abs((1000000 * cuma) div na - (1000000 * cumb) div nb)"
+        ).alias("diff_micro"),
     )
     return d.groupBy("na", "nb").agg(
         F.max("diff_micro").cast("long").alias("ks_micro"),
@@ -173,28 +176,35 @@ _CUPED_SPLIT = "2024-02-01"
       FROM events GROUP BY user_id
     ),
     s AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-             CAST(sum(x * y) AS BIGINT) AS sxy,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
-             CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sxa,
-             CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sya,
-             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
-             CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sxb,
-             CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS syb
+      SELECT count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS sxa,
+             sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS sya,
+             sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+             sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS sxb,
+             sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS syb
       FROM u
     )
-    SELECT na AS n_a, nb AS n_b,
-           CAST((1000000 * (n * sxy - sx * sy))
-                // nullif(n * sxx - sx * sx, 0) AS BIGINT) AS theta_micro,
-           CAST((1000000 * syb) // nb - (1000000 * sya) // na AS BIGINT)
-             AS lift_raw_micro,
-           CAST(((1000000 * syb) // nb - (1000000 * sya) // na)
-                - (((1000000 * (n * sxy - sx * sy))
-                    // nullif(n * sxx - sx * sx, 0))
-                   * ((1000000 * sxb) // nb - (1000000 * sxa) // na))
-                  // 1000000 AS BIGINT) AS lift_cuped_micro
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta_r6,
+           round((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0, 6)
+             AS lift_raw_r6,
+           round((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
+                  - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0
+                 - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                   * ((CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
+                       - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0), 6)
+             AS lift_cuped_r6
     FROM s
     """,
 )
@@ -202,20 +212,22 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced lift — the standard experimentation
     technique: each user's post-period metric y is adjusted by their
     PRE-period covariate x (ŷ = y − θ·(x − x̄), θ = cov(x,y)/var(x)),
-    removing the between-user variance that x explains, so the arm
+    removing the between-user variance x explains, so the arm
     difference needs far less traffic for the same power.  Arms come
     from the same md5 assignment as ``sample_ab_srm``; the pre/post
-    split is a fixed date.  Output: raw lift vs CUPED lift in micro
-    units, plus θ.
+    split is a fixed date.  Output: raw lift vs CUPED lift plus θ.
 
-    Integer throughout: values centi-quantized, θ and the lifts are
-    integer fractions evaluated with the identical operation order in
-    both engines (Spark ``div`` ≡ DuckDB ``//``, truncation toward
-    zero verified on negatives) — hash-exact despite the covariances.
+    Numeric discipline = ``agg_stats_corr``'s: per-user values
+    centi-quantize to exact ints, the cross-product sums accumulate in
+    DECIMAL(38)/HUGEINT (int64 n·Σxy would overflow ~10× scale —
+    measured, the reason this isn't the all-div micro form), and the
+    final θ/lift scalars evaluate the textbook formulas over
+    bit-identical doubles on a SINGLE row with fixed operation order —
+    rounded to 6 decimals, hash-exact across engines.
 
     Scale shape: one user-keyed agg collapses the fact table (map-side
-    combined), then a SINGLE-ROW global agg carries all ten sums the
-    formulas need; everything after is scalar arithmetic.  No joins.
+    combined), then a single-row global agg carries the ten sums;
+    everything after is scalar arithmetic.  No joins.
     """
     split = F.lit(_CUPED_SPLIT).cast("timestamp")
     u = (
@@ -243,47 +255,36 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
     s = u.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
-        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
-        .cast("long")
-        .alias("sxa"),
-        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
-        .cast("long")
-        .alias("sya"),
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
-        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
-        .cast("long")
-        .alias("sxb"),
-        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
-        .cast("long")
-        .alias("syb"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0)).alias("sxa"),
+        F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0)).alias("sya"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0)).alias("sxb"),
+        F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0)).alias("syb"),
     )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    sxa, sya = F.col("sxa").cast("double"), F.col("sya").cast("double")
+    sxb, syb = F.col("sxb").cast("double"), F.col("syb").cast("double")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    lift_raw = (syb / nb - sya / na) / 100.0
+    x_gap = (sxb / nb - sxa / na) / 100.0
     return s.select(
-        F.col("na").alias("n_a"),
-        F.col("nb").alias("n_b"),
-        F.expr(
-            "(1000000 * (n * sxy - sx * sy)) div nullif(n * sxx - sx * sx, 0)"
-        )
-        .cast("long")
-        .alias("theta_micro"),
-        F.expr("(1000000 * syb) div nb - (1000000 * sya) div na")
-        .cast("long")
-        .alias("lift_raw_micro"),
-        F.expr(
-            "((1000000 * syb) div nb - (1000000 * sya) div na)"
-            " - (((1000000 * (n * sxy - sx * sy))"
-            "     div nullif(n * sxx - sx * sx, 0))"
-            "    * ((1000000 * sxb) div nb - (1000000 * sxa) div na))"
-            "   div 1000000"
-        )
-        .cast("long")
-        .alias("lift_cuped_micro"),
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(theta, 6).alias("theta_r6"),
+        F.round(lift_raw, 6).alias("lift_raw_r6"),
+        F.round(lift_raw - theta * x_gap, 6).alias("lift_cuped_r6"),
     )
 
 
