@@ -160,6 +160,7 @@ PRIORITY: tuple[str, ...] = (
     "agg_ks_test",
     "events_uplift_cuped",
     "dedup_boundary_overlap",
+    "stream_stream_interval_join",
 )
 
 
