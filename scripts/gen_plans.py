@@ -219,6 +219,25 @@ FLAGSHIPS = [
         "|sources|-row dimension math with 1-row broadcast scalars — depth-k "
         "waterfilling never re-scans the corpus (r7)",
     ),
+    (
+        "embed_pca_power",
+        "matrix-free power iteration: per-iteration vec-keyed dot agg + "
+        "dim-keyed rank-1 agg, v (64 rows) broadcast both times, quantized "
+        "rows checkpointed once — the Gram matrix never materializes",
+    ),
+    (
+        "agg_ks_test",
+        "distributed exact ECDF: per-value counts checkpoint once (single "
+        "fact scan), 4096-bucket partials cumulate in a dimension window, "
+        "bucket-local running sums + broadcast offsets — never a global "
+        "single-task sort",
+    ),
+    (
+        "select_pareto_skyline",
+        "skyline via coarse-prune + refine: bucket-maxima cum-max window is "
+        "dimension-sized and broadcasts back; bucket-local range windows do "
+        "the exact dominance — no pair join, no global sort",
+    ),
 ]
 
 
