@@ -107,10 +107,12 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type,
            round((CAST(e.vc AS DOUBLE) - t.s / t.n)
-                 / sqrt((t.q - t.s * t.s / t.n) / (t.n - 1)), 4) AS z
+                 / nullif(sqrt((t.q - t.s * t.s / t.n)
+                               / nullif(t.n - 1.0, 0.0)), 0.0), 4) AS z
     FROM staged e JOIN stats t ON e.event_type = t.event_type
     WHERE abs((CAST(e.vc AS DOUBLE) - t.s / t.n)
-              / sqrt((t.q - t.s * t.s / t.n) / (t.n - 1))) > 3.0
+              / nullif(sqrt((t.q - t.s * t.s / t.n)
+                            / nullif(t.n - 1.0, 0.0)), 0.0)) > 3.0
     ORDER BY event_id
     """,
 )
@@ -134,7 +136,14 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     s, qq, n = F.col("s"), F.col("q"), F.col("n")
-    z = (F.col("vc").cast("double") - s / n) / F.sqrt((qq - s * s / n) / (n - 1))
+    # nullif guards: a constant segment (sigma = 0) or a single-row segment
+    # (n = 1) has no z-scores — null z drops at the filter on BOTH engines
+    # instead of an ANSI DIVIDE_BY_ZERO abort (degenerate-events sweep)
+    sd = F.nullif(
+        F.sqrt((qq - s * s / n) / F.nullif((n - 1).cast("double"), F.lit(0.0))),
+        F.lit(0.0),
+    )
+    z = (F.col("vc").cast("double") - s / n) / sd
     return (
         staged.join(F.broadcast(stats), "event_type")
         .filter(F.abs(z) > 3.0)

@@ -305,9 +305,9 @@ def embed_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY event_type
     )
     SELECT d.event_id, d.event_type,
-           round(d.ad / (1.4826 * t.mad), 4) AS robust_z
+           round(d.ad / nullif(1.4826 * t.mad, 0.0), 4) AS robust_z
     FROM dev d JOIN mad t ON d.event_type = t.event_type
-    WHERE round(d.ad / (1.4826 * t.mad), 4) > 3.5
+    WHERE round(d.ad / nullif(1.4826 * t.mad, 0.0), 4) > 3.5
     ORDER BY event_id
     """,
 )
@@ -341,7 +341,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_id",
             "event_type",
-            F.round(F.col("ad") / (F.lit(1.4826) * F.col("mad")), 4).alias("robust_z"),
+            # nullif: a >50%-constant segment has MAD = 0 — null robust_z
+            # drops at the filter instead of an ANSI DIVIDE_BY_ZERO abort
+            F.round(
+                F.col("ad") / F.nullif(F.lit(1.4826) * F.col("mad"), F.lit(0.0)), 4
+            ).alias("robust_z"),
         )
         .filter(F.col("robust_z") > 3.5)
         .orderBy("event_id")

@@ -45,13 +45,13 @@ from cassandra_syncer_spark.registry import register
            round(((CAST(s3 AS DOUBLE) / n)
                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
                   + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                 / pow((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 6)
+                 / nullif(pow((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 1.5), 0.0), 6)
              AS skew_g1,
            round(((CAST(s4 AS DOUBLE) / n)
                   - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
                   + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
                   - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-                 / pow((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 2) - 3, 6)
+                 / nullif(pow((CAST(s2 AS DOUBLE) / n) - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n), 2), 0.0) - 3, 6)
              AS kurt_excess
     FROM m ORDER BY event_type
     """,
@@ -91,11 +91,12 @@ def agg_moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"round({var}, 6)").alias("var_pop"),
         F.expr(
             f"round(({m3} - 3 * {m1} * {m2} + 2 * {m1} * {m1} * {m1})"
-            f" / pow({var}, 1.5), 6)"
+            f" / nullif(pow({var}, 1.5), 0.0), 6)"
         ).alias("skew_g1"),
         F.expr(
             f"round(({m4} - 4 * {m1} * {m3} + 6 * {m1} * {m1} * {m2}"
-            f" - 3 * {m1} * {m1} * {m1} * {m1}) / pow({var}, 2) - 3, 6)"
+            f" - 3 * {m1} * {m1} * {m1} * {m1})"
+            f" / nullif(pow({var}, 2), 0.0) - 3, 6)"
         ).alias("kurt_excess"),
     ).orderBy("event_type")
 

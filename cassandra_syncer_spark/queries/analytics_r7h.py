@@ -46,17 +46,17 @@ from cassandra_syncer_spark.registry import register
       FROM g
     ),
     d AS (
-      SELECT vc,
+      SELECT vc, t.na, t.nb,
              abs((1000000 * cuma) // t.na - (1000000 * cumb) // t.nb)
                AS diff_micro
       FROM c, t
+      WHERE t.na > 0 AND t.nb > 0
     )
-    SELECT (SELECT na FROM t) AS n_a,
-           (SELECT nb FROM t) AS n_b,
+    SELECT na AS n_a, nb AS n_b,
            CAST(max(diff_micro) AS BIGINT) AS ks_micro,
            CAST(min(CASE WHEN diff_micro = (SELECT max(diff_micro) FROM d)
                          THEN vc END) AS BIGINT) AS ks_at_value_centi
-    FROM d
+    FROM d GROUP BY na, nb
     """,
 )
 def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,7 +134,9 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = g.agg(
         F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
     )
-    d = c.crossJoin(F.broadcast(tot)).select(
+    d = c.crossJoin(F.broadcast(tot)).filter(
+        (F.col("na") > 0) & (F.col("nb") > 0)
+    ).select(
         "vc",
         "na",
         "nb",
@@ -191,8 +193,9 @@ _CUPED_SPLIT = "2024-02-01"
     SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
            round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS theta_r6,
+                 / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0), 6)
+             AS theta_r6,
            round((CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)
                   - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0, 6)
              AS lift_raw_r6,
@@ -200,12 +203,12 @@ _CUPED_SPLIT = "2024-02-01"
                   - CAST(sya AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0
                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
                    * ((CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)
                        - CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE)) / 100.0), 6)
              AS lift_cuped_r6
-    FROM s
+    FROM s WHERE na > 0 AND nb > 0
     """,
 )
 def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,10 +279,12 @@ def events_uplift_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
     sxa, sya = F.col("sxa").cast("double"), F.col("sya").cast("double")
     sxb, syb = F.col("sxb").cast("double"), F.col("syb").cast("double")
-    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    theta = (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0))
     lift_raw = (syb / nb - sya / na) / 100.0
     x_gap = (sxb / nb - sxa / na) / 100.0
-    return s.select(
+    # a one-armed (or empty) experiment has no lift reading: zero rows,
+    # identically on both engines (degenerate-events sweep)
+    return s.filter((F.col("na") > 0) & (F.col("nb") > 0)).select(
         F.col("na").cast("long").alias("n_a"),
         F.col("nb").cast("long").alias("n_b"),
         F.round(theta, 6).alias("theta_r6"),

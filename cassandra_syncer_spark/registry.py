@@ -78,6 +78,9 @@ PRIORITY: tuple[str, ...] = (
     "text_minhash_dedup",      # shingles_expr get() rewrite (representative)
     "dedup_verify_jaccard",    # consumes the same shingle/band kernel
     "join_interval_overlap",   # prefix-sum rewrite (40.5 s → 2.1 s), same oracle
+    "events_anomaly_zscore",   # nullif sigma=0 / n=1 guard (degenerate sweep)
+    "events_anomaly_mad",      # nullif MAD=0 guard (degenerate sweep)
+    "agg_moments_skew_kurt",   # nullif var=0 guard (degenerate sweep)
     # -- 1: last verified in round 1 — cut off by the r6 window -------------
     "sim_ivf_ann",
     # -- 2: last verified in round 2 (oldest-stale block, completes the

@@ -74,11 +74,15 @@ def test_verify_pipeline_empty_text_collision(spark, tmp_path):
 
 def test_all_queries_survive_degenerate_docs(spark, tmp_path):
     """Robustness law, round-7 edition: every registered query must
-    execute cleanly when the documents/embeddings content is DEGENERATE
-    — empty texts, 1-word and 7-word docs (below every gram width),
-    zero vectors — while the other tables are real.  Short docs crashed
-    three gram kernels this round (ANSI sequence/slice/index); a crawl
-    with a single short doc must never abort a pipeline."""
+    execute cleanly when the documents/embeddings/events content is
+    DEGENERATE — empty texts, 1-word and 7-word docs (below every gram
+    width), zero vectors, a 5-row single-event-type log (one A/B arm
+    possibly empty, KS with one sample missing) — while the relational
+    tables are real.  Short docs crashed three gram kernels earlier
+    this round and one-sided events crashed the KS/CUPED divisions
+    (ANSI DIVIDE_BY_ZERO, caught by this sweep's extension); a crawl
+    with a single short doc or a one-type event log must never abort a
+    pipeline."""
     import os
 
     from cassandra_syncer_spark.registry import REGISTRY, all_queries
@@ -99,6 +103,25 @@ def test_all_queries_survive_degenerate_docs(spark, tmp_path):
             spark.createDataFrame(
                 docs,
                 "doc_id long, text string, lang string, source string, n_chars long",
+            ).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        elif t == "events":
+            import datetime
+
+            ev = [
+                (
+                    i,
+                    datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=i),
+                    i % 2,
+                    "click",  # one type only: KS one-sided, arms may be empty
+                    5.0,
+                    '{"k": 1}',
+                )
+                for i in range(5)
+            ]
+            spark.createDataFrame(
+                ev,
+                "event_id long, ts timestamp, user_id long, event_type string,"
+                " value double, props string",
             ).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
         elif t == "embeddings":
             # keep the real schema/dim but only 4 rows incl. a zero vector
