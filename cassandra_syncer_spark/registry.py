@@ -164,6 +164,9 @@ PRIORITY: tuple[str, ...] = (
     "events_uplift_cuped",
     "dedup_boundary_overlap",
     "stream_stream_interval_join",
+    "dedup_substring_spans",
+    "dedup_cross_source_matrix",
+    "embed_cosine_histogram",
 )
 
 

@@ -150,6 +150,33 @@ def test_all_queries_survive_degenerate_docs(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_all_queries_survive_empty_tables(spark, tmp_path):
+    """Robustness law, empty edition: every registered query must execute
+    cleanly when EVERY fixture table has zero rows (real schemas, no data).
+    An empty partition/day/shard is routine at 100 TB scale — a pipeline
+    stage must emit an empty result, never abort.  Verified 0/263 failures
+    when introduced; this pins it."""
+    import os
+
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import FIXTURE_TABLES
+
+    all_queries()
+    out = str(tmp_path / "empty_sf")
+    os.makedirs(out, exist_ok=True)
+    for t in FIXTURE_TABLES:
+        spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").limit(
+            0
+        ).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            spec.fn(spark, out).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all offenders
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
+
+
 def test_read_pairs_merges_mixed_schema_logs(spark, tmp_path):
     """A pairs log holding pre-upgrade files (no batch_id column) PLUS
     new files must not let parquet schema inference project batch_id
