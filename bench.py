@@ -81,6 +81,10 @@ HEADLINE = [
     "select_pareto_skyline",
     "embed_pca_power",
     "graph_label_propagation",
+    # round-7 batch 9 timed rows (SCALING.md carries the 10x evidence):
+    # ExactSubstr span coverage; constant-size-sample cosine histogram
+    "dedup_substring_spans",
+    "embed_cosine_histogram",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

@@ -112,6 +112,15 @@ def decode_media(df: DataFrame, fake: bool = False) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("doc_id", "media_type", "n_bytes", "width", "height", "checksum")}
             for doc_id, payload, mt in zip(pdf["doc_id"], pdf["payload"], pdf["media_type"]):
+                if payload is None:
+                    # no media object: pass the row through with null
+                    # metadata (matches encode(NULL)/md5(NULL) = NULL on
+                    # the oracle side) rather than failing the batch
+                    rows["doc_id"].append(doc_id)
+                    rows["media_type"].append(mt)
+                    for c in ("n_bytes", "width", "height", "checksum"):
+                        rows[c].append(None)
+                    continue
                 data = bytes(payload)
                 if fake:
                     w, h = _fake_dims(data)
@@ -136,6 +145,13 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # no payload → one null frame (oracle: greatest(length
+                    # (NULL),1)=1 frame, md5(substring(NULL,..)) = NULL)
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(0)
+                    out["frame_md5"].append(None)
+                    continue
                 data = bytes(payload)
                 for i, off in enumerate(range(0, max(len(data), 1), every_n_bytes)):
                     out["doc_id"].append(doc_id)

@@ -195,7 +195,8 @@ def cond_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
            -- parity must not assume an ASCII-only fixture
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS etag
-    FROM documents WHERE doc_id % 25 = 0 ORDER BY doc_id
+    FROM documents WHERE doc_id % 25 = 0 AND text IS NOT NULL
+    ORDER BY doc_id
     """,
 )
 def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +224,8 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(out, exist_ok=True)
     sample = (
         T(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 25 == 0)
+        # NULL text = no content object to stage (both sides skip it)
+        .filter((F.col("doc_id") % 25 == 0) & F.col("text").isNotNull())
         .select("doc_id", "text")
         .collect()
     )

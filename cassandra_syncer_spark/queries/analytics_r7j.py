@@ -191,15 +191,19 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embed_cosine_histogram — corpus-health distribution of pairwise cosine
 # ---------------------------------------------------------------------------
 
-_COS_SAMPLE_MOD = 5  # deterministic 1-in-5 sample of vec_ids
+_COS_SAMPLE_TARGET = 100  # constant sample SIZE at any corpus scale
 
 
 @register(
     "embed_cosine_histogram",
     oracle=f"""
-    WITH s AS (
+    WITH m AS (
+      SELECT greatest(1, count(*) // {_COS_SAMPLE_TARGET}) AS md
+      FROM embeddings
+    ),
+    s AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE vec_id % {_COS_SAMPLE_MOD} = 0
+      FROM embeddings, m WHERE vec_id % m.md = 0
     ),
     p AS (
       SELECT CAST(least(greatest(
@@ -221,18 +225,27 @@ def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     this profiles the UNCONDITIONED pair distribution, which is what
     tells you whether a threshold exists at all.
 
-    Scale shape: the sample makes the quadratic explicit and bounded —
-    1-in-M by vec_id keeps the pair count at (N/M)²/2 regardless of
-    executor count, and the sampled side is small enough to BROADCAST,
-    so the pair expansion is shuffle-free map-side work.  Fixture
+    Scale shape: the sample makes the quadratic explicit and bounded at
+    a constant SIZE, not a constant rate — the modulus derives from the
+    table count (1-in-(N/target)), so the pair count stays ~target²/2 at
+    ANY corpus scale (a fixed 1-in-M rate looked fine at 1× and went
+    quadratic at 10×: 0.6 s → 8.8 s, measured; the derived modulus holds
+    ~0.6 s at both).  The count and the sampled side both broadcast, so
+    the pair expansion is shuffle-free map-side work.  Fixture
     embeddings are unit-normalized (cosine = dot, one zip_with/aggregate
     fold, JVM-side); bucket = floor(round(dot,4)·10) clamped to [-10, 9]
     — both engines bucket the same rounded value, so the histogram is
     integer-exact.
     """
+    emb = T(spark, sf_dir, "embeddings")
+    md = emb.agg(
+        F.greatest(
+            F.lit(1), F.expr(f"count(*) div {_COS_SAMPLE_TARGET}")
+        ).alias("md")
+    )
     s = (
-        T(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") % _COS_SAMPLE_MOD == 0)
+        emb.crossJoin(F.broadcast(md))
+        .filter(F.col("vec_id") % F.col("md") == 0)
         .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),

@@ -94,6 +94,14 @@ def _chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = {"doc_id": [], "chunk_idx": [], "chunk_len": []}
         for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+            if pd.isna(n_chars):
+                # NULL n_chars → one chunk of unknown length, matching the
+                # oracle: greatest(ceil(NULL/1000), 1) = 1 in DuckDB
+                # (greatest ignores NULLs), least(1000, NULL) = NULL
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(0)
+                out["chunk_len"].append(None)
+                continue
             n_chunks = max(1, math.ceil(n_chars / 1000.0))
             for k in range(n_chunks):
                 out["doc_id"].append(doc_id)
@@ -112,7 +120,12 @@ def _chunker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     )
     SELECT doc_id,
            CAST(k AS BIGINT) AS chunk_idx,
-           CAST(least(1000, n_chars - k * 1000) AS BIGINT) AS chunk_len
+           -- explicit NULL guard: DuckDB's least() IGNORES null arguments
+           -- (least(1000, NULL) = 1000), so without the CASE a NULL-length
+           -- doc would claim a full 1000-char chunk
+           CAST(CASE WHEN n_chars IS NULL THEN NULL
+                     ELSE least(1000, n_chars - k * 1000) END AS BIGINT)
+             AS chunk_len
     FROM c
     """,
 )

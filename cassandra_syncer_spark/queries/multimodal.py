@@ -28,10 +28,15 @@ from cassandra_syncer_spark.registry import register
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 240
-                AS INTEGER) AS width,
-           CAST(16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 240
-                AS INTEGER) AS height,
+           -- NULL-text guard: concat('0x', NULL) is '0x' in DuckDB (concat
+           -- ignores NULLs) and CAST('0x' AS INTEGER) aborts the query —
+           -- null payloads must yield null dims, as the decode stage does
+           CAST(CASE WHEN text IS NULL THEN NULL
+                ELSE 16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INTEGER) % 240
+                END AS INTEGER) AS width,
+           CAST(CASE WHEN text IS NULL THEN NULL
+                ELSE 16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INTEGER) % 240
+                END AS INTEGER) AS height,
            md5(text) AS checksum
     FROM documents
     """,

@@ -68,6 +68,10 @@ PRIORITY: tuple[str, ...] = (
     # ids overflow into round 8's front block (all covered by the local
     # PARITY artifact meanwhile).
     # -- 0: definition changed in round 7 -----------------------------------
+    "udtf_explode",            # NULL-n_chars chunk (both engines; least() trap)
+    "multimodal_decode",       # NULL-payload passthrough + oracle '0x' guard
+    "multimodal_frames",       # NULL-payload single null frame
+    "scan_binaryfile",         # NULL text = no object to stage (both sides)
     "text_ngram_novelty",      # short-doc guard on the 8-gram expansion
     "corpus_vocab_growth",     # short-doc guard on the 8-gram expansion
     "dedup_verify_pipeline",   # mx=0 guard on edit_sim_micro (both engines)

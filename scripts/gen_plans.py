@@ -238,6 +238,21 @@ FLAGSHIPS = [
         "dimension-sized and broadcasts back; bucket-local range windows do "
         "the exact dominance — no pair join, no global sort",
     ),
+    (
+        "dedup_substring_spans",
+        "ExactSubstr span coverage: gram expansion fused into the scan "
+        "projection (generator in the scan stage, no pre-shuffle "
+        "materialization); ONE corpus-sized exchange keyed on the span for "
+        "the count window, then the per-doc agg — at 100 TB the span key "
+        "becomes xxhash64(span) to cut shuffle bytes, same tree",
+    ),
+    (
+        "embed_cosine_histogram",
+        "sampled quadratic made explicit: pushed sample filter at the scan, "
+        "BroadcastNestedLoopJoin over the broadcast sample (pair expansion "
+        "is shuffle-free map-side), dot-product fold JVM-side, tiny "
+        "histogram agg — no SortMergeJoin, no cartesian of the full table",
+    ),
 ]
 
 

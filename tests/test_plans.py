@@ -759,3 +759,37 @@ def test_boundary_overlap_hash_once_equi_join(spark, sf_dir):
     assert p.count("FileScan") == 0, p
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_substring_spans_single_corpus_shuffle(spark, sf_dir):
+    """dedup_substring_spans: gram explode fuses into the scan stage (one
+    FileScan, Generate before any exchange), exactly one corpus-sized
+    exchange (the count window on the span key) plus the per-doc agg and
+    final sort — no joins of any kind."""
+    p = plan_of(spark, sf_dir, "dedup_substring_spans")
+    assert p.count("FileScan") == 1, p
+    assert "Join" not in p, p
+    assert p.count("Window [") == 1, p
+    assert p.count("Exchange hashpartitioning") == 2, p  # span window + doc agg
+
+
+def test_cosine_histogram_broadcast_pair_expansion(spark, sf_dir):
+    """embed_cosine_histogram: the sampled side broadcasts, so the pair
+    expansion is a shuffle-free BroadcastNestedLoopJoin (the `<` pair
+    condition is not an equi key) — never a cartesian of the full table
+    or a sort-merge.  The modulus-deriving count scans are column-pruned
+    to an empty ReadSchema (footer-count only)."""
+    p = plan_of(spark, sf_dir, "embed_cosine_histogram")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "ReadSchema: struct<>" in p, p  # the count leg reads no columns
+
+
+def test_cross_source_matrix_distinct_before_join(spark, sf_dir):
+    """dedup_cross_source_matrix: distinct(span, source) collapses BEFORE
+    the self-join (two aggregate legs feed the join), and the join is a
+    hash EQUI join on the span — bucket-local, not all-pairs."""
+    p = plan_of(spark, sf_dir, "dedup_cross_source_matrix")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p

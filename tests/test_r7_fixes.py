@@ -177,6 +177,91 @@ def test_all_queries_survive_empty_tables(spark, tmp_path):
     assert not failures, "\n".join(failures)
 
 
+def test_all_queries_survive_null_laced_tables(spark, tmp_path):
+    """Robustness law, NULL edition: every registered query must execute
+    cleanly when nullable content columns actually hold NULLs — NULL
+    text/lang/source/n_chars documents, a NULL embedding vector, NULL
+    event_type/value/props events.  Parquet marks all of these nullable,
+    so a crawl row with missing content is legal input; when introduced
+    this sweep caught four crashers (bytes(None) in the multimodal
+    decode/frame stages, math.ceil(NaN) in the chunker UDTF, write(None)
+    in the binaryFile stager) plus two ORACLE-side aborts (DuckDB
+    concat('0x', NULL) → CAST abort; least(1000, NULL) = 1000 because
+    least IGNORES nulls).  NULL-handling parity for the four fixed ids
+    is asserted against the DuckDB oracles on this same fixture."""
+    import duckdb
+
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import FIXTURE_TABLES
+
+    all_queries()
+    out = str(tmp_path / "null_sf")
+    for t in FIXTURE_TABLES:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        df = spark.read.parquet(src)
+        if t == "documents":
+            nulls = spark.createDataFrame(
+                [
+                    (100000, None, None, None, None),
+                    (100001, "plain words here for a doc", None, "web", 26),
+                ],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            df = df.limit(20).unionByName(nulls)
+        elif t == "embeddings":
+            base = df.limit(20)
+            nulls = base.limit(1).select(
+                (F.col("vec_id") + 100000).alias("vec_id"),
+                F.lit(None).cast("array<float>").alias("embedding"),
+                F.lit(None).cast("int").alias("label"),
+            )
+            df = base.unionByName(nulls)
+        elif t == "events":
+            base = df.limit(50)
+            nulls = base.limit(2).select(
+                (F.col("event_id") + 100000).alias("event_id"),
+                "ts",
+                "user_id",
+                F.lit(None).cast("string").alias("event_type"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            df = base.unionByName(nulls)
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            spec.fn(spark, out).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all offenders
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
+
+    # value-level parity on the NULL fixture for the ids the sweep fixed
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_oracle_parity import _assert_frames_match
+
+    con = duckdb.connect()
+    for t in FIXTURE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS"
+            f" SELECT * FROM read_parquet('{out}/{t}.parquet/*.parquet')"
+        )
+    for name in (
+        "scan_binaryfile",
+        "udtf_explode",
+        "multimodal_decode",
+        "multimodal_frames",
+    ):
+        spec = REGISTRY[name]
+        _assert_frames_match(
+            name, spec.fn(spark, out).toPandas(), con.execute(spec.oracle).fetchdf()
+        )
+
+
 def test_read_pairs_merges_mixed_schema_logs(spark, tmp_path):
     """A pairs log holding pre-upgrade files (no batch_id column) PLUS
     new files must not let parquet schema inference project batch_id
