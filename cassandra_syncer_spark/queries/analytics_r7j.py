@@ -271,3 +271,220 @@ def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_substring_cut — merge duplicated spans into cut intervals per doc
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_substring_cut",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    g AS (
+      SELECT doc_id, len(ws) AS n_tokens, k AS s, k + {_SPAN_K - 1} AS e,
+             array_to_string(ws[k : k + {_SPAN_K - 1}], ' ') AS g
+      FROM (
+        SELECT doc_id, ws, unnest(range(1, len(ws) - {_SPAN_K - 2})) AS k
+        FROM w
+      )
+    ),
+    d AS (
+      SELECT doc_id, n_tokens, s, e FROM (
+        SELECT *, count(*) OVER (PARTITION BY g) AS c FROM g
+      ) WHERE c > 1
+    ),
+    m AS (
+      SELECT doc_id, n_tokens, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM d
+    ),
+    i AS (
+      SELECT doc_id, n_tokens, s, e,
+             sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM m
+    ),
+    sp AS (
+      SELECT doc_id, any_value(n_tokens) AS n_tokens,
+             min(s) AS ss, max(e) AS ee
+      FROM i GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_cut_spans,
+           CAST(sum(ee - ss + 1) AS BIGINT) AS tokens_removed,
+           CAST(any_value(n_tokens) AS BIGINT) AS n_tokens,
+           CAST((1000000 * sum(ee - ss + 1)) // any_value(n_tokens) AS BIGINT)
+             AS removed_micro
+    FROM sp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr APPLY stage: ``dedup_substring_spans`` detects
+    duplicated K-token windows; this op turns them into the actual CUT
+    LIST — overlapping/adjacent duplicated windows merged into maximal
+    intervals per document (classic gaps-and-islands), reporting spans
+    to remove, tokens removed, and the removed fraction.  The pair to
+    ``dedup_apply_clusters`` (which applies doc-level dedup verdicts):
+    substring dedup removes RANGES inside surviving docs.
+
+    Scale shape: same single corpus-sized shuffle as the detect stage
+    (count window on the span key), then everything is doc-local — the
+    island merge runs inside a per-doc window over only the DUPLICATED
+    windows (Zipf-small), and both windows in the merge share one
+    partitioning (one exchange, plan-asserted).  Merged-interval
+    semantics are pure integer logic, hash-identical across engines.
+    """
+    k = _SPAN_K
+    wins = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_tokens"),
+            F.posexplode(
+                F.expr(
+                    f"IF(size(ws) >= {k},"
+                    f" transform(sequence(1, size(ws) - {k} + 1),"
+                    f" i -> array_join(slice(ws, i, {k}), ' ')),"
+                    " array())"
+                )
+            ).alias("pos", "g"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("pos") + 1).alias("s"),
+            (F.col("pos") + k).alias("e"),
+            "g",
+        )
+    )
+    dup = wins.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    ).filter(F.col("c") > 1)
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wcum = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = dup.withColumn(
+        "ni",
+        (
+            F.col("s")
+            > F.coalesce(F.max("e").over(wprev), F.lit(-1)) + 1
+        ).cast("int"),
+    ).withColumn("island", F.sum("ni").over(wcum))
+    spans = marked.groupBy("doc_id", "island").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.min("s").alias("ss"),
+        F.max("e").alias("ee"),
+    )
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cut_spans"),
+            F.sum(F.col("ee") - F.col("ss") + 1).cast("long").alias("tokens_removed"),
+            F.first("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_cut_spans",
+            "tokens_removed",
+            "n_tokens",
+            F.expr("(1000000 * tokens_removed) div n_tokens").alias("removed_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_ctr_wilson — ranking under uncertainty: Wilson lower bound on CTR
+# ---------------------------------------------------------------------------
+
+# z = 1.96 (95%); z² = 3.8416, z²/2 = 1.9208, z²/4 = 0.9604.  The formula
+# is written as ONE shared SQL text so both engines evaluate the identical
+# expression tree (IEEE ops on identical integer inputs → identical doubles).
+_WILSON_SQL = (
+    "round(1000000 * ("
+    " (n_clicks / CAST(n_impr AS DOUBLE) + 1.9208 / n_impr"
+    "  - 1.96 * sqrt((n_clicks / CAST(n_impr AS DOUBLE))"
+    "                * (1 - n_clicks / CAST(n_impr AS DOUBLE)) / n_impr"
+    "                + 0.9604 / (CAST(n_impr AS DOUBLE) * n_impr)))"
+    " / (1 + 3.8416 / n_impr)))"
+)
+
+
+@register(
+    "events_ctr_wilson",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             event_type
+      FROM events
+    ),
+    c AS (
+      SELECT item,
+             CAST(sum(CASE WHEN event_type IN ('view', 'click') THEN 1
+                      ELSE 0 END) AS BIGINT) AS n_impr,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_clicks
+      FROM e GROUP BY item
+      HAVING sum(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+             > 0
+    )
+    SELECT item, n_impr, n_clicks,
+           CAST((1000000 * n_clicks) // n_impr AS BIGINT) AS ctr_micro,
+           CAST({_WILSON_SQL} AS BIGINT) AS wilson_micro
+    FROM c ORDER BY wilson_micro DESC, item
+    """,
+)
+def events_ctr_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING UNDER UNCERTAINTY: Wilson score lower bound (95%) on
+    per-item click-through rate — the estimator that stops a 1-click /
+    1-view item from outranking a 900-click / 1000-view item, the
+    standard fix for raw-CTR ranking (Agresti–Coull / Wilson interval).
+    Items come from the event props JSON; impressions = views + clicks
+    (a click implies an impression — and it bounds p to [0,1]; raw view
+    counts undercount in any log where the view event can drop).  Complements ``events_abtest_lift`` (two-arm compare)
+    with per-item interval ranking.
+
+    Scale shape: one scan with the JSON extraction fused, one item-keyed
+    agg with map-side partial counts (items ≪ events, Zipf-friendly);
+    the Wilson formula is scalar arithmetic on two aggregated integers —
+    written as ONE shared SQL text for both engines, so the IEEE double
+    pipeline is identical and the micro rounding cannot diverge.  The
+    final sort is item-cardinality-sized.
+    """
+    e = T(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("item"),
+        "event_type",
+    )
+    c = (
+        e.groupBy("item")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type").isin("view", "click"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_impr"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_clicks"),
+        )
+        .filter(F.col("n_impr") > 0)
+    )
+    return c.select(
+        "item",
+        "n_impr",
+        "n_clicks",
+        F.expr("(1000000 * n_clicks) div n_impr").alias("ctr_micro"),
+        F.expr(f"CAST({_WILSON_SQL} AS BIGINT)").alias("wilson_micro"),
+    ).orderBy(F.desc("wilson_micro"), "item")

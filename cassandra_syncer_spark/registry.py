@@ -105,8 +105,6 @@ PRIORITY: tuple[str, ...] = (
     "map_funcs",
     "math_funcs",
     "multimodal_cols",
-    "multimodal_decode",
-    "multimodal_frames",
     "q12_shipmode_priority",
     "q14_promo_share",
     "q3_shipping_priority",
@@ -121,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "text_tokens",
     "udaf_grouped",
     "udf_scalar",
-    "udtf_explode",
     "win_percent_rank",
     "win_rank_dense",
     "win_sliding",
@@ -171,6 +168,8 @@ PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "dedup_cross_source_matrix",
     "embed_cosine_histogram",
+    "dedup_substring_cut",
+    "events_ctr_wilson",
 )
 
 

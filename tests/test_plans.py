@@ -793,3 +793,22 @@ def test_cross_source_matrix_distinct_before_join(spark, sf_dir):
     p = plan_of(spark, sf_dir, "dedup_cross_source_matrix")
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_substring_cut_no_joins_shared_partitioning(spark, sf_dir):
+    """dedup_substring_cut: detect + island merge + per-doc agg with NO
+    joins; exactly two hash exchanges (span-key count window, then the
+    doc key — the island windows and both doc-level aggs all reuse the
+    doc partitioning)."""
+    p = plan_of(spark, sf_dir, "dedup_substring_cut")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_ctr_wilson_single_agg_no_joins(spark, sf_dir):
+    """events_ctr_wilson: one scan, one item-keyed agg exchange, scalar
+    Wilson math — no joins, no windows."""
+    p = plan_of(spark, sf_dir, "events_ctr_wilson")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
