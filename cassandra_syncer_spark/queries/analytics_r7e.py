@@ -135,13 +135,17 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean are hash-exact across engines.
     """
     d = T(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # counts cast to LONG before the micro math: Spark length()/size() are
+    # INT, and 1000000 * INT overflows at ~2147 counted chars — i.e. on any
+    # ~10 KB code file (caught by the long-doc sweep; DuckDB len() is
+    # already BIGINT, so only this side needed widening)
     f = d.select(
         "lang",
-        F.length("text").alias("nc"),
-        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).alias("n_sym"),
-        F.length(F.regexp_replace("text", "[^0-9]", "")).alias("n_dig"),
-        F.length(F.regexp_replace("text", " ", "")).alias("n_wchars"),
-        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").cast("long").alias("nc"),
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", "")).cast("long").alias("n_sym"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long").alias("n_dig"),
+        F.length(F.regexp_replace("text", " ", "")).cast("long").alias("n_wchars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
     )
     s = f.select(
         "lang",

@@ -68,6 +68,7 @@ PRIORITY: tuple[str, ...] = (
     # ids overflow into round 8's front block (all covered by the local
     # PARITY artifact meanwhile).
     # -- 0: definition changed in round 7 -----------------------------------
+    "text_code_detect",        # long casts on length counts (int overflow at ~10 KB docs)
     "udtf_explode",            # NULL-n_chars chunk (both engines; least() trap)
     "multimodal_decode",       # NULL-payload passthrough + oracle '0x' guard
     "multimodal_frames",       # NULL-payload single null frame
@@ -150,7 +151,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_stateful_ledger",
     "dedup_banding_recall",
     "dedup_normalized",
-    "text_code_detect",
     "events_cohort_matrix",
     "embed_variance_prune",
     "scan_minmax_prune",

@@ -262,6 +262,54 @@ def test_all_queries_survive_null_laced_tables(spark, tmp_path):
         )
 
 
+def test_all_queries_survive_unicode_and_long_docs(spark, tmp_path):
+    """Robustness law, unicode/long-doc edition: every registered query
+    must execute cleanly on CJK / emoji / RTL / combining-mark text and
+    on a 100k-word (~590k-char) document.  The long doc caught a real
+    overflow when introduced: Spark length()/size() return INT, so
+    1000000 * count wraps at ~2147 counted chars — any ~10 KB code file
+    would have aborted text_code_detect under ANSI mode (fixed with
+    long casts; DuckDB's len() is already BIGINT).  Value parity on
+    non-ASCII text is NOT asserted here — several fake-codec oracles
+    document an ASCII byte==char precondition — only crash-freedom."""
+    import os
+
+    from cassandra_syncer_spark.registry import REGISTRY, all_queries
+    from cassandra_syncer_spark.session import FIXTURE_TABLES
+
+    all_queries()
+    out = str(tmp_path / "unicode_sf")
+    os.makedirs(out, exist_ok=True)
+    long_doc = " ".join(f"w{i % 997}" for i in range(100_000))
+    raw = [
+        (0, "日本語のテキスト データ処理 エンジン テスト 文書 です これは 形態素 無し", "ja"),
+        (1, "emoji 🎉 test 🚀 doc with 🔥 symbols 🌍 and more 🎯 tokens here", "en"),
+        (2, "مرحبا بالعالم هذا نص عربي للاختبار مع كلمات كثيرة جدا هنا", "ar"),
+        (3, "é̂ combining ü marks ñ test ö doc å with ø diacritics æ everywhere ß now", "de"),
+        (4, long_doc, "en"),
+        (5, "普通 mixed 中文 english 混合 text 文本 with both 两种 languages 语言", "zh"),
+    ]
+    docs = [(i, t, lang, "web", len(t)) for (i, t, lang) in raw]
+    for t in FIXTURE_TABLES:
+        if t == "documents":
+            spark.createDataFrame(
+                docs,
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            ).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+        else:
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/{t}.parquet")
+    failures = []
+    for name, spec in REGISTRY.items():
+        try:
+            spec.fn(spark, out).collect()
+        except Exception as e:  # noqa: BLE001 — collecting all offenders
+            failures.append(f"{name}: {str(e).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
+
+
 def test_read_pairs_merges_mixed_schema_logs(spark, tmp_path):
     """A pairs log holding pre-upgrade files (no batch_id column) PLUS
     new files must not let parquet schema inference project batch_id
