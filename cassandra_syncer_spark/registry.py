@@ -170,6 +170,11 @@ PRIORITY: tuple[str, ...] = (
     "embed_cosine_histogram",
     "dedup_substring_cut",
     "events_ctr_wilson",
+    "agg_chi_square",
+    "corpus_freq_spectrum",
+    "events_hourly_profile",
+    "graph_kcore",
+    "sim_mmr_rerank",
 )
 
 
