@@ -279,13 +279,18 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     combiner-friendly) + two semi-joins back to the edge list — the
     degree tables are node-bounded (≪ edges), so Spark broadcasts them
     when small and hash-joins co-partitioned on the same key otherwise.
-    Edges are touched {rounds}× but never expanded; no pair blow-up
-    anywhere.
+    Each round's residual edge list is ``localCheckpoint``-materialized
+    (the repo's iteration rule, operators/components.py) so round r+1
+    reads a table, not round r's whole lineage — without it the unioned
+    3-round plan re-derives the scan+distinct combinatorially (measured:
+    78 exchanges → 14).  Edges are touched {rounds}× but never expanded;
+    no pair blow-up anywhere.
     """
     e = (
         T(spark, sf_dir, "lineitem")
         .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint()
     )
     out = []
     for r in range(1, _KCORE_ROUNDS + 1):
@@ -295,8 +300,10 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         kp = e.groupBy("p").agg(F.count(F.lit(1)).alias("dp")).filter(
             F.col("dp") >= _KCORE_K
         )
-        e = e.join(ks.select("s"), "s", "left_semi").join(
-            kp.select("p"), "p", "left_semi"
+        e = (
+            e.join(ks.select("s"), "s", "left_semi")
+            .join(kp.select("p"), "p", "left_semi")
+            .localCheckpoint()
         )
         out.append(
             e.agg(

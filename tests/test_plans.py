@@ -812,3 +812,66 @@ def test_ctr_wilson_single_agg_no_joins(spark, sf_dir):
     assert "Join" not in p, p
     assert "Window" not in p, p
     assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_chi_square_windows_on_cell_table(spark, sf_dir):
+    """agg_chi_square: ONE corpus-keyed exchange (the lang×source cell
+    agg); all three marginal windows run on the dimension-sized cell
+    table downstream of it — no joins, no second corpus shuffle.  The
+    single-partition global-sum window is over O(|langs|·|sources|)
+    rows, never the corpus."""
+    p = plan_of(spark, sf_dir, "agg_chi_square")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_freq_spectrum_vocab_bounded(spark, sf_dir):
+    """corpus_freq_spectrum: token explode is scan-side (Generate below
+    the first exchange); two hash exchanges total (vocab agg, then the
+    ≤~12-row decade agg); the global-share window runs on the decade
+    table.  No joins anywhere."""
+    p = plan_of(spark, sf_dir, "corpus_freq_spectrum")
+    assert "Join" not in p, p
+    assert "Generate" in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+    # the explode feeds the first aggregate directly — no pre-explode shuffle
+    assert p.index("Generate") > p.index("Exchange hashpartitioning"), p
+
+
+def test_hourly_profile_combiner_friendly(spark, sf_dir):
+    """events_hourly_profile: one scan, partial-agg before the exchange
+    (the 168-cell key space makes map-side combine collapse each
+    partition to ≤168 rows), distinct-user expand keyed on (cell,user).
+    No joins, no windows."""
+    p = plan_of(spark, sf_dir, "events_hourly_profile")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert "partial" in p.lower(), p  # map-side combine present
+
+
+def test_kcore_rounds_materialized_join_free_tail(spark, sf_dir):
+    """graph_kcore: each round's residual edge list is localCheckpoint-
+    materialized, so the FINAL unioned counts plan reads three
+    checkpointed tables — no joins, no lineage re-derivation (without
+    the checkpoints the 3-round union re-derived the scan+distinct
+    combinatorially: 78 exchanges; with them the tail plan holds six —
+    the two distinct-count aggs per round)."""
+    p = plan_of(spark, sf_dir, "graph_kcore")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 6, p
+
+
+def test_mmr_broadcast_probe_single_fold(spark, sf_dir):
+    """sim_mmr_rerank: stage 1 is the cosine-topk shape — probes
+    broadcast against the corpus scan (BroadcastNestedLoopJoin on the
+    non-equi q_id<>vec_id condition; the corpus NEVER shuffles for the
+    join) — and the greedy fold is one projection over the per-probe
+    candidate array: no per-step jobs, no UDF (no BatchEvalPython /
+    ArrowEvalPython), no extra exchange beyond the probe-keyed top-C
+    window + collect."""
+    p = plan_of(spark, sf_dir, "sim_mmr_rerank")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert "EvalPython" not in p, p
