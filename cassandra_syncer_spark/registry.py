@@ -175,6 +175,11 @@ PRIORITY: tuple[str, ...] = (
     "events_hourly_profile",
     "graph_kcore",
     "sim_mmr_rerank",
+    "agg_anova_f",
+    "text_langid_confusion",
+    "agg_benford_digits",
+    "agg_histogram_equiwidth",
+    "graph_bfs_hops",
 )
 
 
