@@ -875,3 +875,58 @@ def test_mmr_broadcast_probe_single_fold(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
     assert "EvalPython" not in p, p
+
+
+def test_anova_two_agg_cascade_no_joins(spark, sf_dir):
+    """agg_anova_f: one source-keyed exchange (the group agg) + one
+    single-partition exchange (the |sources|-row total agg) — the
+    CUPED/stats_corr cascade shape.  No joins, no windows, partial
+    aggregation present (map-side combine on the fact scan)."""
+    p = plan_of(spark, sf_dir, "agg_anova_f")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "partial" in p.lower(), p
+
+
+def test_langid_confusion_scan_fused_dimension_windows(spark, sf_dir):
+    """text_langid_confusion: marker scoring is scan-fused (no Generate
+    — the classifier filters the split array in place, never explodes),
+    one corpus exchange to the cell table, P/R windows on the dimension
+    table.  No joins."""
+    p = plan_of(spark, sf_dir, "text_langid_confusion")
+    assert "Join" not in p, p
+    assert "Generate" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+
+
+def test_benford_digit_dimension_broadcast(spark, sf_dir):
+    """agg_benford_digits: the 9-row digit dimension joins BROADCAST
+    against the aggregated observation table (never a shuffle join), and
+    the fact scan feeds one 9-key hash agg with map-side combine."""
+    p = plan_of(spark, sf_dir, "agg_benford_digits")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial" in p.lower(), p
+
+
+def test_histogram_minmax_broadcast_not_window(spark, sf_dir):
+    """agg_histogram_equiwidth: the min/max single-row agg comes back as
+    a BROADCAST nested-loop against the value scan — NOT a global window
+    (which would shuffle the whole fact table to one partition).  One
+    bin-keyed hash exchange, map-side combined."""
+    p = plan_of(spark, sf_dir, "agg_histogram_equiwidth")
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_bfs_hops_checkpointed_frontier_tail(spark, sf_dir):
+    """graph_bfs_hops: frontiers and visited sets are checkpointed per
+    hop, so the final 3-row union plan is three count-aggs over
+    materialized tables — join-free, no lineage re-derivation."""
+    p = plan_of(spark, sf_dir, "graph_bfs_hops")
+    assert "Join" not in p, p
+    assert "CartesianProduct" not in p, p

@@ -253,3 +253,198 @@ def test_hourly_profile_matches_python(spark, tmp_path):
         cells[cell][2] += _round_half_away(1000000 * val)
     want = {c: (v[0], len(v[1]), v[2]) for c, v in cells.items()}
     assert got == want
+
+
+def test_anova_matches_python_and_float_reference(spark, tmp_path):
+    """Integer-micro ANOVA == Python mirror of the exact formulas, AND
+    the resulting F agrees with the textbook float computation to 1e-6
+    relative — the quantization is measurement, not a different test."""
+    from cassandra_syncer_spark.queries.analytics_r7l import agg_anova_f
+
+    rng = random.Random(101)
+    rows = []
+    i = 0
+    for src, mu in [("a", 200), ("b", 260), ("c", 240)]:
+        for _ in range(rng.randint(40, 80)):
+            rows.append((i, src, max(1, int(rng.gauss(mu, 40)))))
+            i += 1
+    sf = _stage(
+        spark, tmp_path, "anova", rows,
+        "doc_id long, source string, n_chars long", "documents",
+    )
+    got = agg_anova_f(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    groups = collections.defaultdict(list)
+    for _, s, x in rows:
+        groups[s].append(x)
+    k, n = len(groups), len(rows)
+    s_all = sum(x for _, _, x in rows)
+    a_micro = sum((1000000 * sum(g) ** 2) // len(g) for g in groups.values())
+    q_micro = 1000000 * sum(x * x for _, _, x in rows)
+    ssb = a_micro - (1000000 * s_all * s_all) // n
+    ssw = q_micro - a_micro
+    assert (r.k_groups, r.n_total, r.ssb_micro, r.ssw_micro) == (k, n, ssb, ssw)
+    assert r.f_micro == _round_half_away(1000000.0 * ssb * (n - k) / (ssw * (k - 1)))
+    # float reference (textbook formulation, no quantization)
+    grand = s_all / n
+    ssb_f = sum(len(g) * (sum(g) / len(g) - grand) ** 2 for g in groups.values())
+    ssw_f = sum(
+        (x - sum(g) / len(g)) ** 2 for g in groups.values() for x in g
+    )
+    f_ref = (ssb_f / (k - 1)) / (ssw_f / (n - k))
+    assert abs(r.f_micro / 1e6 - f_ref) / f_ref < 1e-5
+
+
+def test_benford_separates_logspace_from_uniform(spark, tmp_path):
+    """Law + mirror: a log-space-uniform price sample (Benford's
+    generative regime) must score a dramatically smaller chi-square than
+    a uniform[1000,2000) sample (all first digits = 1); cells mirror the
+    Python math exactly."""
+    from cassandra_syncer_spark.queries.analytics_r7l import (
+        _BENFORD_MICRO,
+        agg_benford_digits,
+    )
+
+    rng = random.Random(131)
+    benfordish = [(i, 10.0 ** rng.uniform(0, 4)) for i in range(3000)]
+    uniform = [(i, rng.uniform(1000.0, 2000.0)) for i in range(3000)]
+    chi2 = {}
+    for tag, rows in [("benford", benfordish), ("uniform", uniform)]:
+        sf = _stage(
+            spark, tmp_path, f"bf_{tag}", rows,
+            "o_orderkey long, o_totalprice double", "orders",
+        )
+        got = agg_benford_digits(spark, sf).collect()
+        assert [r.digit for r in got] == list(range(1, 10))  # schema-stable
+        n_total = sum(r.n_obs for r in got)
+        assert n_total == 3000
+        for r in got:
+            e_milli = (n_total * _BENFORD_MICRO[r.digit - 1]) // 1000
+            d_milli = 1000 * r.n_obs - e_milli
+            assert r.obs_share_micro == (1000000 * r.n_obs) // n_total
+            assert r.chi2_cell_micro == _round_half_away(
+                1000000.0 * d_milli * d_milli / (1000.0 * e_milli)
+            )
+        chi2[tag] = sum(r.chi2_cell_micro for r in got)
+    assert chi2["uniform"] > 50 * chi2["benford"], chi2
+
+
+def test_histogram_partitions_range_and_counts(spark, tmp_path):
+    """Equi-width histogram laws on random data: bins tile [lo, hi]
+    exactly (no gaps/overlaps), counts sum to N, every value falls in
+    its bin's [lo_micro, hi_micro) span, and the whole thing matches a
+    Python mirror of the integer binning."""
+    from cassandra_syncer_spark.queries.analytics_r7l import (
+        _HIST_BINS,
+        agg_histogram_equiwidth,
+    )
+
+    rng = random.Random(151)
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), 1, "e", round(rng.gauss(0, 2.5), 4))
+        for i in range(800)
+    ]
+    sf = _stage(
+        spark, tmp_path, "hist", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        "events",
+    )
+    got = agg_histogram_equiwidth(spark, sf).collect()
+    vm = [_round_half_away(1000000 * v) for *_, v in rows]
+    lo, hi = min(vm), max(vm)
+    span = hi - lo + 1
+    mirror = collections.Counter(
+        min((_HIST_BINS * (x - lo)) // span, _HIST_BINS - 1) for x in vm
+    )
+    assert {r.bin: r.n_rows for r in got} == dict(mirror)
+    assert sum(r.n_rows for r in got) == len(rows)
+    for r in got:
+        assert r.lo_micro == lo + (r.bin * span) // _HIST_BINS
+        assert r.hi_micro == lo + ((r.bin + 1) * span) // _HIST_BINS
+    edges = sorted((r.lo_micro, r.hi_micro) for r in got)
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(edges, edges[1:]):
+        # adjacent present bins tile without overlap (gaps only where a
+        # bin is empty, and then the edge arithmetic still lines up)
+        assert a_hi <= b_lo
+
+
+def test_bfs_matches_bruteforce_frontiers(spark, tmp_path):
+    """Per-hop new-node counts == Python BFS with visited-set dedup on
+    random sparse bipartite graphs (sparse so hops don't saturate in
+    one step and the anti-join dedup actually matters)."""
+    from cassandra_syncer_spark.queries.analytics_r7l import (
+        _BFS_SEEDS,
+        graph_bfs_hops,
+    )
+
+    rng = random.Random(173)
+    for trial in range(2):
+        edges = set()
+        for s in range(40):
+            for p in rng.sample(range(120), rng.randint(2, 5)):
+                edges.add((s, p))
+        sf = _stage(
+            spark, tmp_path, f"bfs{trial}",
+            [(s, p) for s, p in edges],
+            "l_suppkey long, l_partkey long", "lineitem",
+        )
+        got = [(r.hop, r.side, r.n_new) for r in graph_bfs_hops(spark, sf).collect()]
+        seen_s = {s for s, _ in edges if s < _BFS_SEEDS}
+        p1 = {p for s, p in edges if s in seen_s}
+        s2 = {s for s, p in edges if p in p1} - seen_s
+        p3 = {p for s, p in edges if s in s2} - p1
+        want = [(1, "part", len(p1)), (2, "supplier", len(s2)), (3, "part", len(p3))]
+        assert got == want, (trial, got, want)
+
+
+def test_langid_confusion_matches_python_mirror(spark, tmp_path):
+    """Confusion cells == Python mirror of the marker-word classifier;
+    recall shares per true lang sum to ≤1e6 with integer truncation."""
+    from cassandra_syncer_spark.queries.analytics_r7l import text_langid_confusion
+
+    markers = {
+        "en": {"the", "a", "of", "and", "is"},
+        "fr": {"le", "la", "de", "et", "un"},
+        "es": {"el", "la", "de", "y", "un"},
+        "de": {"der", "die", "das", "und", "ein"},
+    }
+    rng = random.Random(191)
+    pool = sorted(set().union(*markers.values())) + ["xxx", "yyy", "zzz"]
+    rows = []
+    for i in range(300):
+        true = rng.choice(["en", "fr", "es", "de", "nl"])
+        rows.append((i, " ".join(rng.choices(pool, k=rng.randint(0, 12))), true))
+    sf = _stage(
+        spark, tmp_path, "conf", rows, "doc_id long, text string, lang string",
+        "documents",
+    )
+    got = {
+        (r.lang, r.pred_lang): (r.n_docs, r.recall_micro, r.precision_micro)
+        for r in text_langid_confusion(spark, sf).collect()
+    }
+
+    def classify(text):
+        ws = text.lower().split(" ")
+        s = {k: sum(1 for w in ws if w in m) for k, m in markers.items()}
+        if s["en"] >= s["fr"] and s["en"] >= s["es"] and s["en"] >= s["de"] and s["en"] > 0:
+            return "en"
+        if s["fr"] >= s["es"] and s["fr"] >= s["de"] and s["fr"] > 0:
+            return "fr"
+        if s["es"] >= s["de"] and s["es"] > 0:
+            return "es"
+        if s["de"] > 0:
+            return "de"
+        return "unknown"
+
+    cells = collections.Counter((lang, classify(t)) for _, t, lang in rows)
+    nl = collections.Counter(lang for _, _, lang in rows)
+    np_ = collections.Counter(classify(t) for _, t, _ in rows)
+    assert set(got) == set(cells)
+    for (l, pr), n in cells.items():
+        assert got[(l, pr)] == (
+            n, (1000000 * n) // nl[l], (1000000 * n) // np_[pr]
+        )
+    for l in nl:
+        tot = sum(v[1] for (tl, _), v in got.items() if tl == l)
+        assert 1000000 - len(markers) - 1 <= tot <= 1000000
