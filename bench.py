@@ -85,6 +85,11 @@ HEADLINE = [
     # ExactSubstr span coverage; constant-size-sample cosine histogram
     "dedup_substring_spans",
     "embed_cosine_histogram",
+    # round-7 batch 11/12 timed rows (SCALING.md carries the 10x evidence):
+    # bounded k-core peel (checkpointed rounds); greedy MMR rerank (pure
+    # JVM fold over the broadcast-probe top-C pool)
+    "graph_kcore",
+    "sim_mmr_rerank",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

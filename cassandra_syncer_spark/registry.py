@@ -180,6 +180,11 @@ PRIORITY: tuple[str, ...] = (
     "agg_benford_digits",
     "agg_histogram_equiwidth",
     "graph_bfs_hops",
+    "tokenizer_bpe_pair_step",
+    "agg_hhi_concentration",
+    "win_rolling_corr",
+    "sink_dynamic_partition_overwrite",
+    "dedup_candidate_degree_hist",
 )
 
 
