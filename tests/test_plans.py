@@ -930,3 +930,60 @@ def test_bfs_hops_checkpointed_frontier_tail(spark, sf_dir):
     p = plan_of(spark, sf_dir, "graph_bfs_hops")
     assert "Join" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_bpe_pair_step_vocab_collapsed_first(spark, sf_dir):
+    """tokenizer_bpe_pair_step: pair expansion runs over the FREQUENCY-
+    COLLAPSED vocabulary (the word agg exchange comes before the pair
+    Generate), never the raw token stream — a word occurring 1e9 times
+    costs one row.  Two hash exchanges (vocab, pair counts); the top-k
+    window runs on the alphabet²-bounded pair table."""
+    p = plan_of(spark, sf_dir, "tokenizer_bpe_pair_step")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+    # token explode (first Generate) is scan-side; the PAIR Generate sits
+    # above the vocab exchange — i.e. some Generate appears after the
+    # first exchange in the plan tree string
+    assert p.count("Generate") == 2, p
+
+
+def test_hhi_two_agg_cascade(spark, sf_dir):
+    """agg_hhi_concentration: (type,user) agg then type agg — two hash
+    exchanges, no joins, no windows; partial aggregation on the scan."""
+    p = plan_of(spark, sf_dir, "agg_hhi_concentration")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+    assert "partial" in p.lower(), p
+
+
+def test_rolling_corr_one_shuffle_shared_sort(spark, sf_dir):
+    """win_rolling_corr: ONE user-keyed exchange feeds both the lag
+    window and the rolling-frame window (identical partitioning +
+    ordering → Spark plans a single sort for both); the tracked-user
+    filter reaches the parquet scan."""
+    p = plan_of(spark, sf_dir, "win_rolling_corr")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Window") == 2, p
+    assert "LessThan(user_id,5)" in p or "user_id#" in p, p
+
+
+def test_dyn_overwrite_readback_single_agg(spark, sf_dir):
+    """sink_dynamic_partition_overwrite: the read-back is one
+    partition-discovering scan + one flag-keyed agg — no joins (the
+    overwrite semantics live in the write path, proven by the oracle)."""
+    p = plan_of(spark, sf_dir, "sink_dynamic_partition_overwrite")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_degree_hist_no_smj_no_cartesian(spark, sf_dir):
+    """dedup_candidate_degree_hist: the banded self-join is the same
+    bucket-local equi join as text_minhash_dedup (hash or broadcast,
+    never sort-merge on the fixture, never cartesian); the only
+    nested-loop is the 1-row×1-row zero-degree count join."""
+    p = plan_of(spark, sf_dir, "dedup_candidate_degree_hist")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") <= 1, p

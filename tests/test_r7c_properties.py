@@ -448,3 +448,185 @@ def test_langid_confusion_matches_python_mirror(spark, tmp_path):
     for l in nl:
         tot = sum(v[1] for (tl, _), v in got.items() if tl == l)
         assert 1000000 - len(markers) - 1 <= tot <= 1000000
+
+
+def test_bpe_pair_step_matches_python(spark, tmp_path):
+    """Top-merge ranking == Python mirror: pair counts weighted by word
+    frequency off the collapsed vocabulary, ties by (sym_a, sym_b)."""
+    from cassandra_syncer_spark.queries.analytics_r7m import (
+        _BPE_TOP,
+        tokenizer_bpe_pair_step,
+    )
+
+    rng = random.Random(211)
+    vocab = ["".join(rng.choices("abcdef", k=rng.randint(1, 7))) for _ in range(60)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30)))) for i in range(150)
+    ]
+    sf = _stage(spark, tmp_path, "bpe", docs, "doc_id long, text string", "documents")
+    got = [
+        (r.rank, r.sym_a, r.sym_b, r.pair_count)
+        for r in tokenizer_bpe_pair_step(spark, sf).collect()
+    ]
+    wf = collections.Counter(
+        w for _, t in docs for w in t.lower().split(" ") if len(w) >= 2
+    )
+    pc = collections.Counter()
+    for w, f in wf.items():
+        for i in range(len(w) - 1):
+            pc[(w[i], w[i + 1])] += f
+    ranked = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP]
+    want = [(k + 1, a, b, c) for k, ((a, b), c) in enumerate(ranked)]
+    assert got == want
+
+
+def test_hhi_extremes_and_mirror(spark, tmp_path):
+    """HHI laws: a single-whale type scores exactly 1e6; k perfectly
+    uniform users score exactly 1e6·(k·c²)/(kc)² = 1e6/k; random data
+    matches the Python mirror."""
+    from cassandra_syncer_spark.queries.analytics_r7m import agg_hhi_concentration
+
+    rng = random.Random(223)
+    rows, eid = [], 0
+    # whale: one user owns all 40 'solo' events
+    for _ in range(40):
+        rows.append((eid, datetime.datetime(2024, 1, 1), 7, "solo", 1.0)); eid += 1
+    # uniform: 8 users x 5 events each
+    for u in range(8):
+        for _ in range(5):
+            rows.append((eid, datetime.datetime(2024, 1, 1), u, "uniform", 1.0)); eid += 1
+    # random type
+    for _ in range(200):
+        rows.append(
+            (eid, datetime.datetime(2024, 1, 1), rng.randint(0, 12), "rand", 1.0)
+        ); eid += 1
+    sf = _stage(
+        spark, tmp_path, "hhi", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        "events",
+    )
+    got = {
+        r.event_type: (r.n_events, r.n_users, r.hhi_micro, r.effective_n_milli)
+        for r in agg_hhi_concentration(spark, sf).collect()
+    }
+    assert got["solo"] == (40, 1, 1000000, 1000)
+    assert got["uniform"] == (40, 8, 1000000 // 8, 8000)
+    cnt = collections.Counter(
+        (et, u) for _, _, u, et, _ in rows if et == "rand"
+    )
+    n = sum(cnt.values())
+    s2 = sum(c * c for c in cnt.values())
+    assert got["rand"] == (
+        n, len(cnt), (1000000 * s2) // (n * n), (1000 * n * n) // s2
+    )
+
+
+def test_rolling_corr_perfect_and_mirror(spark, tmp_path):
+    """A strictly linear ramp gives corr exactly 1.0 in every full
+    window; random data matches a Python mirror of the exact-integer
+    window sums to ≤1e-6 (the rounding quantum)."""
+    from cassandra_syncer_spark.queries.analytics_r7m import (
+        _CORR_WIN,
+        win_rolling_corr,
+    )
+
+    rng = random.Random(241)
+    rows, eid = [], 0
+    # user 0: perfect ramp value = t  → x and lag(x) perfectly correlated
+    for t in range(30):
+        rows.append((eid, datetime.datetime(2024, 1, 1, 0, 0, t), 0, "e", float(t))); eid += 1
+    # user 1: random walk
+    v = 0.0
+    for t in range(60):
+        v += rng.uniform(-1, 1)
+        rows.append((eid, datetime.datetime(2024, 1, 1, 0, 0, t), 1, "e", round(v, 2))); eid += 1
+    sf = _stage(
+        spark, tmp_path, "rc", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        "events",
+    )
+    got = [
+        (r.user_id, r.event_id, r.n_win, r.corr_r6)
+        for r in win_rolling_corr(spark, sf).collect()
+    ]
+    ramp = [g for g in got if g[0] == 0 and g[2] >= 3]
+    assert ramp and all(abs(g[3] - 1.0) < 1e-9 for g in ramp)
+    # mirror user 1
+    series = sorted(
+        (int(ts.timestamp()), e, _round_half_away(100 * v))
+        for e, ts, u, _, v in rows if u == 1
+    )
+    xs = [x for _, _, x in series]
+    want = {}
+    for i in range(1, len(xs)):
+        window = [(xs[j], xs[j - 1]) for j in range(max(1, i - _CORR_WIN + 1), i + 1)]
+        n = len(window)
+        sx = sum(a for a, _ in window); sy = sum(b for _, b in window)
+        sxy = sum(a * b for a, b in window)
+        sxx = sum(a * a for a, _ in window); syy = sum(b * b for _, b in window)
+        den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        want[series[i][1]] = None if den == 0 else (n * sxy - sx * sy) / den
+    for u, e, nw, c in got:
+        if u != 1:
+            continue
+        w = want[e]
+        if w is None:
+            assert c is None
+        else:
+            assert c is not None and abs(c - w) <= 1.0001e-6, (e, c, w)
+
+
+def test_dyn_overwrite_preserves_untouched_partitions(spark, tmp_path):
+    """Partition-scoped overwrite law on staged data: row counts per
+    flag are unchanged (no append-doubling), non-'R' sums are the
+    original, 'R' sums are exactly doubled."""
+    from cassandra_syncer_spark.queries.analytics_r7m import (
+        sink_dynamic_partition_overwrite,
+    )
+
+    rng = random.Random(263)
+    rows = [
+        (i, rng.choice(["A", "N", "R"]), rng.choice(["O", "F"]),
+         round(rng.uniform(1, 50), 2))
+        for i in range(300)
+    ]
+    sf = _stage(
+        spark, tmp_path, "dyn", rows,
+        "l_orderkey long, l_returnflag string, l_linestatus string, l_quantity double",
+        "lineitem",
+    )
+    got = {r.l_returnflag: (r.n, r.qty_centi)
+           for r in sink_dynamic_partition_overwrite(spark, sf).collect()}
+    mirror = collections.defaultdict(lambda: [0, 0])
+    for _, flag, _, q in rows:
+        mirror[flag][0] += 1
+        c = _round_half_away(q * 100.0)
+        mirror[flag][1] += 2 * c if flag == "R" else c
+    assert got == {k: tuple(v) for k, v in mirror.items()}
+
+
+def test_degree_hist_consistent_with_pairs_query(spark, sf_dir):
+    """Consistency law on the real fixture: the histogram must equal the
+    degree distribution derived from the REGISTERED pair generator
+    (text_minhash_dedup) plus a zero-degree row covering the rest of the
+    corpus — proving the shared band kernel really is shared."""
+    from cassandra_syncer_spark.queries.analytics_r7m import (
+        dedup_candidate_degree_hist,
+    )
+    from cassandra_syncer_spark.queries.llm_dedup import text_minhash_dedup
+    from cassandra_syncer_spark.queries.relational import T
+
+    got = {r.degree: r.n_docs for r in dedup_candidate_degree_hist(spark, sf_dir).collect()}
+    pairs = [(r.doc_a, r.doc_b) for r in text_minhash_dedup(spark, sf_dir).collect()]
+    deg = collections.Counter()
+    for a, b in pairs:
+        deg[a] += 1
+        deg[b] += 1
+    hist = collections.Counter(deg.values())
+    total = T(spark, sf_dir, "documents").count()
+    want = dict(hist)
+    zero = total - len(deg)
+    if zero > 0:
+        want[0] = zero
+    assert got == want
+    assert sum(got.values()) == total
