@@ -185,6 +185,10 @@ PRIORITY: tuple[str, ...] = (
     "win_rolling_corr",
     "sink_dynamic_partition_overwrite",
     "dedup_candidate_degree_hist",
+    "stream_static_enrich",
+    "events_welch_ttest",
+    "sink_max_records_per_file",
+    "graph_degree_assortativity",
 )
 
 
