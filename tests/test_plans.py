@@ -987,3 +987,30 @@ def test_degree_hist_no_smj_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("BroadcastNestedLoopJoin") <= 1, p
+
+
+def test_welch_two_agg_cascade(spark, sf_dir):
+    """events_welch_ttest: user agg → single-row agg → scalar math; no
+    joins, no windows, map-side combine present."""
+    p = plan_of(spark, sf_dir, "events_welch_ttest")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert p.count("Exchange SinglePartition") == 1, p
+
+
+def test_max_records_sink_readback_single_agg(spark, sf_dir):
+    """sink_max_records_per_file: read-back is one scan + one global agg
+    (file-name projection then distinct counts) — no joins."""
+    p = plan_of(spark, sf_dir, "sink_max_records_per_file")
+    assert "Join" not in p, p
+
+
+def test_assortativity_equi_joins_only(spark, sf_dir):
+    """graph_degree_assortativity: edge list joins two node-bounded
+    degree tables on equi keys (hash/broadcast, never cartesian or a
+    nested loop); single-row finale."""
+    p = plan_of(spark, sf_dir, "graph_degree_assortativity")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert p.count("Exchange SinglePartition") == 1, p

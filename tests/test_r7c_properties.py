@@ -630,3 +630,147 @@ def test_degree_hist_consistent_with_pairs_query(spark, sf_dir):
         want[0] = zero
     assert got == want
     assert sum(got.values()) == total
+
+
+def test_welch_matches_float_reference(spark, tmp_path):
+    """Integer-sum Welch t == the textbook float computation replayed in
+    Python with the same md5 arm assignment, to within the 1e-6 rounding
+    quantum; planted mean shift must surface as |t| > 3."""
+    import hashlib
+
+    from cassandra_syncer_spark.queries.analytics_r7n import events_welch_ttest
+
+    rng = random.Random(307)
+    rows, eid = [], 0
+    arm_of = lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+    for u in range(120):
+        # plant a strong effect: arm-1 users spend ~60% more, many events
+        # per user so the per-user-total variance doesn't drown it
+        base = 10.0 if arm_of(u) == 0 else 16.0
+        for _ in range(rng.randint(8, 12)):
+            rows.append(
+                (eid, datetime.datetime(2024, 1, 1), u, "e",
+                 round(rng.uniform(0.5, 1.5) * base, 2))
+            ); eid += 1
+    sf = _stage(
+        spark, tmp_path, "welch", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        "events",
+    )
+    got = events_welch_ttest(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    totals = collections.defaultdict(int)
+    for _, _, u, _, v in rows:
+        totals[u] += _round_half_away(100 * v)
+    a = [t for u, t in totals.items() if arm_of(u) == 0]
+    b = [t for u, t in totals.items() if arm_of(u) == 1]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((x - ma) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - mb) ** 2 for x in b) / (len(b) - 1)
+    t_ref = (mb - ma) / math.sqrt(va / len(a) + vb / len(b))
+    assert abs(r.t_welch_r6 - t_ref) <= 1.001e-6, (r.t_welch_r6, t_ref)
+    assert abs(r.t_welch_r6) > 3  # the planted 20% effect is detectable
+    assert abs(r.mean_a_r6 - ma / 100) <= 1.001e-6
+    assert abs(r.mean_b_r6 - mb / 100) <= 1.001e-6
+
+
+def test_max_records_file_count_law(spark, tmp_path):
+    """File count == Σ_shard ceil(n_shard/cap) across boundary sizes:
+    below the cap, an exact multiple, and one-over — proving the cap is
+    enforced per directory even though shards share write tasks."""
+    import collections as _c
+
+    from cassandra_syncer_spark.queries.analytics_r7n import (
+        _EXPORT_SHARDS,
+        _MAX_PER_FILE,
+        sink_max_records_per_file,
+    )
+
+    for n in [
+        _MAX_PER_FILE - 1,
+        2 * _EXPORT_SHARDS * _MAX_PER_FILE,
+        2 * _EXPORT_SHARDS * _MAX_PER_FILE + 1,
+    ]:
+        rows = [(i, float(i)) for i in range(n)]
+        sf = _stage(
+            spark, tmp_path, f"cap{n}", rows,
+            "o_orderkey long, o_totalprice double", "orders",
+        )
+        r = sink_max_records_per_file(spark, sf).collect()[0]
+        assert (r.n_rows, r.n_keys) == (n, n)
+        per_shard = _c.Counter(i % _EXPORT_SHARDS for i in range(n))
+        want = sum(-(-c // _MAX_PER_FILE) for c in per_shard.values())
+        assert r.n_files == want, (n, r.n_files, want)
+
+
+def test_assortativity_mirror_and_degenerate(spark, tmp_path):
+    """Random bipartite graphs match the Python Pearson mirror within
+    the rounding quantum; a degree-regular graph (zero variance) yields
+    NULL correlation rather than a crash or fake zero."""
+    from cassandra_syncer_spark.queries.analytics_r7n import (
+        graph_degree_assortativity,
+    )
+
+    rng = random.Random(331)
+    edges = set()
+    for s in range(30):
+        for p in rng.sample(range(80), rng.randint(1, 12)):
+            edges.add((s, p))
+    sf = _stage(
+        spark, tmp_path, "asst", [(s, p) for s, p in edges],
+        "l_suppkey long, l_partkey long", "lineitem",
+    )
+    r = graph_degree_assortativity(spark, sf).collect()[0]
+    ds = collections.Counter(s for s, _ in edges)
+    dp = collections.Counter(p for _, p in edges)
+    xs = [(ds[s], dp[p]) for s, p in edges]
+    n = len(xs)
+    sx = sum(x for x, _ in xs); sy = sum(y for _, y in xs)
+    sxy = sum(x * y for x, y in xs)
+    sxx = sum(x * x for x, _ in xs); syy = sum(y * y for _, y in xs)
+    den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    ref = (n * sxy - sx * sy) / den
+    assert r.n_edges == n
+    assert abs(r.assortativity_r6 - ref) <= 1.001e-6
+    # degree-regular: perfect matching, every degree = 1 → zero variance
+    sf2 = _stage(
+        spark, tmp_path, "asst_reg", [(i, i) for i in range(20)],
+        "l_suppkey long, l_partkey long", "lineitem",
+    )
+    r2 = graph_degree_assortativity(spark, sf2).collect()[0]
+    assert r2.n_edges == 20 and r2.assortativity_r6 is None
+
+
+def test_stream_enrich_equals_batch_join(spark, tmp_path):
+    """The drained stream-static enrichment == the same join+agg run as
+    a plain batch query on the staged tables (no event lost, none
+    duplicated, dim-less users dropped by the inner join)."""
+    from cassandra_syncer_spark.queries.analytics_r7n import stream_static_enrich
+
+    rng = random.Random(353)
+    events = [
+        (i, datetime.datetime(2024, 1, 1), rng.randint(0, 30), "e",
+         round(rng.uniform(-3, 3), 3))
+        for i in range(400)
+    ]
+    customers = [(c, f"cust{c}", c % 7) for c in range(25)]  # users 25-30 dimless
+    out = str(tmp_path / "enr")
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    spark.createDataFrame(
+        customers, "c_custkey long, c_name string, c_nationkey long"
+    ).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    got = {
+        r.nationkey: (r.n_events, r.value_micro)
+        for r in stream_static_enrich(spark, out).collect()
+    }
+    mirror = collections.defaultdict(lambda: [0, 0])
+    for _, _, u, _, v in events:
+        if u < 25:
+            mirror[u % 7][0] += 1
+            mirror[u % 7][1] += _round_half_away(1000000 * v)
+    assert got == {k: tuple(v) for k, v in mirror.items()}
