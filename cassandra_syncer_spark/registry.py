@@ -189,6 +189,9 @@ PRIORITY: tuple[str, ...] = (
     "events_welch_ttest",
     "sink_max_records_per_file",
     "graph_degree_assortativity",
+    "agg_mannwhitney_u",
+    "dedup_rate_sampled_estimate",
+    "sink_nested_struct_roundtrip",
 )
 
 
