@@ -1014,3 +1014,31 @@ def test_assortativity_equi_joins_only(spark, sf_dir):
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
     assert p.count("Exchange SinglePartition") == 1, p
+
+
+def test_mwu_value_domain_window(spark, sf_dir):
+    """agg_mannwhitney_u: one corpus exchange (the per-distinct-value
+    arm-count agg); the midrank prefix window and the finale run on the
+    value-domain table.  No joins; map-side combine present."""
+    p = plan_of(spark, sf_dir, "agg_mannwhitney_u")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial" in p.lower(), p
+
+
+def test_sampled_duprate_no_joins_scan_filter(spark, sf_dir):
+    """dedup_rate_sampled_estimate: the md5-mod sample filter sits in
+    the scan stage (only sample rows reach the distinct agg); no joins,
+    no windows."""
+    p = plan_of(spark, sf_dir, "dedup_rate_sampled_estimate")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+
+
+def test_nested_roundtrip_no_joins(spark, sf_dir):
+    """sink_nested_struct_roundtrip: build is one order-keyed
+    collect_list agg; read-back is a single scan + global agg over the
+    nested column (the per-array fold is scan-side).  No joins."""
+    p = plan_of(spark, sf_dir, "sink_nested_struct_roundtrip")
+    assert "Join" not in p, p
+    assert "Generate" not in p, p  # fold over items, no explode needed

@@ -774,3 +774,112 @@ def test_stream_enrich_equals_batch_join(spark, tmp_path):
             mirror[u % 7][0] += 1
             mirror[u % 7][1] += _round_half_away(1000000 * v)
     assert got == {k: tuple(v) for k, v in mirror.items()}
+
+
+def test_mannwhitney_matches_rank_mirror(spark, tmp_path):
+    """U and z == a Python midrank mirror; a planted stochastic shift
+    drives |z| large while identical arm distributions keep it small."""
+    import hashlib
+
+    from cassandra_syncer_spark.queries.analytics_r7o import agg_mannwhitney_u
+
+    arm_of = lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+    rng = random.Random(401)
+
+    def build(shift):
+        rows, eid = [], 0
+        for u in range(80):
+            for _ in range(6):
+                base = rng.choice([1.0, 2.0, 3.0, 4.0])
+                if arm_of(u) == 1:
+                    base += shift
+                rows.append((eid, datetime.datetime(2024, 1, 1), u, "e", base)); eid += 1
+        return rows
+
+    for shift, big in [(0.0, False), (1.5, True)]:
+        rows = build(shift)
+        sf = _stage(
+            spark, tmp_path, f"mwu{shift}", rows,
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+            "events",
+        )
+        r = agg_mannwhitney_u(spark, sf).collect()[0]
+        vals = [
+            (_round_half_away(100 * v), arm_of(u)) for _, _, u, _, v in rows
+        ]
+        # python midrank mirror
+        from collections import Counter
+
+        cnt = Counter(v for v, _ in vals)
+        order = sorted(cnt)
+        cum, mid2 = 0, {}
+        for v in order:
+            mid2[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        nb = sum(1 for _, a in vals if a == 1)
+        na = len(vals) - nb
+        rb2 = sum(mid2[v] for v, a in vals if a == 1)
+        u2 = rb2 - nb * (nb + 1)
+        assert (r.n_a, r.n_b, r.u_b_2x) == (na, nb, u2)
+        n = na + nb
+        tt = sum(t * t * t - t for t in cnt.values())
+        var = na * nb / 12.0 * ((n + 1.0) - tt / (n * (n - 1.0)))
+        z_ref = (u2 / 2.0 - na * nb / 2.0) / math.sqrt(var)
+        assert abs(r.z_r6 - z_ref) <= 1.001e-6
+        assert (abs(r.z_r6) > 5) == big, (shift, r.z_r6)
+
+
+def test_sampled_duprate_covers_planted_rate(spark, tmp_path):
+    """Planted-duplicate corpus: the in-sample estimate matches the
+    Python replay exactly, and the Wilson interval brackets the point
+    estimate with lo <= p <= hi strictly widening for small samples."""
+    import hashlib
+
+    from cassandra_syncer_spark.queries.analytics_r7o import (
+        _SAMPLE_MOD,
+        dedup_rate_sampled_estimate,
+    )
+
+    rng = random.Random(421)
+    docs = []
+    for i in range(4000):
+        if rng.random() < 0.3:  # ~30% dup mass: copies of 20 templates
+            docs.append((i, f"template {i % 20} body text"))
+        else:
+            docs.append((i, f"unique doc {i} payload {rng.random()}"))
+    sf = _stage(spark, tmp_path, "dr", docs, "doc_id long, text string", "documents")
+    r = dedup_rate_sampled_estimate(spark, sf).collect()[0]
+    in_sample = [
+        t for i, t in docs
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % _SAMPLE_MOD == 0
+    ]
+    n = len(in_sample)
+    k = n - len(set(in_sample))
+    assert (r.n_sampled, r.n_dups) == (n, k)
+    assert r.dup_rate_micro == (1000000 * k) // n
+    assert r.wilson_lo_r6 <= k / n <= r.wilson_hi_r6
+    assert 0.0 <= r.wilson_lo_r6 < r.wilson_hi_r6 <= 1.0
+
+
+def test_nested_roundtrip_matches_flat_mirror(spark, tmp_path):
+    """Nested rollup aggregates == flat-table mirror on random line
+    items with variable fan-out (1..9 items per order)."""
+    from cassandra_syncer_spark.queries.analytics_r7o import (
+        sink_nested_struct_roundtrip,
+    )
+
+    rng = random.Random(443)
+    rows = []
+    for o in range(120):
+        for ln in range(1, rng.randint(2, 10)):
+            rows.append((o, ln, round(rng.uniform(1, 50), 2)))
+    sf = _stage(
+        spark, tmp_path, "nst", rows,
+        "l_orderkey long, l_linenumber int, l_quantity double", "lineitem",
+    )
+    r = sink_nested_struct_roundtrip(spark, sf).collect()[0]
+    per = collections.Counter(o for o, _, _ in rows)
+    assert r.n_orders == len(per)
+    assert r.n_items == len(rows)
+    assert r.max_items == max(per.values())
+    assert r.qty_centi == sum(_round_half_away(q * 100.0) for _, _, q in rows)
