@@ -192,6 +192,9 @@ PRIORITY: tuple[str, ...] = (
     "agg_mannwhitney_u",
     "dedup_rate_sampled_estimate",
     "sink_nested_struct_roundtrip",
+    "agg_jackknife_groups",
+    "embed_drift_centroids",
+    "events_peak_concurrency",
 )
 
 
