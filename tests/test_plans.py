@@ -1042,3 +1042,35 @@ def test_nested_roundtrip_no_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "sink_nested_struct_roundtrip")
     assert "Join" not in p, p
     assert "Generate" not in p, p  # fold over items, no explode needed
+
+
+def test_jackknife_single_pass(spark, sf_dir):
+    """agg_jackknife_groups: ONE corpus exchange — all leave-one-out
+    estimates come from group sums + a dimension-table window, never G
+    re-aggregations.  No joins."""
+    p = plan_of(spark, sf_dir, "agg_jackknife_groups")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "partial" in p.lower(), p
+
+
+def test_drift_dim_keyed_agg(spark, sf_dir):
+    """embed_drift_centroids: scan-side dim explode feeds one 64-key
+    hash agg (map-side combine collapses partitions to ≤64 rows) + a
+    single-row finale.  No joins, no windows."""
+    p = plan_of(spark, sf_dir, "embed_drift_centroids")
+    assert "Join" not in p, p
+    assert "Window" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Generate" in p, p
+
+
+def test_peak_concurrency_domain_windows(spark, sf_dir):
+    """events_peak_concurrency: boundary deltas collapse to minute keys
+    BEFORE the prefix window (the window input is the minute-domain
+    table); the peak/argmin join is hash/broadcast on the domain table,
+    never sort-merge or cartesian."""
+    p = plan_of(spark, sf_dir, "events_peak_concurrency")
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") == 2, p  # prefix sum planned once per join branch

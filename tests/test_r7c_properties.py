@@ -883,3 +883,113 @@ def test_nested_roundtrip_matches_flat_mirror(spark, tmp_path):
     assert r.n_items == len(rows)
     assert r.max_items == max(per.values())
     assert r.qty_centi == sum(_round_half_away(q * 100.0) for _, _, q in rows)
+
+
+def test_jackknife_matches_loo_mirror(spark, tmp_path):
+    """Leave-one-out means == recomputing the mean WITHOUT each group in
+    Python; influences roughly sum toward zero (exact under no
+    truncation; bounded by per-group milli truncation here)."""
+    from cassandra_syncer_spark.queries.analytics_r7p import agg_jackknife_groups
+
+    rng = random.Random(467)
+    rows, i = [], 0
+    for src, mu in [("a", 100), ("b", 500), ("c", 300), ("d", 250)]:
+        for _ in range(rng.randint(20, 60)):
+            rows.append((i, src, max(1, int(rng.gauss(mu, 30))))); i += 1
+    sf = _stage(
+        spark, tmp_path, "jk", rows,
+        "doc_id long, source string, n_chars long", "documents",
+    )
+    got = {
+        r.source: (r.n_docs, r.mean_milli, r.loo_mean_milli, r.influence_milli)
+        for r in agg_jackknife_groups(spark, sf).collect()
+    }
+    groups = collections.defaultdict(list)
+    for _, s, x in rows:
+        groups[s].append(x)
+    N = len(rows)
+    S = sum(x for _, _, x in rows)
+    for src, xs in groups.items():
+        loo = (1000 * (S - sum(xs))) // (N - len(xs))
+        want = (
+            len(xs),
+            (1000 * sum(xs)) // len(xs),
+            loo,
+            (1000 * S) // N - loo,
+        )
+        assert got[src] == want, (src, got[src], want)
+    # the heavy group must drag the mean the most
+    assert max(got, key=lambda s: abs(got[s][3])) in ("b", "a")
+
+
+def test_drift_centroids_shifted_halves(spark, tmp_path):
+    """A planted mean shift between the halves yields a large L2 gap and
+    a cosine well below the identical-halves case; values mirror the
+    integer math exactly."""
+    from cassandra_syncer_spark.queries.analytics_r7p import embed_drift_centroids
+
+    rng = random.Random(487)
+    dim = 8
+
+    def build(shift):
+        vecs = []
+        for i in range(200):
+            base = [rng.uniform(-0.1, 0.1) for _ in range(dim)]
+            if i % 2 == 1:
+                base = [b + shift for b in base]
+            vecs.append((i, [round(b, 4) for b in base], 0))
+        return vecs
+
+    results = {}
+    for shift in (0.0, 0.5):
+        sf = _stage(
+            spark, tmp_path, f"drift{shift}", build(shift),
+            "vec_id long, embedding array<float>, label int", "embeddings",
+        )
+        r = embed_drift_centroids(spark, sf).collect()[0]
+        assert r.n_a == 100 and r.n_b == 100
+        results[shift] = r
+    assert results[0.5].l2sq_micro2 > 100 * max(results[0.0].l2sq_micro2, 1)
+    assert results[0.5].centroid_cos_r6 < 0.9  # shifted: centroids diverge
+
+
+def test_peak_concurrency_matches_sweepline_mirror(spark, tmp_path):
+    """Peak and first-peak minute == a Python sweep line over the same
+    5-minute presence intervals, including an engineered burst."""
+    from cassandra_syncer_spark.queries.analytics_r7p import (
+        _SESSION_MIN,
+        events_peak_concurrency,
+    )
+
+    rng = random.Random(509)
+    rows, eid = [], 0
+    base = datetime.datetime(2024, 3, 1)
+    for _ in range(150):
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=rng.randint(0, 600)),
+             1, "bg", 1.0)
+        ); eid += 1
+    for k in range(12):  # burst: 12 events within 3 minutes
+        rows.append(
+            (eid, base + datetime.timedelta(minutes=300, seconds=k * 14),
+             1, "bg", 1.0)
+        ); eid += 1
+    sf = _stage(
+        spark, tmp_path, "pc", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        "events",
+    )
+    r = events_peak_concurrency(spark, sf).collect()
+    assert len(r) == 1 and r[0].event_type == "bg"
+    deltas = collections.Counter()
+    for _, ts, _, _, _ in rows:
+        m = int(ts.timestamp()) // 60
+        deltas[m] += 1
+        deltas[m + _SESSION_MIN] -= 1
+    conc, peak, first = 0, -1, None
+    for m in sorted(deltas):
+        conc += deltas[m]
+        if conc > peak:
+            peak, first = conc, m
+    assert (r[0].peak_concurrency, r[0].first_peak_minute) == (peak, first)
+    assert peak >= 12  # the engineered burst dominates
