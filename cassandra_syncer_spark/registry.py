@@ -195,6 +195,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_jackknife_groups",
     "embed_drift_centroids",
     "events_peak_concurrency",
+    "dedup_keep_best_quality",
+    "agg_spearman_corr",
 )
 
 
