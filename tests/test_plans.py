@@ -1074,3 +1074,21 @@ def test_peak_concurrency_domain_windows(spark, sf_dir):
     assert "SortMergeJoin" not in p, p
     assert "CartesianProduct" not in p, p
     assert p.count("Window") == 2, p  # prefix sum planned once per join branch
+
+
+def test_keep_best_no_cartesian_cluster_window(spark, sf_dir):
+    """dedup_keep_best_quality: label join + quality join are equi
+    joins; the keeper window partitions by component (cluster-bounded).
+    No cartesian, no sort-merge on the fixture."""
+    p = plan_of(spark, sf_dir, "dedup_keep_best_quality")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_spearman_domain_rank_joins(spark, sf_dir):
+    """agg_spearman_corr: midranks come from value-DOMAIN windows (two
+    domain aggs), joined back on the value keys — no corpus-sized
+    single-partition sort of rows; no cartesian."""
+    p = plan_of(spark, sf_dir, "agg_spearman_corr")
+    assert "CartesianProduct" not in p, p
+    assert p.count("Window") == 2, p

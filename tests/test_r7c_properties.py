@@ -993,3 +993,85 @@ def test_peak_concurrency_matches_sweepline_mirror(spark, tmp_path):
             peak, first = conc, m
     assert (r[0].peak_concurrency, r[0].first_peak_minute) == (peak, first)
     assert peak >= 12  # the engineered burst dominates
+
+
+def test_keep_best_prefers_longest_member(spark, sf_dir):
+    """Consistency on the real fixture: every keeper is the longest
+    member of its cluster (ties to the smaller doc_id), clusters match
+    dedup_cluster_components, and dropped_chars is the non-keeper sum."""
+    from cassandra_syncer_spark.queries.analytics_r7q import dedup_keep_best_quality
+    from cassandra_syncer_spark.queries.llm_dedup import dedup_cluster_components
+    from cassandra_syncer_spark.queries.relational import T
+
+    labels = {
+        r.doc_id: r.component
+        for r in dedup_cluster_components(spark, sf_dir).collect()
+    }
+    chars = {
+        r.doc_id: r.n_chars
+        for r in T(spark, sf_dir, "documents").select("doc_id", "n_chars").collect()
+    }
+    clusters = collections.defaultdict(list)
+    for d, c in labels.items():
+        clusters[c].append(d)
+    got = {
+        r.component: (r.n_members, r.keeper_doc, r.keeper_chars, r.dropped_chars)
+        for r in dedup_keep_best_quality(spark, sf_dir).collect()
+    }
+    want = {}
+    for c, members in clusters.items():
+        if len(members) < 2:
+            continue
+        keeper = sorted(members, key=lambda d: (-chars[d], d))[0]
+        want[c] = (
+            len(members),
+            keeper,
+            chars[keeper],
+            sum(chars[d] for d in members if d != keeper),
+        )
+    assert got == want
+
+
+def test_spearman_monotone_extremes_and_mirror(spark, tmp_path):
+    """Spearman laws: a strictly increasing monotone (nonlinear) map
+    gives exactly 1.0, a decreasing one −1.0, and random data matches a
+    Python midrank mirror within the rounding quantum."""
+    from cassandra_syncer_spark.queries.analytics_r7q import agg_spearman_corr
+
+    rng = random.Random(541)
+
+    def run(rows):
+        sf = _stage(
+            spark, tmp_path, f"sp{len(rows)}{rows[0][1]}", rows,
+            "l_orderkey long, l_quantity double, l_extendedprice double",
+            "lineitem",
+        )
+        return agg_spearman_corr(spark, sf).collect()[0]
+
+    inc = [(i, float(i + 1), float((i + 1) ** 2)) for i in range(60)]
+    dec = [(i, float(i + 2), 1000.0 / (i + 2)) for i in range(60)]
+    assert run(inc).spearman_r6 == 1.0
+    assert run(dec).spearman_r6 == -1.0
+    rnd = [
+        (i, rng.choice([1.0, 2.0, 5.0, 9.0]), round(rng.uniform(1, 50), 2))
+        for i in range(300)
+    ]
+    r = run(rnd)
+    q = [_round_half_away(100 * a) for _, a, _ in rnd]
+    p = [_round_half_away(100 * b) for _, _, b in rnd]
+
+    def mid2(vals):
+        cnt = collections.Counter(vals)
+        cum, m = 0, {}
+        for v in sorted(cnt):
+            m[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [m[v] for v in vals]
+
+    xs, ys = mid2(q), mid2(p)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs); syy = sum(b * b for b in ys)
+    ref = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(r.spearman_r6 - ref) <= 1.001e-6
