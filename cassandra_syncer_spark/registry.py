@@ -67,6 +67,13 @@ PRIORITY: tuple[str, ...] = (
     # round no registered id's last check predates round 3; new round-7
     # ids overflow into round 8's front block (all covered by the local
     # PARITY artifact meanwhile).
+    #
+    # Round-8 rotation plan (apply at the start of round 8): move section 3
+    # (the round-7-new ids, in their current order — oldest batches first)
+    # to the FRONT, preceded only by any ids whose definition changes in
+    # round 8.  Section 3 now holds ~80 ids, so it takes the r8 AND r9
+    # windows to clear; after r9 every id's last driver check is ≤2 rounds
+    # old again.  Sections 0-2 (all driver-green in r7) rotate to the tail.
     # -- 0: definition changed in round 7 -----------------------------------
     "text_code_detect",        # long casts on length counts (int overflow at ~10 KB docs)
     "udtf_explode",            # NULL-n_chars chunk (both engines; least() trap)
