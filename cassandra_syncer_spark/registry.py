@@ -204,6 +204,8 @@ PRIORITY: tuple[str, ...] = (
     "events_peak_concurrency",
     "dedup_keep_best_quality",
     "agg_spearman_corr",
+    "text_jaccard_source_similarity",
+    "events_autocorr_lags",
 )
 
 
