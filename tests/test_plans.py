@@ -1092,3 +1092,21 @@ def test_spearman_domain_rank_joins(spark, sf_dir):
     p = plan_of(spark, sf_dir, "agg_spearman_corr")
     assert "CartesianProduct" not in p, p
     assert p.count("Window") == 2, p
+
+
+def test_vocab_jaccard_distinct_before_join(spark, sf_dir):
+    """text_jaccard_source_similarity: the (source, token) distinct
+    collapses BEFORE the token self-join; size tables broadcast; no
+    cartesian anywhere."""
+    p = plan_of(spark, sf_dir, "text_jaccard_source_similarity")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_acf_domain_collapse_first(spark, sf_dir):
+    """events_autocorr_lags: ONE corpus-sized exchange (the minute agg);
+    lag joins and per-lag sums run on the domain table; the only
+    nested-loop is the broadcast 5-row lag dimension."""
+    p = plan_of(spark, sf_dir, "events_autocorr_lags")
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p

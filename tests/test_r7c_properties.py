@@ -1075,3 +1075,84 @@ def test_spearman_monotone_extremes_and_mirror(spark, tmp_path):
     sxx = sum(a * a for a in xs); syy = sum(b * b for b in ys)
     ref = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     assert abs(r.spearman_r6 - ref) <= 1.001e-6
+
+
+def test_vocab_jaccard_matches_set_mirror(spark, tmp_path):
+    """Pairwise vocabulary Jaccard == Python set arithmetic, including
+    a disjoint pair (jaccard 0 row absent — inner join semantics) and an
+    identical pair (jaccard exactly 1e6)."""
+    from cassandra_syncer_spark.queries.analytics_r7r import (
+        text_jaccard_source_similarity,
+    )
+
+    docs = [
+        (0, "alpha beta gamma", "s1"),
+        (1, "alpha beta gamma", "s2"),     # s2 identical vocab to s1
+        (2, "delta epsilon", "s3"),        # s3 overlaps nothing
+        (3, "alpha zeta", "s4"),           # s4 partial overlap with s1/s2
+    ]
+    sf = _stage(
+        spark, tmp_path, "vj", docs, "doc_id long, text string, source string",
+        "documents",
+    )
+    got = {
+        (r.src_a, r.src_b): (r.vocab_a, r.vocab_b, r.n_shared, r.jaccard_micro)
+        for r in text_jaccard_source_similarity(spark, sf).collect()
+    }
+    vocab = collections.defaultdict(set)
+    for _, t, s in docs:
+        vocab[s].update(t.split())
+    want = {}
+    for a in sorted(vocab):
+        for b in sorted(vocab):
+            if a >= b:
+                continue
+            ni = len(vocab[a] & vocab[b])
+            if ni == 0:
+                continue
+            want[(a, b)] = (
+                len(vocab[a]), len(vocab[b]), ni,
+                (1000000 * ni) // (len(vocab[a]) + len(vocab[b]) - ni),
+            )
+    assert got == want
+    assert got[("s1", "s2")][3] == 1000000
+    assert ("s1", "s3") not in got
+
+
+def test_acf_detects_planted_period(spark, tmp_path):
+    """A strict 3-minute periodic load pattern puts the ACF maximum at
+    lag 3; values match a Python mirror of the per-lag Pearson."""
+    from cassandra_syncer_spark.queries.analytics_r7r import (
+        _ACF_LAGS,
+        events_autocorr_lags,
+    )
+
+    base = datetime.datetime(2024, 5, 1)
+    rows, eid = [], 0
+    pattern = [9, 1, 1]  # burst every 3rd minute
+    for m in range(240):
+        for _ in range(pattern[m % 3]):
+            rows.append((eid, base + datetime.timedelta(minutes=m), 1, "e", 1.0))
+            eid += 1
+    sf = _stage(
+        spark, tmp_path, "acf", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+        "events",
+    )
+    got = {r.lag: (r.n_pairs, r.acf_r6) for r in events_autocorr_lags(spark, sf).collect()}
+    counts = collections.Counter(
+        int(ts.timestamp()) // 60 for _, ts, _, _, _ in rows
+    )
+    for lag in range(1, _ACF_LAGS + 1):
+        pairs = [
+            (counts[m], counts[m + lag]) for m in counts if m + lag in counts
+        ]
+        n = len(pairs)
+        sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+        sxy = sum(x * y for x, y in pairs)
+        sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+        den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ref = (n * sxy - sx * sy) / den
+        assert got[lag][0] == n
+        assert abs(got[lag][1] - ref) <= 1.001e-6
+    assert max(got, key=lambda l: got[l][1]) == 3  # the planted period
