@@ -253,6 +253,37 @@ FLAGSHIPS = [
         "is shuffle-free map-side), dot-product fold JVM-side, tiny "
         "histogram agg — no SortMergeJoin, no cartesian of the full table",
     ),
+    (
+        "sim_mmr_rerank",
+        "greedy MMR as ONE JVM fold: broadcast-probe cosine scan (corpus "
+        "never shuffles), probe-keyed top-C window, then the 5-step greedy "
+        "selection is a single projection over the per-probe candidate "
+        "array — no per-step jobs, no EvalPython",
+    ),
+    (
+        "agg_mannwhitney_u",
+        "exact rank test with no global row sort: one corpus exchange to "
+        "per-distinct-value arm counts, midrank prefix window on the value "
+        "DOMAIN, single-row tie-corrected finale",
+    ),
+    (
+        "agg_spearman_corr",
+        "rank correlation via two value-domain midrank tables joined back "
+        "to the row stream on equi keys — domain windows, HUGEINT/DECIMAL "
+        "cross sums, no corpus-sized sort",
+    ),
+    (
+        "events_peak_concurrency",
+        "sweep line over the MINUTE domain: ±1 boundary deltas collapse "
+        "map-side to minute keys, prefix window runs on |distinct minutes| "
+        "rows per type, peak/argmin via a domain-table join",
+    ),
+    (
+        "tokenizer_bpe_pair_step",
+        "BPE pair counts off the frequency-collapsed VOCABULARY (pair "
+        "Generate above the vocab exchange — the raw token stream is never "
+        "pair-exploded); top-k window on the alphabet²-bounded pair table",
+    ),
 ]
 
 
