@@ -337,7 +337,9 @@ def _mmr_oracle() -> str:
         steps.append(
             f"""s{i} AS (
       SELECT q_id, cands,
-             list_append(sel, struct_pack(ns := b.ns, id := b.id, v := b.v)) AS sel
+             CASE WHEN b.id IS NULL THEN sel
+                  ELSE list_append(sel, struct_pack(ns := b.ns, id := b.id, v := b.v))
+             END AS sel
       FROM (
         SELECT q_id, cands, sel,
           list_sort(list_transform(
@@ -381,11 +383,18 @@ def _mmr_oracle() -> str:
     """
 
 
+# the fold stops consuming once the pool is exhausted (a probe with fewer
+# than K candidates — tiny or heavily-filtered corpora — must return the
+# short list, not throw on element_at of an empty array; caught by the
+# degenerate-docs sweep).  The avail filter is evaluated twice per step
+# (no CSE inside lambdas) — ≤12 structs × 5 steps per probe, negligible.
 _MMR_FOLD = f"""
 aggregate(
   sequence(1, {_MMR_SELECT}),
   cast(array() as array<struct<ns:bigint, id:bigint, v:array<double>>>),
-  (sel, step) -> concat(sel, array(element_at(array_sort(transform(
+  (sel, step) -> CASE
+    WHEN size(filter(cands, c -> NOT exists(sel, s -> s.id = c.id))) = 0 THEN sel
+    ELSE concat(sel, array(element_at(array_sort(transform(
       filter(cands, c -> NOT exists(sel, s -> s.id = c.id)),
       c -> named_struct(
         'ns', -(7 * c.rel - 3 * coalesce(array_max(transform(sel,
@@ -394,6 +403,7 @@ aggregate(
               cast(0 as bigint))),
         'id', c.id,
         'v', c.v))), 1)))
+  END
 ) AS sel
 """
 

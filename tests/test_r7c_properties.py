@@ -1156,3 +1156,28 @@ def test_acf_detects_planted_period(spark, tmp_path):
         assert got[lag][0] == n
         assert abs(got[lag][1] - ref) <= 1.001e-6
     assert max(got, key=lambda l: got[l][1]) == 3  # the planted period
+
+
+def test_mmr_short_pool_returns_short_list(spark, tmp_path):
+    """A corpus smaller than the selection budget must yield the short
+    greedy list (pool-exhaustion guard) — not an element_at crash; the
+    short list still matches the Python greedy."""
+    from cassandra_syncer_spark.queries.analytics_r7k import sim_mmr_rerank
+
+    vecs = {0: [1.0, 0.0], 1: [0.9, 0.1], 2: [0.0, 1.0]}
+    sf = _stage(
+        spark, tmp_path, "mmr_short",
+        [(i, v, 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int", "embeddings",
+    )
+    got = [
+        (r.q_id, r.sel_rank, r.vec_id)
+        for r in sim_mmr_rerank(spark, sf).collect()
+    ]
+    # 3 probes exist (vec_id < 5 limited by corpus), each has exactly 2
+    # candidates → 2 selections per probe, 6 rows total
+    assert len(got) == 6
+    for qid in (0, 1, 2):
+        sel = [g for g in got if g[0] == qid]
+        assert [s[1] for s in sel] == [1, 2]
+        assert len({s[2] for s in sel}) == 2 and qid not in {s[2] for s in sel}
