@@ -75,6 +75,7 @@ PRIORITY: tuple[str, ...] = (
     # windows to clear; after r9 every id's last driver check is ≤2 rounds
     # old again.  Sections 0-2 (all driver-green in r7) rotate to the tail.
     # -- 0: definition changed in round 7 -----------------------------------
+    "sim_mmr_rerank",          # pool-exhaustion guard in the greedy fold (both engines)
     "text_code_detect",        # long casts on length counts (int overflow at ~10 KB docs)
     "udtf_explode",            # NULL-n_chars chunk (both engines; least() trap)
     "multimodal_decode",       # NULL-payload passthrough + oracle '0x' guard
@@ -181,7 +182,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_freq_spectrum",
     "events_hourly_profile",
     "graph_kcore",
-    "sim_mmr_rerank",
     "agg_anova_f",
     "text_langid_confusion",
     "agg_benford_digits",
