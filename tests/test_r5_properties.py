@@ -168,6 +168,21 @@ def test_order_sensitive_queries_partition_invariant(spark, sf_dir):
         "win_rolling_median",
         "win_rolling_slope",
         "graph_common_neighbors",
+        # round-7 batch 11-18: collect_list folds, rank windows, greedy
+        # selection, file-splitting sinks — every place partition layout
+        # COULD leak into values
+        "sim_mmr_rerank",
+        "graph_kcore",
+        "graph_bfs_hops",
+        "tokenizer_bpe_pair_step",
+        "dedup_candidate_degree_hist",
+        "dedup_keep_best_quality",
+        "agg_mannwhitney_u",
+        "agg_spearman_corr",
+        "sink_nested_struct_roundtrip",
+        "sink_max_records_per_file",
+        "events_peak_concurrency",
+        "win_rolling_corr",
     ]
 
     def rows(name):
