@@ -206,6 +206,8 @@ PRIORITY: tuple[str, ...] = (
     "agg_spearman_corr",
     "text_jaccard_source_similarity",
     "events_autocorr_lags",
+    "merge_upsert_partitioned",
+    "agg_kendall_tau",
 )
 
 
