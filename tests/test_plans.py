@@ -1110,3 +1110,24 @@ def test_acf_domain_collapse_first(spark, sf_dir):
     p = plan_of(spark, sf_dir, "events_autocorr_lags")
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_upsert_partitioned_readback_single_agg(spark, sf_dir):
+    """merge_upsert_partitioned: the read-back is one partition-
+    discovering scan + one status-keyed agg; merge semantics live in the
+    write path (proven by the oracle).  No joins in the returned plan."""
+    p = plan_of(spark, sf_dir, "merge_upsert_partitioned")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_kendall_grid_join_not_row_pairs(spark, sf_dir):
+    """agg_kendall_tau: the pair join's inputs are the aggregated
+    contingency CELLS (both join children contain the cell aggregate),
+    never raw rows — the plan has exactly one corpus-sized exchange (the
+    cell agg; reused for both sides and the tie tables)."""
+    p = plan_of(spark, sf_dir, "agg_kendall_tau")
+    assert "CartesianProduct" not in p or "BroadcastNestedLoopJoin" in p, p
+    # the a.x < b.x non-equi join over ~550 cells broadcasts; row-level
+    # inputs would show a SortMergeJoin over the fact table
+    assert "SortMergeJoin" not in p, p

@@ -1181,3 +1181,82 @@ def test_mmr_short_pool_returns_short_list(spark, tmp_path):
         sel = [g for g in got if g[0] == qid]
         assert [s[1] for s in sel] == [1, 2]
         assert len({s[2] for s in sel}) == 2 and qid not in {s[2] for s in sel}
+
+
+def test_upsert_partitioned_matches_python_merge(spark, tmp_path):
+    """Staged-table law: the partition-scoped upsert equals a Python
+    dict merge (update keys overwrite, new keys insert, other partitions
+    byte-identical), with no row duplication anywhere."""
+    from cassandra_syncer_spark.queries.analytics_r7s import merge_upsert_partitioned
+
+    rng = random.Random(571)
+    rows = [
+        (k, rng.choice(["O", "F", "P"]), round(rng.uniform(10, 500), 2))
+        for k in range(200)
+    ]
+    sf = _stage(
+        spark, tmp_path, "up", rows,
+        "o_orderkey long, o_orderstatus string, o_totalprice double", "orders",
+    )
+    got = {r.o_orderstatus: (r.n, r.price_centi)
+           for r in merge_upsert_partitioned(spark, sf).collect()}
+    table = {}
+    for k, s, p in rows:
+        table[(k, s)] = _round_half_away(100 * p)
+    o_keys = sorted(k for k, s in table if s == "O")
+    for k, s in list(table):
+        if s == "O" and k % 10 == 0:
+            table[(k, s)] *= 2
+    for k in o_keys[:3]:
+        table[(k + 1000000000, "O")] = _round_half_away(
+            100 * dict((kk, pp) for kk, ss, pp in rows)[k]
+        )
+    want = collections.defaultdict(lambda: [0, 0])
+    for (k, s), c in table.items():
+        want[s][0] += 1
+        want[s][1] += c
+    assert got == {s: tuple(v) for s, v in want.items()}
+
+
+def test_kendall_tau_matches_bruteforce_pairs(spark, tmp_path):
+    """Grid-based tau-b == the O(n²) brute-force pair count on small
+    random data (ties included), and a strictly monotone map gives
+    exactly 1.0."""
+    from cassandra_syncer_spark.queries.analytics_r7s import agg_kendall_tau
+
+    rng = random.Random(593)
+    rows = [
+        (i, float(rng.randint(1, 8)), rng.choice([0.0, 0.01, 0.02, 0.05]))
+        for i in range(120)
+    ]
+    sf = _stage(
+        spark, tmp_path, "kt", rows,
+        "l_orderkey long, l_quantity double, l_discount double", "lineitem",
+    )
+    r = agg_kendall_tau(spark, sf).collect()[0]
+    xs = [(_round_half_away(100 * q), _round_half_away(10000 * d)) for _, q, d in rows]
+    cc = dd = 0
+    n = len(xs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = xs[i][0] - xs[j][0]
+            dy = xs[i][1] - xs[j][1]
+            if dx * dy > 0:
+                cc += 1
+            elif dx * dy < 0:
+                dd += 1
+    assert (r.n_rows, r.n_concordant, r.n_discordant) == (n, cc, dd)
+    from collections import Counter
+
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in Counter(x for x, _ in xs).values())
+    n2 = sum(t * (t - 1) // 2 for t in Counter(y for _, y in xs).values())
+    ref = (cc - dd) / math.sqrt((n0 - n1) * (n0 - n2))
+    assert abs(r.tau_b_r6 - ref) <= 1.001e-6
+    # strictly monotone → exactly 1.0
+    mono = [(i, float(i + 1), 0.0001 * (i + 1)) for i in range(40)]
+    sf2 = _stage(
+        spark, tmp_path, "kt_mono", mono,
+        "l_orderkey long, l_quantity double, l_discount double", "lineitem",
+    )
+    assert agg_kendall_tau(spark, sf2).collect()[0].tau_b_r6 == 1.0
