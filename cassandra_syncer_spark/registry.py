@@ -208,6 +208,11 @@ PRIORITY: tuple[str, ...] = (
     "events_autocorr_lags",
     "merge_upsert_partitioned",
     "agg_kendall_tau",
+    "events_pattern_match",
+    "agg_ols_fit",
+    "audit_referential_integrity",
+    "events_max_drawdown",
+    "dedup_media_chunkhash",
 )
 
 

@@ -1131,3 +1131,71 @@ def test_kendall_grid_join_not_row_pairs(spark, sf_dir):
     # the a.x < b.x non-equi join over ~550 cells broadcasts; row-level
     # inputs would show a SortMergeJoin over the fact table
     assert "SortMergeJoin" not in p, p
+
+
+def test_pattern_match_single_event_exchange(spark, sf_dir):
+    """events_pattern_match: the journey build is ONE user-keyed hash
+    agg — the plan carries no joins at all, and the only exchanges are
+    the user agg plus the |distinct match counts| histogram re-agg."""
+    p = plan_of(spark, sf_dir, "events_pattern_match")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_ols_fit_single_pass(spark, sf_dir):
+    """agg_ols_fit: all six moments come from ONE scan + one hash agg
+    (algebraic, map-side combined); the closed-form finale adds no
+    second corpus pass and no join."""
+    p = plan_of(spark, sf_dir, "agg_ols_fit")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+
+def test_referential_audit_joins_stay_equi(spark, sf_dir):
+    """audit_referential_integrity: every FK edge is a key-equi join
+    between the child's fk-count agg and the parent key set — never a
+    nested loop; the child agg shrinks row volume BEFORE each join
+    (HashAggregate appears below the join in every branch)."""
+    p = plan_of(spark, sf_dir, "audit_referential_integrity")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # 4 edges: each has a full-outer equi join (SMJ at fixture stats is
+    # fine — full outer can't broadcast both sides)
+    n_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert n_joins == len(
+        __import__(
+            "cassandra_syncer_spark.queries.analytics_r7t", fromlist=["_EDGES"]
+        )._EDGES
+    ), p
+
+
+def test_drawdown_windows_share_one_shuffle(spark, sf_dir):
+    """events_max_drawdown: the running sum, the running peak, and the
+    per-user agg all reuse ONE user_id partitioning — a single
+    corpus-sized exchange, one Window stage, and a TakeOrderedAndProject
+    top-k (never a global sort)."""
+    p = plan_of(spark, sf_dir, "events_max_drawdown")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # two Window operators (running sum, running peak) but ONE sort —
+    # they stack on the same partitioning/ordering with no re-exchange
+    assert p.count("+- Sort") == 1, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_media_chunkhash_band_join_is_equi(spark, sf_dir):
+    """dedup_media_chunkhash: candidates come from a bucket-local
+    band-key SELF-JOIN (equi on band_id/band_val/media_type) with the
+    code carried on the band rows — no collect_list bucket
+    materialization, no nested loop, and no join back to the corpus
+    after pairing (exactly one join in the whole plan)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "dedup_media_chunkhash")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "collect_list" not in p, p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p

@@ -183,6 +183,11 @@ def test_order_sensitive_queries_partition_invariant(spark, sf_dir):
         "sink_max_records_per_file",
         "events_peak_concurrency",
         "win_rolling_corr",
+        # round-7 batch 20: journey collect_list fold, stacked running
+        # windows with tie-broken ordering, banded pair self-join
+        "events_pattern_match",
+        "events_max_drawdown",
+        "dedup_media_chunkhash",
     ]
 
     def rows(name):
