@@ -213,6 +213,11 @@ PRIORITY: tuple[str, ...] = (
     "audit_referential_integrity",
     "events_max_drawdown",
     "dedup_media_chunkhash",
+    "graph_clustering_coeff",
+    "agg_covariance_matrix",
+    "sim_pq_adc_topk",
+    "events_theil_sen_trend",
+    "sample_systematic_stride",
 )
 
 

@@ -1199,3 +1199,49 @@ def test_media_chunkhash_band_join_is_equi(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p, p
     assert "collect_list" not in p, p
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p), p
+
+
+def test_clustering_coeff_no_cartesian_wedges_equi(spark, sf_dir):
+    """graph_clustering_coeff: the wedge and closure joins are key-equi
+    over the ORIENTED edge table (no nested loop anywhere), and the
+    triangle→node attribution is a union-explode of the triangle table,
+    never a corpus-side pass."""
+    p = plan_of(spark, sf_dir, "graph_clustering_coeff")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_covariance_matrix_single_moment_pass(spark, sf_dir):
+    """agg_covariance_matrix: the corpus is read ONCE into the moments
+    row (checkpointed); the 6 matrix cells are selects over that row —
+    the returned plan has no parquet scan and no join at all."""
+    p = plan_of(spark, sf_dir, "agg_covariance_matrix")
+    assert "Scan parquet" not in p, p
+    assert "Join" not in p, p
+
+
+def test_pq_adc_probes_broadcast_corpus_stationary(spark, sf_dir):
+    """sim_pq_adc_topk: the probe LUTs broadcast (8 rows); the corpus
+    code table NEVER shuffles before scoring — the only exchange is the
+    per-query rank window over scored candidates."""
+    p = plan_of(spark, sf_dir, "sim_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in p, p  # probes × codes, probe side broadcast
+    assert "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_theil_sen_pairs_on_day_domain(spark, sf_dir):
+    """events_theil_sen_trend: the O(days²) pair join runs on the
+    checkpointed DAY table (no parquet rescans in the returned plan),
+    and the pair join is the broadcast nested-loop over the tiny domain
+    — corpus rows never appear past the daily agg."""
+    p = plan_of(spark, sf_dir, "events_theil_sen_trend")
+    assert "Scan parquet" not in p, p
+
+
+def test_systematic_stride_one_shuffle(spark, sf_dir):
+    """sample_systematic_stride: ONE source-keyed exchange feeds both
+    the rank window and the per-source audit agg."""
+    p = plan_of(spark, sf_dir, "sample_systematic_stride")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "Join" not in p, p

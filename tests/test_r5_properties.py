@@ -188,6 +188,9 @@ def test_order_sensitive_queries_partition_invariant(spark, sf_dir):
         "events_pattern_match",
         "events_max_drawdown",
         "dedup_media_chunkhash",
+        # batch 21: rank windows + broadcast-rank ANN
+        "sample_systematic_stride",
+        "sim_pq_adc_topk",
     ]
 
     def rows(name):

@@ -241,3 +241,183 @@ def test_media_chunkhash_planted_pair_structure(spark, sf_dir):
             # corruption confined to the 2nd quartile's 15-bit field
             assert 0 <= r.hamming <= 15, r
     assert seen == set(expected)
+
+
+# --------------------------------------------------------------------------
+# round-7 batch 21
+# --------------------------------------------------------------------------
+
+
+def test_clustering_coeff_matches_bruteforce_on_real_edges(spark, sf_dir):
+    """The decile histogram == a Python set-based lcc replay over the
+    SAME candidate edge list the query consumes."""
+    from cassandra_syncer_spark.queries.analytics_r7u import graph_clustering_coeff
+    from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
+
+    edges = {
+        (r.doc_a, r.doc_b) for r in _minhash_pairs(spark, sf_dir).collect()
+    }
+    adj: dict[int, set] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    hist: dict[int, list] = {}
+    for node, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(1 for x in nb for y in nb if x < y and y in adj.get(x, ()))
+        lcc_micro = (2000000 * tri) // (d * (d - 1))
+        b = lcc_micro // 100000
+        hist.setdefault(b, [0, 0, 0])
+        hist[b][0] += 1
+        hist[b][1] += tri
+        hist[b][2] += d
+    got = {
+        r.bucket: (r.n_nodes, r.sum_triangles, r.sum_degree)
+        for r in graph_clustering_coeff(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in hist.items()}
+
+
+def test_covariance_matrix_matches_closed_form(spark, tmp_path):
+    """All 6 cells == the closed-form population covariance/correlation
+    on staged points; self-cells give corr exactly 1.0."""
+    from cassandra_syncer_spark.queries.analytics_r7u import agg_covariance_matrix
+
+    rng = random.Random(11)
+    rows = [
+        (i, float(rng.randint(1, 50)), round(rng.uniform(900, 9000), 2),
+         rng.choice([0.0, 0.02, 0.05, 0.1]))
+        for i in range(300)
+    ]
+    sf = _stage(
+        spark, tmp_path, "covm", rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double,"
+        " l_discount double", "lineitem",
+    )
+    got = {(r.m1, r.m2): r for r in agg_covariance_matrix(spark, sf).collect()}
+    pts = {
+        "qty": [_round_half_away(100 * q) for _, q, _, _ in rows],
+        "price": [_round_half_away(100 * p) for _, _, p, _ in rows],
+        "disc": [_round_half_away(10000 * d) for _, _, _, d in rows],
+    }
+    n = len(rows)
+    for (a, b), r in got.items():
+        xa, xb = pts[a], pts[b]
+        sab = sum(x * y for x, y in zip(xa, xb))
+        sa, sb = sum(xa), sum(xb)
+        saa = sum(x * x for x in xa)
+        sbb = sum(y * y for y in xb)
+        cov = (n * sab - sa * sb) / (n * n)
+        corr = (n * sab - sa * sb) / math.sqrt(
+            (n * saa - sa * sa) * (n * sbb - sb * sb)
+        )
+        assert r.n == n
+        assert abs(r.cov_r4 - cov) <= 1.001e-4 * max(1.0, abs(cov) * 1e-10)
+        assert abs(r.corr_r6 - corr) <= 1.001e-6
+        if a == b:
+            assert r.corr_r6 == 1.0
+    assert set(got) == {
+        ("disc", "disc"), ("disc", "price"), ("disc", "qty"),
+        ("price", "price"), ("price", "qty"), ("qty", "qty"),
+    }
+
+
+def test_pq_adc_matches_python_lut_bruteforce(spark, sf_dir):
+    """ADC top-5 == a Python replay: codes from the registered
+    quantizer, LUTs from the shared codebook, 8 lookups summed."""
+    import hashlib as _h
+
+    from cassandra_syncer_spark.queries.analytics_r5f import (
+        _PQ_K,
+        _PQ_SUBDIM,
+        _PQ_SUBS,
+        _pq_centroid,
+        embed_pq_quantize,
+    )
+    from cassandra_syncer_spark.queries.analytics_r7u import (
+        _ADC_K,
+        _ADC_QUERIES,
+        sim_pq_adc_topk,
+    )
+
+    codes = {
+        r.vec_id: [r[f"code{s}"] for s in range(_PQ_SUBS)]
+        for r in embed_pq_quantize(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    got = [
+        (r.q_id, r.vec_id, r.adist_r6, r.rn)
+        for r in sim_pq_adc_topk(spark, sf_dir).collect()
+    ]
+    exp = []
+    for q in range(_ADC_QUERIES):
+        v = vecs[q]
+        lut = [
+            [
+                sum(
+                    (v[s * _PQ_SUBDIM + d] - _pq_centroid(s, c, d)) ** 2
+                    for d in range(_PQ_SUBDIM)
+                )
+                for c in range(_PQ_K)
+            ]
+            for s in range(_PQ_SUBS)
+        ]
+        scored = sorted(
+            (round(sum(lut[s][codes[vid][s]] for s in range(_PQ_SUBS)), 6), vid)
+        for vid in codes if vid != q
+        )[:_ADC_K]
+        exp.extend((q, vid, ad, i + 1) for i, (ad, vid) in enumerate(scored))
+    assert got == exp
+
+
+def test_theil_sen_ignores_outlier_day(spark, tmp_path):
+    """A perfectly linear daily series with ONE corrupted day: Theil–Sen
+    recovers the true slope exactly (the median of pairwise slopes
+    shrugs the outlier off); n_pairs == C(days, 2)."""
+    from cassandra_syncer_spark.queries.analytics_r7u import events_theil_sen_trend
+
+    rows = []
+    eid = 0
+    n_days = 15
+    for d in range(n_days):
+        count = 10 + 2 * d if d != 7 else 500  # day 7 corrupted
+        for _ in range(count):
+            rows.append((eid, _T0 + datetime.timedelta(days=d, seconds=eid % 3600)))
+            eid += 1
+    sf = _stage(spark, tmp_path, "ts", rows, "event_id long, ts timestamp", "events")
+    r = events_theil_sen_trend(spark, sf).collect()[0]
+    assert r.n_days == n_days
+    assert r.n_pairs == n_days * (n_days - 1) // 2
+    assert r.slope_r6 == 2.0
+
+
+def test_systematic_stride_exact_rate_and_set(spark, tmp_path):
+    """Per source: exactly ceil(n/7) sampled, and the id-sum matches a
+    Python replay of the md5 rank order."""
+    import hashlib as _h
+
+    from cassandra_syncer_spark.queries.analytics_r7u import (
+        _STRIDE,
+        sample_systematic_stride,
+    )
+
+    rng = random.Random(3)
+    rows = [(i, f"src{rng.randint(0, 4)}") for i in range(237)]
+    sf = _stage(spark, tmp_path, "stride", rows, "doc_id long, source string",
+                "documents")
+    got = {
+        r.source: (r.n_docs, r.n_sampled, r.sampled_id_sum)
+        for r in sample_systematic_stride(spark, sf).collect()
+    }
+    per_src: dict[str, list] = {}
+    for i, s in rows:
+        per_src.setdefault(s, []).append(i)
+    for s, ids in per_src.items():
+        ranked = sorted(ids, key=lambda i: (_h.md5(str(i).encode()).hexdigest(), i))
+        sampled = ranked[::_STRIDE]  # ranks 1, 8, 15, ... == every 7th
+        assert got[s] == (len(ids), len(sampled), sum(sampled)), s
