@@ -218,6 +218,11 @@ PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "events_theil_sen_trend",
     "sample_systematic_stride",
+    "scan_file_metadata_audit",
+    "events_bitemporal_correction",
+    "feat_hashing_trick",
+    "win_hampel_filter",
+    "events_time_to_convert",
 )
 
 

@@ -1245,3 +1245,55 @@ def test_systematic_stride_one_shuffle(spark, sf_dir):
     p = plan_of(spark, sf_dir, "sample_systematic_stride")
     assert p.count("Exchange hashpartitioning") == 1, p
     assert "Join" not in p, p
+
+
+def test_file_metadata_audit_reads_metadata_only(spark, sf_dir):
+    """scan_file_metadata_audit: the read-back scans partition columns
+    + _metadata only (no data columns in ReadSchema beyond the struct),
+    and the audit agg is the only exchange."""
+    p = plan_of(spark, sf_dir, "scan_file_metadata_audit")
+    assert "_metadata" in p, p
+    assert "Join" not in p, p
+
+
+def test_bitemporal_snapshot_join_broadcasts(spark, sf_dir):
+    """events_bitemporal_correction: the snapshot fan-out is a 2-row
+    broadcast theta join (BNLJ with the snapshot dim broadcast) — the
+    version stream itself never shuffles until the latest-wins
+    window."""
+    p = plan_of(spark, sf_dir, "events_bitemporal_correction")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_hashing_trick_collapses_vocab_first(spark, sf_dir):
+    """feat_hashing_trick: one md5 per DISTINCT word — the plan hashes
+    after the word-count agg, so exactly two hashpartitioning exchanges
+    exist (word agg, bucket agg) and no join."""
+    p = plan_of(spark, sf_dir, "feat_hashing_trick")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 2, p
+
+
+def test_hampel_bounded_frame_no_unbounded_collect(spark, sf_dir):
+    """win_hampel_filter: the collect_list rides a BOUNDED rows frame
+    (4 preceding..current) inside one user-keyed window — one exchange,
+    one sort, no join, no unbounded frame."""
+    p = plan_of(spark, sf_dir, "win_hampel_filter")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "unboundedpreceding" not in p.lower(), p
+
+
+def test_time_to_convert_joins_on_user_dimension(spark, sf_dir):
+    """events_time_to_convert: the purchase probe joins the per-user
+    first-view table (|users| rows, checkpointed) — an equi join on
+    user_id, never a theta explosion."""
+    p = plan_of(spark, sf_dir, "events_time_to_convert")
+    assert "CartesianProduct" not in p, p
+    # the purchase probe is a user_id equi hash join with the time bound
+    # riding inside; the only nested loop is the 1-row × 1-row final
+    # stat assembly (the broadcast cross of two scalar aggregates)
+    assert "BroadcastHashJoin [user_id" in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 1, p

@@ -191,6 +191,11 @@ def test_order_sensitive_queries_partition_invariant(spark, sf_dir):
         # batch 21: rank windows + broadcast-rank ANN
         "sample_systematic_stride",
         "sim_pq_adc_topk",
+        # batch 22: bounded-frame collect, file-splitting sink layout,
+        # snapshot windows
+        "win_hampel_filter",
+        "scan_file_metadata_audit",
+        "events_bitemporal_correction",
     ]
 
     def rows(name):

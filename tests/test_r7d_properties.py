@@ -421,3 +421,157 @@ def test_systematic_stride_exact_rate_and_set(spark, tmp_path):
         ranked = sorted(ids, key=lambda i: (_h.md5(str(i).encode()).hexdigest(), i))
         sampled = ranked[::_STRIDE]  # ranks 1, 8, 15, ... == every 7th
         assert got[s] == (len(ids), len(sampled), sum(sampled)), s
+
+
+# --------------------------------------------------------------------------
+# round-7 batch 22
+# --------------------------------------------------------------------------
+
+
+def test_file_metadata_audit_one_file_per_partition(spark, sf_dir):
+    """Every partition reports exactly one physical file, and row counts
+    reconstruct the source group-by."""
+    from cassandra_syncer_spark.queries.analytics_r7v import scan_file_metadata_audit
+
+    rows = scan_file_metadata_audit(spark, sf_dir).collect()
+    assert rows and all(r.n_files == 1 for r in rows)
+    src = {
+        (r.l_returnflag, r.l_linestatus): r.cnt
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(__import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("cnt"))
+        .collect()
+    }
+    assert {(r.l_returnflag, r.l_linestatus): r.n_rows for r in rows} == src
+
+
+def test_bitemporal_snapshots_bracket_corrections(spark, tmp_path):
+    """Planted micro-fixture: the early snapshot sees pre-correction
+    values, the late snapshot sees every correction; sums replay in
+    Python."""
+    from cassandra_syncer_spark.queries.analytics_r7v import (
+        _CORR_LAG_S,
+        _SNAP_EARLY,
+        events_bitemporal_correction,
+    )
+
+    rng = random.Random(5)
+    rows = []
+    for eid in range(200):
+        ts = _T0 + datetime.timedelta(days=rng.randint(0, 25), seconds=eid)
+        rows.append((eid, ts, round(rng.uniform(1, 99), 2)))
+    sf = _stage(spark, tmp_path, "bt", rows,
+                "event_id long, ts timestamp, value double", "events")
+    got = {
+        r.snapshot: (r.n_events, r.n_corrected, r.sum_centi)
+        for r in events_bitemporal_correction(spark, sf).collect()
+    }
+    epoch = datetime.datetime(1970, 1, 1)
+    exp = {}
+    for snap, cutoff in (("early", _SNAP_EARLY), ("late", 4102444800)):
+        n = corrected = total = 0
+        for eid, ts, v in rows:
+            tx = int((ts - epoch).total_seconds())
+            vc = _round_half_away(100 * v)
+            if tx > cutoff:
+                continue
+            n += 1
+            if eid % 50 == 0 and tx + _CORR_LAG_S <= cutoff:
+                corrected += 1
+                total += 2 * vc
+            else:
+                total += vc
+        exp[snap] = (n, corrected, total)
+    assert got == exp
+    # the fixture spans the early cutoff, so the two snapshots differ
+    assert got["early"] != got["late"]
+
+
+def test_hashing_trick_masses_conserve_and_collide(spark, sf_dir):
+    """Bucket masses must conserve the corpus token count exactly, and
+    the 64-bucket space must show collisions on a real vocabulary."""
+    from cassandra_syncer_spark.queries.analytics_r7v import feat_hashing_trick
+
+    rows = feat_hashing_trick(spark, sf_dir).collect()
+    n_tokens = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("sum(size(split(text, ' '))) AS n")
+        .collect()[0]
+        .n
+    )
+    assert sum(r.total_count for r in rows) == n_tokens
+    assert sum(r.n_distinct_words for r in rows) > len(rows)  # collisions exist
+    for r in rows:
+        assert abs(r.signed_mass) <= r.total_count
+        assert 0 <= r.bucket < 64
+
+
+def test_hampel_flags_planted_spike_not_constant(spark, tmp_path):
+    """A constant series with one spike: exactly the spike is flagged
+    and replaced by the local median; an all-constant user flags
+    nothing."""
+    from cassandra_syncer_spark.queries.analytics_r7v import win_hampel_filter
+
+    rows = []
+    # user 1: constant 10.00 with a spike at position 7
+    for i in range(15):
+        v = 500.0 if i == 7 else 10.0
+        rows.append((i, _T0 + datetime.timedelta(seconds=i), 1, "view", v))
+    # user 2: all constant
+    for i in range(10):
+        rows.append((100 + i, _T0 + datetime.timedelta(seconds=i), 2, "view", 7.5))
+    sf = _stage(
+        spark, tmp_path, "hampel", rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double", "events",
+    )
+    got = {r.user_id: r for r in win_hampel_filter(spark, sf).collect()}
+    assert got[2].n_flagged == 0
+    assert got[2].sum_filtered_centi_x2 == 10 * 2 * 750
+    assert got[1].n_flagged == 1
+    # spike replaced by local median (1000 centi → med2 = 2000)
+    assert got[1].sum_filtered_centi_x2 == 15 * 2 * 1000
+
+
+def test_time_to_convert_matches_bruteforce(spark, tmp_path):
+    """Latency percentiles == a Python replay (first view, earliest
+    subsequent purchase, numpy-free interpolated percentiles)."""
+    from cassandra_syncer_spark.queries.analytics_r7v import events_time_to_convert
+
+    rng = random.Random(77)
+    types = ["view", "purchase", "click"]
+    rows = []
+    eid = 0
+    for u in range(40):
+        for _ in range(rng.randint(1, 25)):
+            ts = _T0 + datetime.timedelta(seconds=rng.randint(0, 100000))
+            rows.append((eid, ts, u, rng.choice(types)))
+            eid += 1
+    sf = _stage(
+        spark, tmp_path, "ttc", rows,
+        "event_id long, ts timestamp, user_id long, event_type string", "events",
+    )
+    r = events_time_to_convert(spark, sf).collect()[0]
+    views: dict[int, datetime.datetime] = {}
+    for _, ts, u, t in rows:
+        if t == "view" and (u not in views or ts < views[u]):
+            views[u] = ts
+    deltas = {}
+    for _, ts, u, t in rows:
+        if t == "purchase" and u in views and ts >= views[u]:
+            d = int((ts - views[u]).total_seconds() * 1000000)
+            if u not in deltas or d < deltas[u]:
+                deltas[u] = d
+
+    def pct(vals, p):
+        vals = sorted(vals)
+        k = (len(vals) - 1) * p
+        lo, hi = int(math.floor(k)), int(math.ceil(k))
+        v = vals[lo] + (vals[hi] - vals[lo]) * (k - lo)
+        return round(v / 1000000.0, 2)
+
+    assert r.n_viewers == len(views)
+    assert r.n_converted == len(deltas)
+    assert r.conversion_micro == 1000000 * len(deltas) // len(views)
+    assert r.p50_sec == pct(list(deltas.values()), 0.5)
+    assert r.p90_sec == pct(list(deltas.values()), 0.9)
