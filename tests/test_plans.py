@@ -1297,3 +1297,56 @@ def test_time_to_convert_joins_on_user_dimension(spark, sf_dir):
     # stat assembly (the broadcast cross of two scalar aggregates)
     assert "BroadcastHashJoin [user_id" in p, p
     assert p.count("BroadcastNestedLoopJoin") == 1, p
+
+
+def test_interarrival_hdr_one_window_shuffle(spark, sf_dir):
+    """events_interarrival_hdr: one user-keyed exchange for the lag
+    window, then map-side-combinable histogram aggs — no joins."""
+    p = plan_of(spark, sf_dir, "events_interarrival_hdr")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+def test_did_collapses_to_cells_before_math(spark, sf_dir):
+    """events_did_lift: the corpus collapses to the 2×2 cell agg in one
+    pass — a single parquet scan, no joins, purchase filter pushed to
+    the scan."""
+    p = plan_of(spark, sf_dir, "events_did_lift")
+    assert "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert "EqualTo(event_type,purchase)" in p, p
+
+
+def test_bot_gate_signals_share_user_partitioning(spark, sf_dir):
+    """events_bot_gate: the three signal frames join at |users| grain
+    with no nested loop; sub-aggs collapse before every join."""
+    p = plan_of(spark, sf_dir, "events_bot_gate")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """join_null_safe_keys: Spark must plan the <=> join as a HASH join
+    (EqualNullSafe is a supported hash key) — a nested loop here means
+    the null-safe predicate fell out of the equi-join path.  The only
+    BNLJ allowed is the 1-row stat assembly crosses."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_null_safe_keys")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in p, p
+    # two data joins (equi + null-safe) both shuffle-hash/sort-merge
+    n_hash_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin")
+    assert n_hash_joins == 2, p
+
+
+def test_session_bounce_single_event_sort(spark, sf_dir):
+    """events_session_bounce: session build + per-session reduce +
+    entry-type rollup ride ONE user-keyed sort; the event stream is
+    exchanged exactly once."""
+    p = plan_of(spark, sf_dir, "events_session_bounce")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 3, p
+    assert p.count("+- Sort") <= 2, p
