@@ -203,7 +203,7 @@ def _edge_sql(label: str, child: str, fk: str, parent: str, pk: str) -> str:
            CAST(count(c.fk) AS BIGINT) AS n_distinct_fk,
            CAST(coalesce(sum(CASE WHEN p.pk IS NULL THEN c.cnt END), 0) AS BIGINT)
              AS n_orphan_rows,
-           CAST(sum(CASE WHEN c.fk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN c.cnt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS n_unref_parents
     FROM (SELECT {fk} AS fk, CAST(count(*) AS BIGINT) AS cnt
           FROM {child} GROUP BY {fk}) c
@@ -254,7 +254,7 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .cast("long")
                 .alias("n_orphan_rows"),
-                F.sum(F.when(F.col("fk").isNull(), 1).otherwise(0))
+                F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0))
                 .cast("long")
                 .alias("n_unref_parents"),
             )

@@ -63,10 +63,19 @@ def scan_file_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (
         li.repartition("l_returnflag", "l_linestatus")
         .write.partitionBy("l_returnflag", "l_linestatus")
+        # one file per (task, partition-dir): never split on record count,
+        # so the one-task-per-key repartition above IS the layout contract
+        .option("maxRecordsPerFile", 0)
         .mode("overwrite")
         .parquet(out)
     )
-    back = spark.read.parquet(out).select(
+    # explicit schema: an empty source writes zero files and schema
+    # inference would crash (UNABLE_TO_INFER_SCHEMA); the write schema is
+    # known, so pass it (partition columns included — discovery still maps
+    # directory names onto them when files exist)
+    back = spark.read.schema(
+        "l_orderkey long, l_returnflag string, l_linestatus string"
+    ).parquet(out).select(
         "l_returnflag",
         "l_linestatus",
         F.col("_metadata.file_name").alias("fname"),
@@ -99,7 +108,7 @@ _CORR_LAG_S = 172800
     WITH facts AS (
       SELECT event_id,
              date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS vday,
-             CAST(epoch(ts) AS BIGINT) AS tx,
+             epoch_ns(ts) // 1000000000 AS tx,
              CAST(round(100 * value) AS BIGINT) AS val,
              CAST(1 AS BIGINT) AS version
       FROM events
@@ -410,7 +419,7 @@ def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM firstview) AS n_viewers,
            CAST(count(*) AS BIGINT) AS n_converted,
            CAST((1000000 * count(*))
-                // (SELECT count(*) FROM firstview) AS BIGINT)
+                // (SELECT nullif(count(*), 0) FROM firstview) AS BIGINT)
              AS conversion_micro,
            round(quantile_cont(delta_us, 0.5) / 1000000.0, 2) AS p50_sec,
            round(quantile_cont(delta_us, 0.9) / 1000000.0, 2) AS p90_sec
@@ -466,9 +475,9 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_viewers",
             "n_converted",
-            F.expr("CAST((1000000 * n_converted) div n_viewers AS BIGINT)").alias(
-                "conversion_micro"
-            ),
+            F.expr(
+                "CAST((1000000 * n_converted) div nullif(n_viewers, 0) AS BIGINT)"
+            ).alias("conversion_micro"),
             "p50_sec",
             "p90_sec",
         )

@@ -431,13 +431,18 @@ def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounces per entry type — "error-entered sessions bounce 3× more
     than view-entered" is the actionable output shape.
 
-    Scale shape: the lag/cumsum session build is ONE user-keyed sort
-    (shared with every session query); the entry event needs no
-    arg-min — the session-start MARKER row is the arg-min by
-    construction, so the per-session reduce is a plain conditional max
-    on the SAME partitioning (session_id is user-local, no re-shuffle
-    of event volume), and the final agg collapses to |entry types|
-    rows.  Exact integer micro rates.
+    Scale shape: sessions are CONTIGUOUS runs in the user's (ts,
+    event_id) order, so no per-session reduce is needed at all — a
+    session bounces iff the row immediately AFTER its entry row is
+    itself a session start (next gap > 30 min) or absent (end of the
+    user's stream).  One Window operator computes both `lag` (start
+    marker) and `lead` (next-row gap) over the SAME user-keyed sort;
+    the event stream is exchanged exactly once, and the only aggregate
+    is a hash agg over |entry types| on the filtered entry rows — no
+    SortAggregate, no string-buffer aggregate, no second event-volume
+    shuffle.  (The oracle keeps the explicit cumsum-session formulation;
+    contiguity makes the two provably identical.)  Exact integer micro
+    rates.
     """
     from pyspark.sql.window import Window
 
@@ -449,31 +454,33 @@ def events_session_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.expr("unix_micros(ts) div 1000000").alias("ts_sec"),
     )
-    marked = staged.withColumn(
-        "is_start",
+    marked = staged.select(
+        "event_type",
+        "ts_sec",
         F.when(
             (F.col("ts_sec") - F.lag("ts_sec").over(w) > _SESSION_GAP_S)
             | F.lag("ts_sec").over(w).isNull(),
             1,
-        ).otherwise(0),
+        )
+        .otherwise(0)
+        .alias("is_start"),
+        F.lead("ts_sec").over(w).alias("next_ts_sec"),
     )
-    sess = marked.withColumn(
-        "session_id",
-        F.sum("is_start").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    per_sess = sess.groupBy("user_id", "session_id").agg(
-        F.expr("max(CASE WHEN is_start = 1 THEN event_type END)").alias(
-            "entry_type"
-        ),
-        F.count(F.lit(1)).cast("long").alias("n"),
-    )
+    entries = marked.filter(F.col("is_start") == 1)
     return (
-        per_sess.groupBy("entry_type")
+        entries.groupBy(F.col("event_type").alias("entry_type"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_sessions"),
-            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            F.sum(
+                F.when(
+                    F.col("next_ts_sec").isNull()
+                    | (
+                        F.col("next_ts_sec") - F.col("ts_sec")
+                        > _SESSION_GAP_S
+                    ),
+                    1,
+                ).otherwise(0)
+            )
             .cast("long")
             .alias("n_bounced"),
         )

@@ -57,82 +57,31 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: have never had a driver row, then the full r1/r2-stale blocks (oldest
 #: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
-    # Round-7 order: (0) ids whose dataflow or oracle CHANGED in round 7 —
-    # the ADVICE short-doc/div-zero guards and the shingle-kernel get()
-    # rewrite (value-neutral on ≥3-word docs; hashes must confirm that) —
-    # then (1) the two round-1-stale ids the r6 window cut off, then
-    # (2) the full remaining r2-stale block (last driver check predates
-    # the round-3 fixture regeneration), then (3) queries NEW in round 7.
-    # 0+1+2 ≈ 48 ids, inside the driver's ~50-query window, so after this
-    # round no registered id's last check predates round 3; new round-7
-    # ids overflow into round 8's front block (all covered by the local
-    # PARITY artifact meanwhile).
-    #
-    # Round-8 rotation plan (apply at the start of round 8): move section 3
-    # (the round-7-new ids, in their current order — oldest batches first)
-    # to the FRONT, preceded only by any ids whose definition changes in
-    # round 8.  Section 3 now holds ~80 ids, so it takes the r8 AND r9
-    # windows to clear; after r9 every id's last driver check is ≤2 rounds
-    # old again.  Sections 0-2 (all driver-green in r7) rotate to the tail.
-    # -- 0: definition changed in round 7 -----------------------------------
-    "sim_mmr_rerank",          # pool-exhaustion guard in the greedy fold (both engines)
-    "text_code_detect",        # long casts on length counts (int overflow at ~10 KB docs)
-    "udtf_explode",            # NULL-n_chars chunk (both engines; least() trap)
-    "multimodal_decode",       # NULL-payload passthrough + oracle '0x' guard
-    "multimodal_frames",       # NULL-payload single null frame
-    "scan_binaryfile",         # NULL text = no object to stage (both sides)
-    "text_ngram_novelty",      # short-doc guard on the 8-gram expansion
-    "corpus_vocab_growth",     # short-doc guard on the 8-gram expansion
-    "dedup_verify_pipeline",   # mx=0 guard on edit_sim_micro (both engines)
-    "dedup_verify_edit",       # mx=0 guard on edit_sim_micro (both engines)
-    "text_quality",            # nullif(n_chars,0) punct-ratio guard
-    "mix_sample_weighted",     # try_cast on digit-less source names
-    "text_ngram_freq",         # get(w,i) bigram kernel (OOB-null, not throw)
-    "text_minhash_dedup",      # shingles_expr get() rewrite (representative)
-    "dedup_verify_jaccard",    # consumes the same shingle/band kernel
-    "join_interval_overlap",   # prefix-sum rewrite (40.5 s → 2.1 s), same oracle
-    "events_anomaly_zscore",   # nullif sigma=0 / n=1 guard (degenerate sweep)
-    "events_anomaly_mad",      # nullif MAD=0 guard (degenerate sweep)
-    "agg_moments_skew_kurt",   # nullif var=0 guard (degenerate sweep)
-    # -- 1: last verified in round 1 — cut off by the r6 window -------------
-    "sim_ivf_ann",
-    # -- 2: last verified in round 2 (oldest-stale block, completes the
-    #    no-pre-round-3-checks goal) ----------------------------------------
-    "agg_group_sum",
-    "array_funcs",
-    "cond_funcs",
-    "date_funcs",
-    "hash_funcs",
-    "join_anti_prune",
-    "join_inner_hash",
-    "join_multiway",
-    "join_range_banded",
-    "join_salted_skew",
-    "join_semi_manifest",
-    "join_theta_range",
-    "json_funcs",
-    "map_funcs",
-    "math_funcs",
-    "multimodal_cols",
-    "q12_shipmode_priority",
-    "q14_promo_share",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "reshape_unpivot",
-    "sim_cosine_topk",
-    "str_funcs",
-    "stream_file_source",
-    "text_fingerprint",
-    "text_langid",
-    "text_normalize",
-    "text_tokens",
-    "udaf_grouped",
-    "udf_scalar",
+    # Round-8 order (the rotation registry.py planned in round 7, executed):
+    # (0) ids whose dataflow or oracle CHANGED in round 8 — the three
+    # defective-query fixes (div-zero guard, explicit-schema read-back +
+    # pinned maxRecordsPerFile, the lead()-based bounce rewrite) and the two
+    # ADVICE oracle corrections (bitemporal epoch truncation, referential
+    # audit parent-only detection) — hashes must go green on the NEW
+    # definitions first; then (1) the three r2-stale ids the r6 AND r7
+    # windows both cut off; then (2) every id that has NEVER had a driver
+    # CORRECTNESS row — the round-7-new overflow, oldest batches first, the
+    # final r7w batch last.  0+1 = 8 ids, so the ~50-id window reaches ~42
+    # ids into section 2; the remaining ~52 (plus any round-8 additions,
+    # which append to section 2's tail in batch order) form the round-9
+    # front block.  Everything driver-green in r7 rotates to the tail
+    # (unlisted ids keep registration order after the listed ones).
+    # -- 0: definition changed in round 8 -----------------------------------
+    "events_time_to_convert",
+    "scan_file_metadata_audit",
+    "events_session_bounce",
+    "events_bitemporal_correction",
+    "audit_referential_integrity",
+    # -- 1: stale since round 2 — cut off by both the r6 and r7 windows --
     "win_percent_rank",
     "win_rank_dense",
     "win_sliding",
-    # -- 3: new in round 7 (window overflow expected; PARITY covers them
-    #    locally until the round-8 rotation) --------------------------------
+    # -- 2: never driver-checked (round-7-new overflow; oldest first) ----
     "join_interval_coalesce",
     "win_rolling_median",
     "agg_percentile_disc",
@@ -210,7 +159,6 @@ PRIORITY: tuple[str, ...] = (
     "agg_kendall_tau",
     "events_pattern_match",
     "agg_ols_fit",
-    "audit_referential_integrity",
     "events_max_drawdown",
     "dedup_media_chunkhash",
     "graph_clustering_coeff",
@@ -218,11 +166,12 @@ PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_topk",
     "events_theil_sen_trend",
     "sample_systematic_stride",
-    "scan_file_metadata_audit",
-    "events_bitemporal_correction",
     "feat_hashing_trick",
     "win_hampel_filter",
-    "events_time_to_convert",
+    "events_interarrival_hdr",
+    "events_did_lift",
+    "events_bot_gate",
+    "join_null_safe_keys",
 )
 
 
