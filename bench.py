@@ -90,6 +90,14 @@ HEADLINE = [
     # JVM fold over the broadcast-probe top-C pool)
     "graph_kcore",
     "sim_mmr_rerank",
+    # round-8 gate rows: the experimentation kit vs naive ports (global
+    # windows / float two-pass) and ExactSubstr coverage vs groupBy+join
+    "agg_ks_test",
+    "agg_mannwhitney_u",
+    "events_welch_ttest",
+    "events_uplift_cuped",
+    # dedup_substring_spans already a timed row above; now gated via its
+    # vanilla counterpart in scripts/vanilla_queries.py
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

@@ -42,6 +42,14 @@ ENGINE_EQUIV = {
     "win_rolling_median": "rolling_median_vanilla",
     # round-7 batch 7: skyline vs the naive global-window formulation
     "select_pareto_skyline": "skyline_vanilla",
+    # round-8 gate additions: the experimentation kit vs its naive ports
+    # (global-window ECDF, global row ranking, float two-pass moments) and
+    # ExactSubstr coverage vs the groupBy+join-back formulation
+    "agg_ks_test": "ks_test_vanilla",
+    "agg_mannwhitney_u": "mwu_vanilla",
+    "events_welch_ttest": "welch_vanilla",
+    "events_uplift_cuped": "cuped_vanilla",
+    "dedup_substring_spans": "substring_spans_vanilla",
 }
 
 
@@ -685,6 +693,254 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy(F.desc("price_centi"), "o_orderkey")
         )
 
+    def _arm(col):
+        # the same md5-parity arm assignment the engine uses — assignment
+        # is part of the statistic's definition, not of the dataflow under
+        # measurement, so both formulations share it
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        )
+
+    def ks_test_vanilla():
+        # the naive KS formulation: ONE GLOBAL WINDOW over every event row
+        # (RANGE frame so ties resolve to the value-level ECDF) — the
+        # single-task corpus sort agg_ks_test's bucketed prefix-sum
+        # dataflow exists to remove
+        e = events.filter(F.col("event_type").isin("click", "view")).select(
+            F.round(F.col("value") * 100).cast("long").alias("vc"),
+            (F.col("event_type") == "click").alias("isa"),
+        )
+        wg = Window.orderBy("vc").rangeBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        tot = e.agg(
+            F.sum(F.when(F.col("isa"), 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(F.col("isa"), 0).otherwise(1)).cast("long").alias("nb"),
+        )
+        d = (
+            e.withColumn(
+                "cuma", F.sum(F.when(F.col("isa"), 1).otherwise(0)).over(wg)
+            )
+            .withColumn(
+                "cumb", F.sum(F.when(F.col("isa"), 0).otherwise(1)).over(wg)
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "vc",
+                "na",
+                "nb",
+                F.expr(
+                    "abs((1000000 * cuma) div na - (1000000 * cumb) div nb)"
+                ).alias("diff_micro"),
+            )
+        )
+        mx = d.agg(F.max("diff_micro").alias("ks"))
+        return (
+            d.crossJoin(F.broadcast(mx))
+            .filter(F.col("diff_micro") == F.col("ks"))
+            .groupBy("na", "nb")
+            .agg(
+                F.max("ks").cast("long").alias("ks_micro"),
+                F.min("vc").cast("long").alias("ks_at_value_centi"),
+            )
+            .select(
+                F.col("na").alias("n_a"),
+                F.col("nb").alias("n_b"),
+                "ks_micro",
+                "ks_at_value_centi",
+            )
+        )
+
+    def mwu_vanilla():
+        # the naive Mann-Whitney formulation: midrank EVERY ROW with a
+        # global rank window over the pooled corpus (single-task sort +
+        # per-value tie counts), then sum ranks by arm — vs the engine's
+        # value-domain-sized prefix sum
+        e = events.filter(F.col("value").isNotNull()).select(
+            F.round(F.lit(100) * F.col("value")).cast("long").alias("v"),
+            _arm(F.col("user_id")).alias("arm"),
+        )
+        r = e.withColumn("rk", F.rank().over(Window.orderBy("v"))).withColumn(
+            "tcnt", F.count(F.lit(1)).over(Window.partitionBy("v"))
+        )
+        # doubled midrank = 2*rk + (tcnt - 1) stays integer under ties
+        s = r.agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+            F.sum(
+                F.when(
+                    F.col("arm") == 1,
+                    2 * F.col("rk") + F.col("tcnt") - 1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("rb2"),
+        )
+        tt = (
+            e.groupBy("v")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .agg(
+                F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+                .cast("long")
+                .alias("tt")
+            )
+        )
+        return (
+            s.crossJoin(F.broadcast(tt))
+            .filter((F.col("na") >= 1) & (F.col("nb") >= 1))
+            .select(
+                F.col("na").alias("n_a"),
+                F.col("nb").alias("n_b"),
+                (F.col("rb2") - F.col("nb") * (F.col("nb") + 1))
+                .cast("long")
+                .alias("u_b_2x"),
+                F.expr(
+                    "round((CAST(rb2 - nb * (nb + 1) AS DOUBLE) / 2.0"
+                    "        - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)"
+                    " / nullif(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0"
+                    "   * ((CAST(na AS DOUBLE) + nb + 1)"
+                    "      - CAST(tt AS DOUBLE) / ((na + CAST(nb AS DOUBLE))"
+                    "        * (na + nb - 1.0)))), 0.0), 6)"
+                ).alias("z_r6"),
+            )
+        )
+
+    def welch_vanilla():
+        # the naive Welch port: plain float avg/var_samp per arm (the
+        # accumulation-order-dependent form the engine's exact integer
+        # moment sums replace), then the t formula on the two-row pivot
+        u = (
+            events.filter(F.col("value").isNotNull())
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("y"))
+            .withColumn("arm", _arm(F.col("user_id")))
+        )
+        s = u.groupBy("arm").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("y").alias("m"),
+            F.var_samp("y").alias("s2"),
+        )
+        p = s.agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+            F.max(F.when(F.col("arm") == 0, F.col("m"))).alias("ma"),
+            F.max(F.when(F.col("arm") == 0, F.col("s2"))).alias("va"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+            F.max(F.when(F.col("arm") == 1, F.col("m"))).alias("mb"),
+            F.max(F.when(F.col("arm") == 1, F.col("s2"))).alias("vb"),
+        )
+        return p.filter((F.col("na") >= 2) & (F.col("nb") >= 2)).select(
+            F.col("na").cast("long").alias("n_a"),
+            F.col("nb").cast("long").alias("n_b"),
+            F.expr("round(ma, 6)").alias("mean_a_r6"),
+            F.expr("round(mb, 6)").alias("mean_b_r6"),
+            F.expr(
+                "round((mb - ma) / nullif(sqrt(va / na + vb / nb), 0.0), 6)"
+            ).alias("t_welch_r6"),
+        )
+
+    def cuped_vanilla():
+        # the textbook CUPED port: center x and y against means joined
+        # back from a separate pass (two aggregations over the user frame
+        # + a broadcast join), float covariance/variance — vs the engine's
+        # single-pass algebraic moment sums
+        split = F.lit("2024-02-01").cast("timestamp")
+        u = (
+            t["events"]
+            .groupBy("user_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("ts").cast("timestamp") < split, F.col("value"))
+                    .otherwise(0.0)
+                ).alias("x"),
+                F.sum(
+                    F.when(F.col("ts").cast("timestamp") >= split, F.col("value"))
+                    .otherwise(0.0)
+                ).alias("y"),
+            )
+            .withColumn("arm", _arm(F.col("user_id")))
+        )
+        means = u.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+        c = u.crossJoin(F.broadcast(means))
+        theta = c.agg(
+            (
+                F.sum((F.col("x") - F.col("mx")) * (F.col("y") - F.col("my")))
+                / F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx")))
+            ).alias("theta")
+        )
+        arms = u.groupBy("arm").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("x").alias("ax"),
+            F.avg("y").alias("ay"),
+        )
+        p = arms.agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+            F.max(F.when(F.col("arm") == 0, F.col("ax"))).alias("xa"),
+            F.max(F.when(F.col("arm") == 0, F.col("ay"))).alias("ya"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+            F.max(F.when(F.col("arm") == 1, F.col("ax"))).alias("xb"),
+            F.max(F.when(F.col("arm") == 1, F.col("ay"))).alias("yb"),
+        )
+        return (
+            p.crossJoin(F.broadcast(theta))
+            .filter((F.col("na") > 0) & (F.col("nb") > 0))
+            .select(
+                F.col("na").cast("long").alias("n_a"),
+                F.col("nb").cast("long").alias("n_b"),
+                F.expr("round(theta, 6)").alias("theta_r6"),
+                F.expr("round(yb - ya, 6)").alias("lift_raw_r6"),
+                F.expr("round((yb - ya) - theta * (xb - xa), 6)").alias(
+                    "lift_cuped_r6"
+                ),
+            )
+        )
+
+    def substring_spans_vanilla():
+        # the naive ExactSubstr-coverage port: gram counts via groupBy then
+        # a JOIN back onto the exploded gram rows (two corpus-sized
+        # shuffles on the span text) — vs the engine's single
+        # count-over-gram-partition window
+        k = 6
+        wins = (
+            t["documents"]
+            .select("doc_id", F.split("text", " ").alias("ws"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        f"IF(size(ws) >= {k},"
+                        f" transform(sequence(1, size(ws) - {k} + 1),"
+                        f" i -> array_join(slice(ws, i, {k}), ' ')),"
+                        " array())"
+                    )
+                ).alias("g"),
+            )
+        )
+        counts = wins.groupBy("g").agg(F.count(F.lit(1)).alias("n_g"))
+        return (
+            wins.join(counts, "g")
+            .select("doc_id", (F.col("n_g") > 1).cast("int").alias("dup"))
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_windows"),
+                F.sum("dup").cast("long").alias("n_dup_windows"),
+            )
+            .select(
+                "doc_id",
+                "n_windows",
+                "n_dup_windows",
+                F.expr("(1000000 * n_dup_windows) div n_windows").alias(
+                    "dup_micro"
+                ),
+            )
+            .orderBy("doc_id")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -709,4 +965,9 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "triangle_vanilla": triangle_vanilla(),
         "rolling_median_vanilla": rolling_median_vanilla(),
         "skyline_vanilla": skyline_vanilla(),
+        "ks_test_vanilla": ks_test_vanilla(),
+        "mwu_vanilla": mwu_vanilla(),
+        "welch_vanilla": welch_vanilla(),
+        "cuped_vanilla": cuped_vanilla(),
+        "substring_spans_vanilla": substring_spans_vanilla(),
     }
