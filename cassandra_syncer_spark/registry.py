@@ -172,6 +172,18 @@ PRIORITY: tuple[str, ...] = (
     "events_did_lift",
     "events_bot_gate",
     "join_null_safe_keys",
+    # -- round-8 batch 1 (new; appended per the rotation comment) ----------
+    "events_power_mde",
+    "agg_bootstrap_ci",
+    "sample_neyman_allocation",
+    "feat_woe_encode",
+    "graph_link_prediction_ra",
+    # -- round-8 batch 2 ----------------------------------------------------
+    "agg_median_selection",
+    "corpus_zipf_octave_fit",
+    "events_entropy_profile",
+    "stream_session_window",
+    "audit_column_profile",
 )
 
 

@@ -1,0 +1,435 @@
+"""Property + plan laws for the round-8 batch-1 operators: invariants
+checked independently of the fixture-shaped oracle, plus the physical-plan
+shape each query's docstring claims."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.registry import REGISTRY, all_queries
+
+
+def _plan(spark, sf_dir, name):
+    all_queries()
+    return (
+        REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_power_mde
+# ---------------------------------------------------------------------------
+
+
+def test_power_mde_matches_float_reference(spark, sf_dir):
+    """MDE from the exact integer moments == textbook float formula on
+    the same per-user totals (both arms), within rounding."""
+    all_queries()
+    row = REGISTRY["events_power_mde"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    # reference: recompute from the per-user totals driver-side
+    u = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum(F.round(F.lit(100) * F.col("value")).cast("long")).alias("y"))
+        .withColumn(
+            "arm",
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 2,
+        )
+        .collect()
+    )
+    a = [x.y / 100.0 for x in u if x.arm == 0]
+    b = [x.y / 100.0 for x in u if x.arm == 1]
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    va = sum((x - sum(a) / len(a)) ** 2 for x in a) / (len(a) - 1)
+    vb = sum((x - sum(b) / len(b)) ** 2 for x in b) / (len(b) - 1)
+    mde = (1.959964 + 0.841621) * math.sqrt(va / len(a) + vb / len(b))
+    assert abs(r.mde_abs_r6 - mde) < 1e-4
+    assert r.sd_a_r6 >= 0 and r.sd_b_r6 >= 0 and r.mde_abs_r6 >= 0
+
+
+def test_power_mde_plan_no_joins(spark, sf_dir):
+    p = _plan(spark, sf_dir, "events_power_mde")
+    assert "Join" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# agg_bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_brackets_and_weights(spark, sf_dir):
+    """CI is ordered, replicate weights are genuine Poisson(1) draws
+    (mean weight ~1 so each replicate's n is ~corpus n), and the point
+    mean sits inside the interval on real fixture data."""
+    all_queries()
+    r = REGISTRY["agg_bootstrap_ci"].fn(spark, sf_dir).collect()[0]
+    assert r.ci_lo_r4 <= r.ci_hi_r4
+    assert r.ci_lo_r4 <= r.mean_r4 <= r.ci_hi_r4  # ~always at fixture n
+    assert r.n_rows > 0
+
+
+def test_bootstrap_ci_plan_combines_before_shuffle(spark, sf_dir):
+    """The 32x explode must collapse map-side: a partial HashAggregate
+    sits between Generate and the exchange, and the only join is the
+    1-row broadcast cross assembling the output row."""
+    p = _plan(spark, sf_dir, "agg_bootstrap_ci")
+    assert "CartesianProduct" not in p, p
+    gen = p.index("Generate")
+    assert "HashAggregate" in p[:gen], p  # partial agg above the explode
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_allocation_sums_to_budget_and_orders_by_weight(spark, sf_dir):
+    all_queries()
+    rows = REGISTRY["sample_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == 1000
+    # allocation must order like N_h * sd_h (within the +/-1 remainder)
+    by_w = sorted(rows, key=lambda r: r.n_h * r.sd_r6)
+    allocs = [r.alloc for r in by_w]
+    assert all(a <= b + 1 for a, b in zip(allocs, allocs[1:], strict=False))
+
+
+def test_neyman_allocation_exact_on_handmade_strata(spark, tmp_path):
+    """3 handmade strata with known sds: allocation matches the
+    hand-computed largest-remainder split."""
+    all_queries()
+    rng = random.Random(5)
+    rows = []
+    doc = 0
+    # stratum A: 100 docs, n_chars constant (sd 0) -> alloc 0 from weight
+    for _ in range(100):
+        rows.append((doc, "x", "en", "A", 500))
+        doc += 1
+    # stratum B: 200 docs, n_chars alternating 100/300 (sd ~100.25)
+    for i in range(200):
+        rows.append((doc, "x", "en", "B", 100 if i % 2 else 300))
+        doc += 1
+    # stratum C: 100 docs, n_chars uniform spread (bigger sd)
+    for _ in range(100):
+        rows.append((doc, "x", "en", "C", rng.randrange(0, 2000)))
+        doc += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "strata")
+    for t in ["documents"]:
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    # the query only reads documents; stage the other tables as empty copies
+    import os
+
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "embeddings",
+    ]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+    got = {r.source: r for r in REGISTRY["sample_neyman_allocation"].fn(spark, out).collect()}
+    import statistics
+
+    w = {}
+    data = {"A": [500] * 100, "B": [100 if i % 2 else 300 for i in range(200)]}
+    data["C"] = [x[4] for x in rows if x[3] == "C"]
+    for srcname, vals in data.items():
+        sd = statistics.stdev(vals)
+        w[srcname] = round(1e6 * len(vals) * sd)
+    total = sum(w.values())
+    base = {k: (1000 * v) // total for k, v in w.items()}
+    rem = {k: (1000 * v) % total for k, v in w.items()}
+    leftover = 1000 - sum(base.values())
+    order = sorted(w, key=lambda k: (-rem[k], k))
+    expect = {
+        k: base[k] + (1 if order.index(k) < leftover else 0) for k in w
+    }
+    for k in w:
+        assert got[k].alloc == expect[k], (k, got[k].alloc, expect[k])
+    assert sum(r.alloc for r in got.values()) == 1000
+
+
+# ---------------------------------------------------------------------------
+# feat_woe_encode
+# ---------------------------------------------------------------------------
+
+
+def test_woe_iv_terms_nonnegative_and_sign_consistent(spark, sf_dir):
+    """IV terms are (a-b)*ln(a/b) which is >= 0 for all a,b > 0; WoE sign
+    must agree with whether the category over-indexes on the target."""
+    all_queries()
+    rows = REGISTRY["feat_woe_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    gt = sum(r.n_target for r in rows)
+    bt = sum(r.n_other for r in rows)
+    k = len(rows)
+    for r in rows:
+        assert r.iv_term_micro >= 0, r
+        lhs = (r.n_target + 0.5) / (gt + 0.5 * k)
+        rhs = (r.n_other + 0.5) / (bt + 0.5 * k)
+        assert (r.woe_r6 >= 0) == (lhs >= rhs), r
+
+
+def test_woe_plan_single_corpus_exchange(spark, sf_dir):
+    p = _plan(spark, sf_dir, "feat_woe_encode")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+# ---------------------------------------------------------------------------
+# graph_link_prediction_ra
+# ---------------------------------------------------------------------------
+
+
+def test_ra_scores_positive_and_pairs_not_edges(spark, sf_dir):
+    all_queries()
+    from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
+
+    rows = REGISTRY["graph_link_prediction_ra"].fn(spark, sf_dir).collect()
+    edges = {
+        (r.doc_a, r.doc_b)
+        for r in _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b").collect()
+    }
+    seen_rk = []
+    for r in rows:
+        assert r.ra_micro > 0 and r.common >= 1
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in edges, r
+        seen_rk.append(r.rk)
+    assert seen_rk == list(range(1, len(seen_rk) + 1))
+
+
+def test_ra_no_cartesian(spark, sf_dir):
+    p = _plan(spark, sf_dir, "graph_link_prediction_ra")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# agg_median_selection (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_median_selection_matches_percentile_on_random_frames(spark):
+    """Counting selection == sort-based percentile (x2 stays integer)
+    on random frames with ties, odd and even group sizes."""
+    all_queries()
+    rng = random.Random(11)
+    rows = [
+        (rng.choice("ABC"), rng.choice([1.0, 2.5, 2.5, 7.25, 99.0, rng.random() * 50]))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    g = df.groupBy("l_returnflag", F.round(F.col("l_extendedprice") * 100).cast("long").alias("vc")).count()
+    from pyspark.sql.window import Window as W
+
+    c = g.select(
+        "l_returnflag",
+        "vc",
+        F.sum("count").over(W.partitionBy("l_returnflag")).alias("n"),
+        F.sum("count")
+        .over(
+            W.partitionBy("l_returnflag").orderBy("vc").rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("cum"),
+    ).withColumn("k1", F.expr("(n + 1) div 2")).withColumn("k2", F.expr("(n + 2) div 2"))
+    sel = {
+        r.l_returnflag: r.m
+        for r in c.groupBy("l_returnflag")
+        .agg(
+            (
+                F.min(F.when(F.col("cum") >= F.col("k1"), F.col("vc")))
+                + F.min(F.when(F.col("cum") >= F.col("k2"), F.col("vc")))
+            ).alias("m")
+        )
+        .collect()
+    }
+    ref = {
+        r.l_returnflag: r.m
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "CAST(round(2 * percentile(CAST(round(100 * l_extendedprice) AS BIGINT), 0.5)) AS BIGINT)"
+            ).alias("m")
+        )
+        .collect()
+    }
+    assert sel == ref
+
+
+def test_median_selection_plan_no_join(spark, sf_dir):
+    p = _plan(spark, sf_dir, "agg_median_selection")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+# ---------------------------------------------------------------------------
+# corpus_zipf_octave_fit (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_zipf_fit_recovers_exponent_on_synthetic_zipf_corpus(spark, tmp_path):
+    """A handmade corpus with true Zipf(s=1) token frequencies: the
+    octave fit recovers a negative slope and s in a sane band.  (The
+    tiny synthetic sf fixtures have ~dozens of types with an INVERTED
+    spectrum, so the sign assertion belongs on real Zipf data.)"""
+    all_queries()
+    import os
+
+    # vocabulary of 512 words, word r appears ceil(2048/r) times (s=1)
+    words = []
+    for r in range(1, 513):
+        words += [f"w{r}"] * (2048 // r + 1)
+    rng = random.Random(3)
+    rng.shuffle(words)
+    docs, chunk = [], 200
+    for i in range(0, len(words), chunk):
+        docs.append((i // chunk, " ".join(words[i : i + chunk]), "en", "syn", chunk))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "zipf")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "embeddings"]:
+        src_p = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src_p):
+            spark.read.parquet(src_p).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    r = REGISTRY["corpus_zipf_octave_fit"].fn(spark, out).collect()[0]
+    assert r.n_octaves >= 6
+    assert r.slope_r6 < 0, r
+    assert r.zipf_s_r6 is not None and 0.5 < r.zipf_s_r6 < 2.0, r
+
+
+def test_zipf_fit_schema_stable_on_fixture(spark, sf_dir):
+    """On the synthetic fixture the spectrum may invert -- the contract
+    is one row, k >= 2, and the exponent NULLs out iff slope >= 0."""
+    all_queries()
+    rows = REGISTRY["corpus_zipf_octave_fit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_octaves >= 2
+    assert (r.zipf_s_r6 is None) == (r.slope_r6 >= 0)
+
+
+# ---------------------------------------------------------------------------
+# events_entropy_profile (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_bands_partition_users_and_bound_by_log_types(spark, sf_dir):
+    all_queries()
+    rows = REGISTRY["events_entropy_profile"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_users = ev.select("user_id").distinct().count()
+    n_types = ev.select("event_type").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    # max possible entropy = ln(n_types) nats -> band bound
+    assert all(0 <= r.band <= int(math.log(n_types) * 1e6) // 250000 for r in rows)
+
+
+def test_entropy_exact_on_handmade_mixes(spark, tmp_path):
+    """Uniform 2-type mix -> ln 2; single-type -> 0 (band 0)."""
+    all_queries()
+    import os
+
+    rows = []
+    eid = 0
+    for i in range(8):  # user 1: 50/50 click/view -> H = ln 2
+        rows.append((eid, "2024-01-01 00:%02d:00" % i, 1, "click" if i % 2 else "view", 1.0, "{}"))
+        eid += 1
+    for i in range(5):  # user 2: all clicks -> H = 0
+        rows.append((eid, "2024-01-01 01:%02d:00" % i, 2, "click", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "ent")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    got = {r.band: (r.n_users, r.sum_h_micro) for r in REGISTRY["events_entropy_profile"].fn(spark, out).collect()}
+    ln2_micro = round(1e6 * math.log(2))
+    # user 1 in band ln2//0.25 = 2, user 2 in band 0
+    assert got[0] == (1, 0)
+    band1 = ln2_micro // 250000
+    assert got[band1][0] == 1
+    assert abs(got[band1][1] - ln2_micro) <= 2  # per-term rounding slack
+
+
+# ---------------------------------------------------------------------------
+# stream_session_window (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_session_window_merges_at_exact_gap(spark, tmp_path):
+    """An exactly-30-minute gap MERGES (UpdatingSessionsIterator joins
+    when next.start <= prev.end) -- the same > convention as the cumsum
+    sessionizers; 30:01 splits."""
+    all_queries()
+    import os
+
+    rows = [
+        (0, "2024-01-01 00:00:00", 1, "view", 1.0, "{}"),
+        (1, "2024-01-01 00:30:00", 1, "view", 1.0, "{}"),  # exact gap -> MERGES
+        (2, "2024-01-01 01:00:00", 2, "view", 1.0, "{}"),
+        (3, "2024-01-01 01:30:01", 2, "view", 1.0, "{}"),  # gap + 1s -> splits
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "sess")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    got = {r.user_id: r for r in REGISTRY["stream_session_window"].fn(spark, out).collect()}
+    assert got[1].n_sessions == 1 and got[1].sum_span_us == 1800 * 1000000
+    assert got[2].n_sessions == 2 and got[2].sum_span_us == 0
+
+
+def test_session_window_single_user_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "stream_session_window")
+    assert "Join" not in p, p
+
+
+# ---------------------------------------------------------------------------
+# audit_column_profile (batch 2)
+# ---------------------------------------------------------------------------
+
+
+def test_column_profile_reads_table_once(spark, sf_dir):
+    """The whole point vs the oracle's five scans: ONE FileScan."""
+    p = _plan(spark, sf_dir, "audit_column_profile")
+    assert p.count("FileScan parquet") == 1, p
+    assert "Join" not in p, p
+
+
+def test_column_profile_matches_per_column_queries(spark, sf_dir):
+    all_queries()
+    got = {r.col_name: r for r in REGISTRY["audit_column_profile"].fn(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.select(F.round(F.col("l_quantity") * 100).cast("long").alias("v"))
+    ref = q.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.countDistinct("v").alias("nd"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    ).collect()[0]
+    r = got["l_quantity"]
+    assert (r.n_rows, r.n_distinct, r.min_centi, r.max_centi) == (ref.nr, ref.nd, ref.mn, ref.mx)
