@@ -46,3 +46,27 @@ def test_engine_equiv_keys_exist(spark, sf_dir):
     for eng, van in ENGINE_EQUIV.items():
         assert eng in REGISTRY, eng
         assert van in vanilla, van
+
+
+def test_r8_gate_vanilla_rows_match_engine(spark, sf_dir):
+    """The round-8 gate additions are naive PORTS, not verbatim copies —
+    but they compute the same statistic, so their RESULTS must match the
+    engine rows exactly (integer/micro outputs; the float columns are
+    round-6/round-4 shared-text scalars that matched bitwise when added).
+    A mismatch means one side's formulation drifted."""
+    all_queries()
+    vanilla = build_vanilla_queries(spark, sf_dir)
+    for engine_name in [
+        "agg_ks_test",
+        "agg_mannwhitney_u",
+        "events_welch_ttest",
+        "events_uplift_cuped",
+        "dedup_substring_spans",
+    ]:
+        engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
+        vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
+        assert engine_df.columns == vanilla_df.columns, engine_name
+        assert _rows(engine_df) == _rows(vanilla_df), (
+            f"{engine_name}: naive-port vanilla counterpart diverged from "
+            "the engine query — the gate would be timing different work"
+        )
