@@ -184,6 +184,12 @@ PRIORITY: tuple[str, ...] = (
     "events_entropy_profile",
     "stream_session_window",
     "audit_column_profile",
+    # -- round-8 batch 3 ----------------------------------------------------
+    "agg_trimmed_mean_selection",
+    "events_seasonal_decompose",
+    "text_readability_flesch",
+    "corpus_burstiness_dispersion",
+    "shard_pack_partitioned",
 )
 
 

@@ -433,3 +433,177 @@ def test_column_profile_matches_per_column_queries(spark, sf_dir):
     ).collect()[0]
     r = got["l_quantity"]
     assert (r.n_rows, r.n_distinct, r.min_centi, r.max_centi) == (ref.nr, ref.nd, ref.mn, ref.mx)
+
+
+# ---------------------------------------------------------------------------
+# agg_trimmed_mean_selection (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_trimmed_mean_selection_matches_sorted_reference(spark):
+    """Counting-selection tail sums == brute-force sorted trim on random
+    frames with heavy ties (k spans tie runs) and tiny groups (k=0)."""
+    all_queries()
+    from cassandra_syncer_spark.queries.analytics_r8c import (
+        agg_trimmed_mean_selection,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for grp, size in [("A", 400), ("B", 37), ("C", 7)]:  # C: k=0
+        for _ in range(size):
+            v = rng.choice([1.0, 1.0, 2.0, 5.0, rng.random() * 100, 99.0])
+            rows.append((grp, v))
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    import tempfile, os
+
+    out = tempfile.mkdtemp(prefix="trim")
+    df.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    got = {
+        r.l_returnflag: r
+        for r in agg_trimmed_mean_selection(spark, out).collect()
+    }
+    from collections import defaultdict
+
+    byg = defaultdict(list)
+    for grp, v in rows:
+        byg[grp].append(round(100 * v))
+    for grp, vals in byg.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 20
+        mid = vals[k : n - k]
+        expect = round(sum(mid) / len(mid) / 100.0, 6)
+        r = got[grp]
+        assert (r.n_rows, r.n_trimmed_each) == (n, k), (grp, r)
+        assert abs(r.trimmed_mean_r6 - expect) < 1e-6, (grp, r.trimmed_mean_r6, expect)
+
+
+def test_trimmed_mean_plan_no_corpus_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "agg_trimmed_mean_selection")
+    assert "Join" not in p, p
+    assert p.count("Exchange hashpartitioning") <= 2, p
+
+
+# ---------------------------------------------------------------------------
+# events_seasonal_decompose (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_recovers_planted_weekly_pattern(spark, tmp_path):
+    """Pure signal = flat trend + exact weekly pattern, no noise: the
+    decomposition recovers the planted factors exactly (residual 0)."""
+    all_queries()
+    import datetime, os
+
+    pattern = [500, -300, 0, 200, -100, -200, -100]  # sums to 0 (centi)
+    base = 100000
+    rows, eid = [], 0
+    d0 = datetime.date(2024, 1, 1)
+    for day in range(35):
+        d = d0 + datetime.timedelta(days=day)
+        dow = (d - datetime.date(1970, 1, 1)).days % 7
+        total_centi = base + pattern[dow]
+        rows.append((eid, f"{d} 12:00:00", 1, "view", total_centi / 100.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "seas")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    got = {r.dow: r for r in REGISTRY["events_seasonal_decompose"].fn(spark, out).collect()}
+    for dow, factor in enumerate(pattern):
+        r = got[dow]
+        assert r.seasonal_centi == factor, (dow, r.seasonal_centi, factor)
+        assert r.mean_abs_resid_centi == 0, r
+
+
+# ---------------------------------------------------------------------------
+# text_readability_flesch (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_flesch_exact_on_hand_counted_doc(spark, tmp_path):
+    """One doc with hand-counted words/sentences/vowel-runs: the micro
+    score equals the hand-computed formula."""
+    all_queries()
+    import os
+
+    text = "the cat sat on the mat. the dog ran far!"
+    # words: 10; sentences: 2 ('.'+'!' are separate [.!?]+ runs)
+    # vowel runs (lower): e,a,a,o,e,a,e,o,a,a -> 10
+    n_words, n_sents, n_syll = 10, 2, 10
+    score = 206.835 - 1.015 * (n_words / n_sents) - 84.6 * (n_syll / n_words)
+    docs = [(0, text, "en", "handmade", len(text))]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "flesch")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    r = REGISTRY["text_readability_flesch"].fn(spark, out).collect()[0]
+    assert r.n_docs == 1
+    assert r.mean_flesch_micro == round(1e6 * score), (r.mean_flesch_micro, score)
+
+
+# ---------------------------------------------------------------------------
+# corpus_burstiness_dispersion (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_ranks_planted_bursty_term_first(spark, tmp_path):
+    """A term concentrated in few docs (300 occurrences in 3 docs) must
+    out-rank a uniform term (1 occurrence in each of 300 docs)."""
+    all_queries()
+    import os
+
+    docs = []
+    for i in range(300):
+        words = ["uniformterm"] + ["filler%d" % (i % 7)] * 3
+        if i < 3:
+            words += ["burstyterm"] * 100
+        docs.append((i, " ".join(words), "en", "syn", 10))
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "burst")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    rows = REGISTRY["corpus_burstiness_dispersion"].fn(spark, out).collect()
+    ranks = {r.term: r.rk for r in rows}
+    assert "burstyterm" in ranks
+    assert "uniformterm" in ranks
+    assert ranks["burstyterm"] < ranks["uniformterm"]
+    by_term = {r.term: r for r in rows}
+    assert by_term["uniformterm"].vmr_r6 == 0.0  # exactly 1 per doc -> var 0
+
+
+# ---------------------------------------------------------------------------
+# shard_pack_partitioned (batch 3)
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_packing_conserves_tokens_and_bounds_fill(spark, sf_dir):
+    """Tokens conserve across partitions; every shard except possibly a
+    partition's LAST stays under budget + max-doc overshoot; within one
+    partition the packing equals the global packer's greedy rule."""
+    all_queries()
+    rows = REGISTRY["shard_pack_partitioned"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    total = docs.select(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("t")
+    ).collect()[0].t
+    assert sum(r.total_tokens for r in rows) == total
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert {r.part for r in rows} <= set(range(8))
+    max_doc = docs.select(
+        F.max(F.size(F.split("text", " "))).cast("long").alias("m")
+    ).collect()[0].m
+    for r in rows:
+        assert r.max_shard_tokens < 20000 + max_doc, r
