@@ -190,6 +190,12 @@ PRIORITY: tuple[str, ...] = (
     "text_readability_flesch",
     "corpus_burstiness_dispersion",
     "shard_pack_partitioned",
+    # -- round-8 batch 4 ----------------------------------------------------
+    "cdc_apply_changelog",
+    "audit_constraint_violations",
+    "text_ngram_entropy_rate",
+    "win_outlier_iqr_fences",
+    "graph_component_size_histogram",
 )
 
 

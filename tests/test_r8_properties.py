@@ -607,3 +607,193 @@ def test_partitioned_packing_conserves_tokens_and_bounds_fill(spark, sf_dir):
     ).collect()[0].m
     for r in rows:
         assert r.max_shard_tokens < 20000 + max_doc, r
+
+
+# ---------------------------------------------------------------------------
+# cdc_apply_changelog (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_matches_bruteforce_replay(spark, sf_dir):
+    """Replay the synthesized changelog driver-side and compare the live
+    set and balances exactly (delete-wins, latest-seq, new inserts)."""
+    all_queries()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", F.round(F.col("c_acctbal") * 100).cast("long").alias("bal")
+    ).collect()
+    state = {}
+    for c in cust:  # seq 0 insert
+        state[c.c_custkey] = (c.c_nationkey, c.bal)
+    for c in cust:  # seq 1 update
+        if c.c_custkey % 3 == 0:
+            state[c.c_custkey] = (c.c_nationkey, c.bal + 100000)
+    for c in cust:  # seq 2 delete
+        if c.c_custkey % 7 == 0:
+            state.pop(c.c_custkey, None)
+    for c in cust:  # seq 3 insert new key
+        if c.c_custkey % 11 == 0:
+            state[c.c_custkey + 10000000] = (c.c_nationkey, 555500)
+    from collections import defaultdict
+
+    expect = defaultdict(lambda: [0, 0])
+    for nat, bal in state.values():
+        expect[nat][0] += 1
+        expect[nat][1] += bal
+    got = {
+        r.c_nationkey: (r.n_live, r.sum_bal_centi)
+        for r in REGISTRY["cdc_apply_changelog"].fn(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+# ---------------------------------------------------------------------------
+# audit_constraint_violations (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_audit_zero_on_invariants_nonzero_on_bounds(spark, sf_dir):
+    all_queries()
+    got = {r.rule: r for r in REGISTRY["audit_constraint_violations"].fn(spark, sf_dir).collect()}
+    assert got["key_not_null"].n_violations == 0
+    assert got["status_enum"].n_violations == 0
+    assert got["date_in_range"].n_violations == 0
+    assert got["priority_format"].n_violations == 0
+    assert got["price_business_bound"].n_violations > 0  # real data crosses it
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert all(r.n_checked == n for r in got.values())
+
+
+def test_constraint_audit_detects_planted_violations(spark, tmp_path):
+    all_queries()
+    import os
+
+    rows = [
+        (1, 10, "O", 100.0, "1995-01-01", "1-URGENT", "c1", 0, "x"),
+        (2, None, "O", 100.0, "1995-01-01", "1-URGENT", "c1", 0, "x"),  # null key
+        (3, 10, "Z", 100.0, "1995-01-01", "1-URGENT", "c1", 0, "x"),    # bad enum
+        (4, 10, "F", 100.0, "1890-01-01", "1-URGENT", "c1", 0, "x"),    # bad date
+        (5, 10, "P", 999999.0, "1995-01-01", "1-URGENT", "c1", 0, "x"), # bound
+        (6, 10, "O", 100.0, "1995-01-01", "URGENT", "c1", 0, "x"),      # bad fmt
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate string, o_orderpriority string, o_clerk string,"
+        " o_shippriority long, o_comment string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    out = str(tmp_path / "cons")
+    df.write.mode("overwrite").parquet(f"{out}/orders.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "lineitem", "events", "documents", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    got = {r.rule: r.n_violations for r in REGISTRY["audit_constraint_violations"].fn(spark, out).collect()}
+    assert got == {
+        "key_not_null": 1,
+        "status_enum": 1,
+        "date_in_range": 1,
+        "price_business_bound": 1,
+        "priority_format": 1,
+    }
+
+
+def test_constraint_audit_single_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "audit_constraint_violations")
+    assert p.count("FileScan parquet") == 1, p
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_entropy_rate (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_entropy_zero_when_fully_predictable(spark, tmp_path):
+    """'a b a b ...' -> every w1 has exactly one successor -> H = 0;
+    mixing successors raises it, bounded by ln(successor fanout)."""
+    all_queries()
+    import os
+
+    docs = [
+        (0, " ".join(["a", "b"] * 50), "en", "s", 10),
+        (1, " ".join(["a", "b"] * 30), "en", "s", 10),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "ent2")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    r = REGISTRY["text_ngram_entropy_rate"].fn(spark, out).collect()[0]
+    # successors: a->b always; b->a except at doc ends (b ends each doc)
+    # so H is tiny but not exactly 0; assert near-zero and bounded
+    assert 0 <= r.cond_entropy_micro < int(0.1 * 1e6), r
+    assert r.n_bigram_types == 2  # (a,b) and (b,a)
+
+
+def test_bigram_entropy_bounded_by_ln_vocab_on_fixture(spark, sf_dir):
+    all_queries()
+    r = REGISTRY["text_ngram_entropy_rate"].fn(spark, sf_dir).collect()[0]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert 0 <= r.cond_entropy_micro <= int(math.log(vocab) * 1e6)
+
+
+# ---------------------------------------------------------------------------
+# win_outlier_iqr_fences (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_iqr_fences_match_bruteforce(spark, tmp_path):
+    all_queries()
+    from cassandra_syncer_spark.queries.analytics_r8d import win_outlier_iqr_fences
+
+    rng = random.Random(31)
+    rows = [("A", rng.gauss(50, 5)) for _ in range(300)] + [
+        ("A", 500.0), ("A", -400.0),  # planted outliers
+        ("B", 1.0), ("B", 2.0), ("B", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    out = str(tmp_path / "iqr")
+    df.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    got = {r.l_returnflag: r for r in win_outlier_iqr_fences(spark, out).collect()}
+
+    def brute(vals):
+        import statistics
+
+        vals = sorted(round(100 * v) for v in vals)
+        n = len(vals)
+
+        def q(p):
+            pos = (n - 1) * p
+            lo, frac = int(pos), pos - int(pos)
+            return vals[lo] + frac * (vals[min(lo + 1, n - 1)] - vals[lo])
+
+        q1, q3 = q(0.25), q(0.75)
+        lofence, hifence = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        return sum(1 for v in vals if v < lofence or v > hifence)
+
+    byg = {"A": [v for g, v in rows if g == "A"], "B": [v for g, v in rows if g == "B"]}
+    for g, vals in byg.items():
+        assert got[g].n_outliers == brute(vals), (g, got[g], brute(vals))
+    assert got["A"].n_outliers >= 2  # the planted pair is flagged
+
+
+# ---------------------------------------------------------------------------
+# graph_component_size_histogram (batch 4)
+# ---------------------------------------------------------------------------
+
+
+def test_component_histogram_consistent_with_labels(spark, sf_dir):
+    all_queries()
+    rows = REGISTRY["graph_component_size_histogram"].fn(spark, sf_dir).collect()
+    labels = REGISTRY["dedup_cluster_components"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == len(labels)
+    assert all(r.component_size * r.n_components == r.n_docs for r in rows)
+    assert all(r.component_size >= 2 for r in rows)  # singletons never edge in
