@@ -98,6 +98,14 @@ HEADLINE = [
     "events_uplift_cuped",
     # dedup_substring_spans already a timed row above; now gated via its
     # vanilla counterpart in scripts/vanilla_queries.py
+    # round-8 batch 2-4 gate rows: counting selection vs sort-based
+    # percentile / row_number trim; one-scan profiler vs five scans; CDC
+    # apply and bigram entropy as timed rows (SCALING.md carries their 10x)
+    "agg_median_selection",
+    "agg_trimmed_mean_selection",
+    "audit_column_profile",
+    "cdc_apply_changelog",
+    "text_ngram_entropy_rate",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

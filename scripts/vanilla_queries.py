@@ -50,6 +50,11 @@ ENGINE_EQUIV = {
     "events_welch_ttest": "welch_vanilla",
     "events_uplift_cuped": "cuped_vanilla",
     "dedup_substring_spans": "substring_spans_vanilla",
+    # round-8 batch 2-4 gate additions: counting selection vs sort-based
+    # percentile / row_number trim; one-scan profiler vs five scans
+    "agg_median_selection": "median_sort_vanilla",
+    "agg_trimmed_mean_selection": "trimmed_sort_vanilla",
+    "audit_column_profile": "profile_expand_vanilla",
 }
 
 
@@ -941,6 +946,98 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("doc_id")
         )
 
+    def median_sort_vanilla():
+        # the sort-based exact median everyone writes first: percentile()
+        # must SORT every group's raw rows (cost grows with row count —
+        # the hazard agg_median_selection's domain-sized prefix sum removes)
+        return (
+            t["lineitem"]
+            .select(
+                "l_returnflag",
+                F.round(F.lit(100) * F.col("l_extendedprice"))
+                .cast("long")
+                .alias("vc"),
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.expr("CAST(round(2 * percentile(vc, 0.5)) AS BIGINT)").alias(
+                    "med_centi_x2"
+                ),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    def trimmed_sort_vanilla():
+        # the row_number() formulation (the oracle shape): a full per-group
+        # sort of raw rows to rank them, then conditional sums on the ranks
+        w = Window.partitionBy("l_returnflag").orderBy("vc")
+        wg = Window.partitionBy("l_returnflag")
+        v = (
+            t["lineitem"]
+            .select(
+                "l_returnflag",
+                F.round(F.lit(100) * F.col("l_extendedprice"))
+                .cast("long")
+                .alias("vc"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wg))
+        )
+        s = v.groupBy("l_returnflag").agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr("CAST(max(n) div 20 AS BIGINT)").alias("k"),
+            F.sum("vc").cast("long").alias("total"),
+            F.expr("CAST(sum(CASE WHEN rn <= n div 20 THEN vc ELSE 0 END) AS BIGINT)").alias("sum_low"),
+            F.expr(
+                "CAST(sum(CASE WHEN rn > n - n div 20 THEN vc ELSE 0 END) AS BIGINT)"
+            ).alias("sum_high"),
+        )
+        return s.select(
+            "l_returnflag",
+            F.col("n").alias("n_rows"),
+            F.col("k").alias("n_trimmed_each"),
+            F.expr(
+                "round((CAST(total AS DOUBLE) - CAST(sum_low AS DOUBLE)"
+                " - CAST(sum_high AS DOUBLE))"
+                " / nullif(CAST(n - 2 * k AS DOUBLE), 0.0) / 100.0, 6)"
+            ).alias("trimmed_mean_r6"),
+        ).orderBy("l_returnflag")
+
+    def profile_expand_vanilla():
+        # the "one scan profiles everything" draft: a single multi-distinct
+        # aggregation — Catalyst plans an Expand that pushes 5x the row
+        # volume through the distinct agg; measured 2.8x slower than the
+        # engine's five pruned per-column passes (the draft the engine
+        # query REPLACED; kept here as the gate counterpart)
+        cols = [
+            ("l_orderkey", "l_orderkey"),
+            ("l_quantity", "CAST(round(100 * l_quantity) AS BIGINT)"),
+            ("l_extendedprice", "CAST(round(100 * l_extendedprice) AS BIGINT)"),
+            ("l_discount", "CAST(round(100 * l_discount) AS BIGINT)"),
+            ("l_tax", "CAST(round(100 * l_tax) AS BIGINT)"),
+        ]
+        aggs = []
+        for name, expr in cols:
+            aggs += [
+                F.count(F.lit(1)).cast("long").alias(f"nr_{name}"),
+                F.count(F.expr(expr)).cast("long").alias(f"nn_{name}"),
+                F.countDistinct(F.expr(expr)).cast("long").alias(f"nd_{name}"),
+                F.min(F.expr(expr)).cast("long").alias(f"mn_{name}"),
+                F.max(F.expr(expr)).cast("long").alias(f"mx_{name}"),
+            ]
+        one = t["lineitem"].agg(*aggs)
+        stack_args = ", ".join(
+            f"'{name}', nr_{name}, nn_{name}, nd_{name}, mn_{name}, mx_{name}"
+            for name, _ in cols
+        )
+        return one.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_args})"
+                " AS (col_name, n_rows, n_nonnull, n_distinct, min_centi, max_centi)"
+            )
+        ).orderBy("col_name")
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -970,4 +1067,7 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "welch_vanilla": welch_vanilla(),
         "cuped_vanilla": cuped_vanilla(),
         "substring_spans_vanilla": substring_spans_vanilla(),
+        "median_sort_vanilla": median_sort_vanilla(),
+        "trimmed_sort_vanilla": trimmed_sort_vanilla(),
+        "profile_expand_vanilla": profile_expand_vanilla(),
     }

@@ -70,3 +70,19 @@ def test_r8_gate_vanilla_rows_match_engine(spark, sf_dir):
             f"{engine_name}: naive-port vanilla counterpart diverged from "
             "the engine query — the gate would be timing different work"
         )
+
+
+def test_r8_selection_vanilla_rows_match_engine(spark, sf_dir):
+    """Batch 2-4 gate pairs: sort-based vanillas must produce identical
+    results to the selection/one-scan engine forms."""
+    all_queries()
+    vanilla = build_vanilla_queries(spark, sf_dir)
+    for engine_name in [
+        "agg_median_selection",
+        "agg_trimmed_mean_selection",
+        "audit_column_profile",
+    ]:
+        engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
+        vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
+        assert engine_df.columns == vanilla_df.columns, engine_name
+        assert _rows(engine_df) == _rows(vanilla_df), engine_name
