@@ -98,7 +98,12 @@ FLAGSHIPS = [
         "words array projected BEFORE the gram lambda (no CSE inside "
         "higher-order functions — inline split re-evaluates per element); "
         "vocabulary-bounded count dims broadcast against the token stream; "
-        "one doc_id shuffle for the per-doc mean (r5)",
+        "one doc_id shuffle for the per-doc mean (r5).  r8 re-measure "
+        "(VERDICT r7 item 5): the 0.79 → 1.41 gate-ratio swing between r6 "
+        "and r7 was HOST NOISE, not a plan regression — this exact 36-node "
+        "shape re-verified node-for-node in r8 (0 extra exchanges, 3 "
+        "scan-side split() projections, CSE firing) and the clean-host r8 "
+        "ratio is 1.21, inside BASELINE.md's documented ±50% sub-second band",
     ),
     (
         "agg_countmin_freq",
@@ -283,6 +288,51 @@ FLAGSHIPS = [
         "BPE pair counts off the frequency-collapsed VOCABULARY (pair "
         "Generate above the vocab exchange — the raw token stream is never "
         "pair-exploded); top-k window on the alphabet²-bounded pair table",
+    ),
+    (
+        "agg_median_selection",
+        "exact median WITHOUT sorting corpus rows (r8): rows collapse to "
+        "(group, value) counts map-side, the cumulative window runs on the "
+        "DISTINCT-VALUE domain (bounded by the centi grid, constant in "
+        "corpus size), selection agg picks the two middle order stats — "
+        "measured FLAT (0.94×) at 10× rows while the percentile sort form "
+        "grows 2.0× (SCALING.md crossover table)",
+    ),
+    (
+        "agg_bootstrap_ci",
+        "Poisson bootstrap (r8): the 32× replicate explode collapses "
+        "map-side to ≤32 partial rows per partition BEFORE the one "
+        "hash exchange — the shuffle never sees the fan-out; percentile "
+        "runs over exactly B=32 integer replicate means; the only join "
+        "is the 1-row broadcast cross assembling the output",
+    ),
+    (
+        "stream_session_window",
+        "Spark's NATIVE session operator (r8): UpdatingSessionsExec merges "
+        "gap-closed sessions partition-locally after ONE user-keyed "
+        "exchange — no window function, no lag/cumsum; the physical "
+        "strategy a streaming sessionizer runs with a watermark",
+    ),
+    (
+        "cdc_apply_changelog",
+        "ordered CDC apply (r8): snapshot ∪ changelog → one key-partitioned "
+        "row_number window → post-window delete filter — NO join, so no "
+        "skew pairing; the win_rownum_latest kernel doing table maintenance",
+    ),
+    (
+        "audit_column_profile",
+        "measured plan choice (r8): five column-PRUNED scans (ReadSchema = "
+        "exactly one column each, plan-asserted) beat the one-scan "
+        "multi-distinct draft 2.5× at every scale — the draft's Expand "
+        "pushes 5× row volume through the distinct agg; columnar pruning "
+        "makes five 1-column scans byte-equivalent to one 5-column scan",
+    ),
+    (
+        "graph_link_prediction_ra",
+        "RA link prediction (r8): wedges enumerate from the 50-neighbor "
+        "md5-capped adjacency (per-center work ≤ cap², hub-proof) while "
+        "true degrees come from a |nodes| agg; integer 1e6 div deg scores; "
+        "anti-join strips known edges; top-20 via rank over candidates only",
     ),
 ]
 
