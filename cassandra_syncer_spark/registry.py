@@ -196,6 +196,10 @@ PRIORITY: tuple[str, ...] = (
     "text_ngram_entropy_rate",
     "win_outlier_iqr_fences",
     "graph_component_size_histogram",
+    # -- round-8 batch 5 ----------------------------------------------------
+    "agg_histogram_equidepth",
+    "sample_stratified_neyman_draw",
+    "events_adstock_decay",
 )
 
 

@@ -806,3 +806,82 @@ def test_component_histogram_consistent_with_labels(spark, sf_dir):
     assert sum(r.n_docs for r in rows) == len(labels)
     assert all(r.component_size * r.n_components == r.n_docs for r in rows)
     assert all(r.component_size >= 2 for r in rows)  # singletons never edge in
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram_equidepth (batch 5)
+# ---------------------------------------------------------------------------
+
+
+def test_equidepth_depths_sum_to_n_and_boundaries_are_order_stats(spark, sf_dir):
+    all_queries()
+    rows = REGISTRY["agg_histogram_equidepth"].fn(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r.n_rows for r in rows) == n
+    vals = sorted(
+        r2.vc
+        for r2 in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.round(F.col("o_totalprice") * 100).cast("long").alias("vc"))
+        .collect()
+    )
+    for r in rows:
+        lo_pos = (r.bucket * n) // 8 + 1
+        hi_pos = ((r.bucket + 1) * n) // 8
+        assert r.lo_centi == vals[lo_pos - 1], r
+        assert r.hi_centi == vals[hi_pos - 1], r
+    assert [r.bucket for r in rows] == list(range(8))
+
+
+def test_equidepth_no_corpus_sort(spark, sf_dir):
+    p = _plan(spark, sf_dir, "agg_histogram_equidepth")
+    assert "Join" not in p or "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+    # the only sort allowed is the domain-window sort + final 8-row sort
+    assert p.count("Exchange hashpartitioning") <= 1, p
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified_neyman_draw (batch 5)
+# ---------------------------------------------------------------------------
+
+
+def test_neyman_draw_matches_allocation_and_is_replayable(spark, sf_dir):
+    all_queries()
+    alloc = {
+        r.source: r.alloc
+        for r in REGISTRY["sample_neyman_allocation"].fn(spark, sf_dir).collect()
+    }
+    draw1 = REGISTRY["sample_stratified_neyman_draw"].fn(spark, sf_dir).collect()
+    draw2 = REGISTRY["sample_stratified_neyman_draw"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, draw1)) == sorted(map(tuple, draw2))  # replayable
+    for r in draw1:
+        assert r.n_target == alloc[r.source]
+        assert r.n_drawn == min(r.n_target, r.n_drawn)  # never exceeds target
+        assert r.n_drawn <= r.n_target
+
+
+# ---------------------------------------------------------------------------
+# events_adstock_decay (batch 5)
+# ---------------------------------------------------------------------------
+
+
+def test_adstock_matches_bruteforce_convolution(spark, sf_dir):
+    all_queries()
+    daily = sorted(
+        (r.d, r.y)
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("y"))
+        .collect()
+    )
+    decay = [round(1e6 * 0.7**k) for k in range(8)]
+    ys = [y for _, y in daily]
+    ad = [
+        sum(ys[t - k] * decay[k] for k in range(8) if t - k >= 0)
+        for t in range(len(ys))
+    ]
+    r = REGISTRY["events_adstock_decay"].fn(spark, sf_dir).collect()[0]
+    assert r.n_days == len(ys)
+    assert r.raw_sum_centi == sum(ys)
+    assert r.adstock_sum_centi == sum(ad) // 1000000
+    assert r.adstock_peak_centi == max(ad) // 1000000
