@@ -200,6 +200,10 @@ PRIORITY: tuple[str, ...] = (
     "agg_histogram_equidepth",
     "sample_stratified_neyman_draw",
     "events_adstock_decay",
+    # -- round-8 batch 6 ----------------------------------------------------
+    "sim_ivf_probe_curve",
+    "corpus_heaps_fit",
+    "feat_best_split_gini",
 )
 
 
