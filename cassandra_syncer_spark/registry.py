@@ -204,6 +204,10 @@ PRIORITY: tuple[str, ...] = (
     "sim_ivf_probe_curve",
     "corpus_heaps_fit",
     "feat_best_split_gini",
+    # -- round-8 batch 7 ----------------------------------------------------
+    "stream_sliding_topk",
+    "scan_text_lines",
+    "events_ratio_metric_ci",
 )
 
 

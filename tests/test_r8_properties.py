@@ -1043,3 +1043,73 @@ def test_best_split_matches_bruteforce_on_random_frame(spark, tmp_path):
         if best is None or cand < best:
             best = cand
     assert (got.impurity_micro, got.threshold_centi) == best, (got, best)
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding_topk (batch 7)
+# ---------------------------------------------------------------------------
+
+
+def test_sliding_topk_windows_cover_span_and_counts_bound(spark, sf_dir):
+    all_queries()
+    rows = REGISTRY["stream_sliding_topk"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = ev.count()
+    assert rows
+    starts = [r.window_start_sec for r in rows]
+    assert starts == sorted(starts)
+    assert all(s % 1800 == 0 for s in starts)
+    # each window's top count is at most the events in that hour
+    assert all(0 < r.n_events <= n for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# scan_text_lines (batch 7)
+# ---------------------------------------------------------------------------
+
+
+def test_text_lines_roundtrip_conserves_counts(spark, sf_dir):
+    all_queries()
+    rows = REGISTRY["scan_text_lines"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    assert sum(r.n_lines for r in rows) == ev.count()
+
+
+# ---------------------------------------------------------------------------
+# events_ratio_metric_ci (batch 7)
+# ---------------------------------------------------------------------------
+
+
+def test_ratio_ci_matches_numpy_delta_method(spark, sf_dir):
+    all_queries()
+    u = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.round(F.col("value") * 100).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    xs = [r.x for r in u]
+    ys = [r.y for r in u]
+    n = len(xs)
+    R = sum(ys) / sum(xs)
+    mx = sum(xs) / n
+    cyy = sum((y - sum(ys) / n) ** 2 for y in ys)
+    cxx = sum((x - mx) ** 2 for x in xs)
+    cxy = sum((x - mx) * (y - sum(ys) / n) for x, y in zip(xs, ys, strict=True))
+    var_num = (cyy - 2 * R * cxy + R * R * cxx) / (n - 1)
+    se = math.sqrt(max(var_num, 0.0)) * math.sqrt(n) / sum(xs)
+    r = REGISTRY["events_ratio_metric_ci"].fn(spark, sf_dir).collect()[0]
+    assert r.n_users == n
+    assert abs(r.ratio_r6 - R / 100) < 1e-6
+    assert abs(r.se_r6 - se / 100) < 1e-5, (r.se_r6, se / 100)
+    assert r.ci_lo_r6 <= r.ratio_r6 <= r.ci_hi_r6
