@@ -106,6 +106,11 @@ HEADLINE = [
     "audit_column_profile",
     "cdc_apply_changelog",
     "text_ngram_entropy_rate",
+    # round-8 batch 5-7 timed rows (SCALING.md carries their 10x evidence):
+    # equi-depth boundaries, the native streaming sessionizer, split search
+    "agg_histogram_equidepth",
+    "stream_session_window",
+    "feat_best_split_gini",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced
@@ -223,9 +228,26 @@ def main() -> None:
         "ratio_vs_baseline_same_session": ratios,
         "detail": "BENCH_DETAIL.json",
     }
+    # keep the whole line inside the driver's tail (a >1900-char line
+    # truncates into unparseable JSON — the BENCH_r05/r06 regression).
+    # Shedding order: vanilla timings first (recoverable as timing/ratio),
+    # then pure timed rows (gate-ratio rows keep their timings), then
+    # 2-decimal timings — each step structural, so future row additions
+    # can't silently outgrow the budget again (tests/test_cli.py asserts).
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # keep the whole line inside the driver's tail
+    if len(line) > 1900:
         compact.pop("baseline_same_session")
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {k: v for k, v in timings.items() if k in ratios}
+        compact["timed_only_in_detail"] = sum(
+            1 for k in timings if k not in ratios
+        )
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()

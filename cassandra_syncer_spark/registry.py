@@ -57,6 +57,15 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: have never had a driver row, then the full r1/r2-stale blocks (oldest
 #: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
+    # Round-9 rotation plan (apply at the start of round 9): CORRECTNESS_r08
+    # consumed the first ~50 ids below (sections 0-1 plus ~42 of section 2).
+    # Move the UNCONSUMED tail of section 2 (everything after the ~42nd
+    # never-checked id) to the FRONT, preceded only by ids whose definition
+    # changes in round 9; the round-8 batch blocks (23 new ids, appended at
+    # the tail of section 2 in batch order) follow them.  After the r9
+    # window, ~25 never-checked ids remain for r10; everything checked in
+    # r7/r8 rotates to the tail.
+    #
     # Round-8 order (the rotation registry.py planned in round 7, executed):
     # (0) ids whose dataflow or oracle CHANGED in round 8 — the three
     # defective-query fixes (div-zero guard, explicit-schema read-back +
