@@ -1,0 +1,99 @@
+"""Null-key skew stress: measure the naive null-safe (`<=>`) join against
+the SPLIT-NULL-PARTITION rewrite join_null_safe_keys's docstring prescribes
+for null-heavy keys at 100 TB.
+
+The hazard: EqualNullSafe hashes every NULL key into ONE bucket, so a
+null-heavy side turns the shuffled hash join into a single straggler task
+(AQE's skew split cannot help: it is one key, and splitting the build side
+duplicates the whole null partition).  The rewrite joins only the non-null
+remainder (well-distributed keys) and handles the null partition as its own
+bounded stage — here the count form (null × null is a metadata multiply);
+the row-returning form is a partition-local cross of two small spools.
+
+Run:  PYTHONPATH=. python scripts/skew_stress_nullsafe.py
+Evidence recorded in SCALING.md.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+from pyspark.sql import functions as F
+
+from cassandra_syncer_spark.session import get_spark
+
+spark = get_spark(app_name="nullskew-stress")
+spark.sparkContext.setLogLevel("ERROR")
+
+# 40% of the 8M-row big side carries a NULL key; the rest spread evenly
+big = spark.range(8_000_000).select(
+    F.when(F.col("id") % 5 < 2, F.lit(None).cast("long"))
+    .otherwise(F.pmod(F.xxhash64("id"), F.lit(200_000)))
+    .alias("k")
+)
+small = spark.range(200_000).select(
+    F.when(F.col("id") % 50 == 0, F.lit(None).cast("long"))
+    .otherwise(F.col("id"))
+    .alias("rk")
+)
+big.write.mode("overwrite").parquet("/tmp/nullskew_big")
+small.write.mode("overwrite").parquet("/tmp/nullskew_small")
+bigp = spark.read.parquet("/tmp/nullskew_big")
+smallp = spark.read.parquet("/tmp/nullskew_small")
+
+# force the skewed shuffle shape: no broadcast escape, no AQE skew split
+spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return out, round(time.perf_counter() - t0, 2)
+
+
+def naive():
+    # every NULL on both sides meets in one hash bucket = one task
+    return (
+        bigp.join(smallp, F.col("k").eqNullSafe(F.col("rk")))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+        .n
+    )
+
+
+def split():
+    # non-null remainder: a well-distributed equi join; null partition:
+    # a metadata multiply (count form of the partition-local cross)
+    nn = (
+        bigp.filter(F.col("k").isNotNull())
+        .join(smallp.filter(F.col("rk").isNotNull()), F.col("k") == F.col("rk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nl = bigp.filter(F.col("k").isNull()).agg(F.count(F.lit(1)).alias("a"))
+    nr = smallp.filter(F.col("rk").isNull()).agg(F.count(F.lit(1)).alias("b"))
+    row = (
+        nn.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .select((F.col("n") + F.col("a") * F.col("b")).alias("n"))
+        .collect()[0]
+    )
+    return row.n
+
+
+# warm both paths once, then best-of-2
+naive(), split()
+n1, t_naive = timed(naive)
+n1b, t_naive2 = timed(naive)
+n2, t_split = timed(split)
+n2b, t_split2 = timed(split)
+assert n1 == n2 == n1b == n2b, (n1, n2)
+print(
+    {
+        "rows_match": n1,
+        "naive_null_safe_s": min(t_naive, t_naive2),
+        "split_null_partition_s": min(t_split, t_split2),
+        "speedup": round(min(t_naive, t_naive2) / min(t_split, t_split2), 1),
+    }
+)
+spark.stop()
