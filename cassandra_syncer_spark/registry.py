@@ -217,6 +217,9 @@ PRIORITY: tuple[str, ...] = (
     "stream_sliding_topk",
     "scan_text_lines",
     "events_ratio_metric_ci",
+    # -- round-8 batch 8 ----------------------------------------------------
+    "events_anomaly_seasonal_adjusted",
+    "mix_kl_divergence_target",
 )
 
 

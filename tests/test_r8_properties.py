@@ -1113,3 +1113,76 @@ def test_ratio_ci_matches_numpy_delta_method(spark, sf_dir):
     assert abs(r.ratio_r6 - R / 100) < 1e-6
     assert abs(r.se_r6 - se / 100) < 1e-5, (r.se_r6, se / 100)
     assert r.ci_lo_r6 <= r.ratio_r6 <= r.ci_hi_r6
+
+
+# ---------------------------------------------------------------------------
+# events_anomaly_seasonal_adjusted (batch 8)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_anomaly_flags_planted_spike_not_weekly_rhythm(spark, tmp_path):
+    """A strong weekly pattern plus one planted spike: the raw-series
+    3-MAD rule would flag rhythm days; the adjusted rule flags exactly
+    the spike."""
+    all_queries()
+    import datetime, os
+
+    pattern = [5000, -3000, 0, 2000, -1000, -2000, -1000]
+    rows, eid = [], 0
+    d0 = datetime.date(2024, 1, 1)
+    for day in range(42):
+        d = d0 + datetime.timedelta(days=day)
+        dow = (d - datetime.date(1970, 1, 1)).days % 7
+        centi = 100000 + pattern[dow] + (9 if day % 3 == 0 else -7)  # tiny noise
+        if day == 20:
+            centi += 70000  # the planted spike
+        rows.append((eid, f"{d} 12:00:00", 1, "view", centi / 100.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = str(tmp_path / "sanom")
+    df.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "documents", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    r = REGISTRY["events_anomaly_seasonal_adjusted"].fn(spark, out).collect()[0]
+    # the spike distorts trend/seasonal slightly so neighbours can edge
+    # over the line; the spike itself MUST be flagged and dominate
+    assert r.n_anomalies >= 1, r
+    assert r.max_abs_resid_centi > 40000, r  # the spike's residual survives adjustment
+    assert r.n_days_scored == 42 - 6  # edges without a full 7-day window drop
+
+
+# ---------------------------------------------------------------------------
+# mix_kl_divergence_target (batch 8)
+# ---------------------------------------------------------------------------
+
+
+def test_kl_zero_on_exact_target_mix_and_positive_off_target(spark, tmp_path):
+    all_queries()
+    import os
+
+    # exact uniform 20-source mix -> p_micro = 50000 = target -> KL 0
+    docs = [(i, "x", "en", f"src{i % 20}", 1) for i in range(2000)]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string, source string, n_chars long")
+    out = str(tmp_path / "klu")
+    df.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    r = REGISTRY["mix_kl_divergence_target"].fn(spark, out).collect()[0]
+    assert r.kl_micro == 0 and r.max_share_gap_micro == 0, r
+    # skewed mix -> positive KL
+    docs2 = [(i, "x", "en", "src0" if i % 2 == 0 else f"src{i % 20}", 1) for i in range(2000)]
+    df2 = spark.createDataFrame(docs2, "doc_id long, text string, lang string, source string, n_chars long")
+    out2 = str(tmp_path / "kls")
+    df2.write.mode("overwrite").parquet(f"{out2}/documents.parquet")
+    for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "embeddings"]:
+        src = f"/root/testdata/sf0.001/{t}.parquet"
+        if os.path.exists(src):
+            spark.read.parquet(src).limit(0).write.mode("overwrite").parquet(f"{out2}/{t}.parquet")
+    r2 = REGISTRY["mix_kl_divergence_target"].fn(spark, out2).collect()[0]
+    assert r2.kl_micro > 0 and r2.max_share_gap_micro > 100000, r2
