@@ -327,20 +327,58 @@ def win_outlier_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
     .75 lands on quarter grid) and 1.5·IQR = 6·IQR/4 keep the whole
     fence comparison in exact integer arithmetic.
 
-    Scale shape: quartiles per group in one agg, broadcast back against
-    the scan (|groups| rows — never a row-level window), one conditional
-    count.  The percentile here is the sort-based exact form; at 100 TB
-    the counting-selection spelling (`agg_median_selection`) slots in
-    for Q1/Q3 with the same downstream fence math.
+    Scale shape (round-9 swap, VERDICT r8 #3): quartiles by COUNTING
+    SELECTION over the per-group value domain — the `agg_median_
+    selection` machinery at four positions (v_⌊h⌋ / v_⌊h⌋+1 for each
+    quartile; type-7 h = (n−1)p+1, so 4·Q1 = (4−r)·v_j + r·v_{j+1}
+    with j = (n+3) div 4, r = (n+3) mod 4, and Q3 via (3n+1)) — then
+    the |groups|-row fence frame broadcasts back against the scan for
+    one conditional count.  The previous sort-based `percentile` agg
+    buffered every group's rows (1.8× at 10×, SCALING r8); the domain
+    window is price-grid bounded, CONSTANT in corpus size.
     """
     v = T(spark, sf_dir, "lineitem").select(
         F.col("l_returnflag").alias("grp"),
         F.round(F.lit(100) * F.col("l_extendedprice")).cast("long").alias("vc"),
     )
-    q = v.groupBy("grp").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.expr("CAST(round(4 * percentile(vc, 0.25)) AS BIGINT)").alias("q1_x4"),
-        F.expr("CAST(round(4 * percentile(vc, 0.75)) AS BIGINT)").alias("q3_x4"),
+    g = v.groupBy("grp", "vc").agg(F.count(F.lit(1)).alias("cnt"))
+    wg = Window.partitionBy("grp")
+    wc = Window.partitionBy("grp").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = g.select(
+        "grp",
+        "vc",
+        F.sum("cnt").over(wg).alias("n"),
+        F.sum("cnt").over(wc).alias("cum"),
+    )
+    q = (
+        c.groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.expr("min(CASE WHEN cum >= (n + 3) div 4 THEN vc END)").alias("v1a"),
+            F.expr(
+                "min(CASE WHEN cum >= (n + 3) div 4 + 1 THEN vc END)"
+            ).alias("v1b"),
+            F.expr(
+                "min(CASE WHEN cum >= (3 * n + 1) div 4 THEN vc END)"
+            ).alias("v3a"),
+            F.expr(
+                "min(CASE WHEN cum >= (3 * n + 1) div 4 + 1 THEN vc END)"
+            ).alias("v3b"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.expr(
+                "CAST((4 - (n + 3) % 4) * v1a"
+                " + ((n + 3) % 4) * coalesce(v1b, v1a) AS BIGINT)"
+            ).alias("q1_x4"),
+            F.expr(
+                "CAST((4 - (3 * n + 1) % 4) * v3a"
+                " + ((3 * n + 1) % 4) * coalesce(v3b, v3a) AS BIGINT)"
+            ).alias("q3_x4"),
+        )
     )
     return (
         v.join(F.broadcast(q), "grp")

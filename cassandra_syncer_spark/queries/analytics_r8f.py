@@ -317,10 +317,12 @@ def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: impurities are pure integer micro (2·p·(1−p) cleared
     of fractions by the n·nl denominators; truncating div measured
-    identical both engines); argmin ties break by threshold.  Int64
-    headroom: 2·10⁶·posl·nl ≤ 2·10⁶·n² caps n at ~2·10⁶ rows per fit —
-    the documented 100 TB escape is DECIMAL(38) sums or per-partition
-    pre-binning (what the histogram learners do), same dataflow.
+    identical both engines); argmin ties break by threshold.  Headroom
+    (round-8 ADVICE): the impurity numerators accumulate in
+    DECIMAL(38,0) on the Spark side — DuckDB's window sums already
+    promote to HUGEINT — so 2·10⁶·n² fits up to n ≈ 10¹⁶ rows per fit
+    instead of silently wrapping int64 at n ≈ 2·10⁶; `div` on decimals
+    returns BIGINT, keeping the output schema unchanged.
 
     Scale shape: scan → (value, class) count agg (map-side combined) →
     ONE domain-sized cumulative window → rank-1 selection.  Output is
@@ -349,9 +351,12 @@ def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "pos",
         F.expr(
-            "CAST((2000000 * posl * (nl - posl)) div (nl * n)"
-            " + (2000000 * (pos - posl) * ((n - nl) - (pos - posl)))"
-            " div ((n - nl) * n) AS BIGINT)"
+            # DECIMAL(38,0) numerators: exact up to ~1e38 (no int64 wrap)
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * posl * (nl - posl))"
+            " div (CAST(nl AS DECIMAL(38,0)) * n)"
+            " + (CAST(2000000 AS DECIMAL(38,0)) * (pos - posl)"
+            "    * ((n - nl) - (pos - posl)))"
+            " div (CAST(n - nl AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("imp"),
     )
     best = scored.withColumn(
@@ -360,9 +365,10 @@ def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.select(
         F.col("vc").alias("threshold_centi"),
         F.col("imp").alias("impurity_micro"),
-        F.expr("CAST((2000000 * pos * (n - pos)) div (n * n) AS BIGINT)").alias(
-            "baseline_micro"
-        ),
+        F.expr(
+            "CAST((CAST(2000000 AS DECIMAL(38,0)) * pos * (n - pos))"
+            " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+        ).alias("baseline_micro"),
         F.col("nl").alias("n_left"),
         (F.col("n") - F.col("nl")).alias("n_right"),
     )

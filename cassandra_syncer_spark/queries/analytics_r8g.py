@@ -9,15 +9,12 @@ engines per the registry contract.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cassandra_syncer_spark.queries.relational import T
+from cassandra_syncer_spark.queries.staging import cleanup, stage_dir, unique_token
 from cassandra_syncer_spark.registry import register
 
 # ---------------------------------------------------------------------------
@@ -81,10 +78,9 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds the window set (the `stream_watermark_finalize` pattern) and
     the state stays O(active windows).
     """
-    stage = os.path.join(tempfile.gettempdir(), f"css_slide_stage_{os.getpid()}")
-    ckpt = os.path.join(tempfile.gettempdir(), f"css_slide_ckpt_{os.getpid()}")
-    for d in (stage, ckpt):
-        shutil.rmtree(d, ignore_errors=True)
+    token = unique_token()
+    stage = stage_dir("slide_stage", token)
+    ckpt = stage_dir("slide_ckpt", token)
     (
         T(spark, sf_dir, "events")
         .select(
@@ -108,7 +104,7 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.window("ts", f"{_SLIDE_WIN_S} seconds", f"{_SLIDE_STEP_S} seconds"),
         "event_type",
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
-    name = f"css_stream_slide_{os.getpid()}"
+    name = f"css_stream_slide_{token}"
     q = (
         counts.writeStream.format("memory")
         .queryName(name)
@@ -118,6 +114,9 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # the memory sink holds the final state driver-side — the staging files
+    # and checkpoint are fully drained, so remove them now (ADVICE r8)
+    cleanup(stage, ckpt)
     state = spark.table(name).select(
         F.expr("unix_seconds(window.start)").alias("w_start"),
         "event_type",
@@ -163,11 +162,14 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: text scan is splittable line-parallel; the regex
     parse is a scan projection (whole-stage codegen); one hash agg.
-    Malformed lines would NULL out of regexp_extract — the same
-    permissive-parse discipline as `scan_csv_malformed`.
+    Malformed lines are EXCLUDED by an `rlike` pre-filter on the same
+    pattern (round-8 ADVICE: `regexp_extract` alone returns '' — not
+    NULL — on no match, which would silently count malformed lines
+    under an empty-string group); the filter fuses into the scan, so
+    the permissive-parse discipline of `scan_csv_malformed` costs no
+    extra pass.
     """
-    stage = os.path.join(tempfile.gettempdir(), f"css_text_stage_{os.getpid()}")
-    shutil.rmtree(stage, ignore_errors=True)
+    stage = stage_dir("text_stage", unique_token())
     (
         T(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
@@ -184,7 +186,7 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(stage)
     )
     lines = spark.read.text(stage)
-    parsed = lines.select(
+    parsed = lines.filter(F.col("value").rlike(r"^(\d+)\|([^|]*)\|(-?\d+)$")).select(
         F.regexp_extract("value", r"^(\d+)\|([^|]*)\|(-?\d+)$", 2).alias(
             "event_type"
         ),

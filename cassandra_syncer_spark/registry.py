@@ -57,82 +57,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: have never had a driver row, then the full r1/r2-stale blocks (oldest
 #: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation plan (apply at the start of round 9): CORRECTNESS_r08
-    # consumed the first ~50 ids below (sections 0-1 plus ~42 of section 2).
-    # Move the UNCONSUMED tail of section 2 (everything after the ~42nd
-    # never-checked id) to the FRONT, preceded only by ids whose definition
-    # changes in round 9; the round-8 batch blocks (23 new ids, appended at
-    # the tail of section 2 in batch order) follow them.  After the r9
-    # window, ~25 never-checked ids remain for r10; everything checked in
-    # r7/r8 rotates to the tail.
-    #
-    # Round-8 order (the rotation registry.py planned in round 7, executed):
-    # (0) ids whose dataflow or oracle CHANGED in round 8 — the three
-    # defective-query fixes (div-zero guard, explicit-schema read-back +
-    # pinned maxRecordsPerFile, the lead()-based bounce rewrite) and the two
-    # ADVICE oracle corrections (bitemporal epoch truncation, referential
-    # audit parent-only detection) — hashes must go green on the NEW
-    # definitions first; then (1) the three r2-stale ids the r6 AND r7
-    # windows both cut off; then (2) every id that has NEVER had a driver
-    # CORRECTNESS row — the round-7-new overflow, oldest batches first, the
-    # final r7w batch last.  0+1 = 8 ids, so the ~50-id window reaches ~42
-    # ids into section 2; the remaining ~52 (plus any round-8 additions,
-    # which append to section 2's tail in batch order) form the round-9
-    # front block.  Everything driver-green in r7 rotates to the tail
-    # (unlisted ids keep registration order after the listed ones).
-    # -- 0: definition changed in round 8 -----------------------------------
-    "events_time_to_convert",
-    "scan_file_metadata_audit",
-    "events_session_bounce",
-    "events_bitemporal_correction",
-    "audit_referential_integrity",
-    # -- 1: stale since round 2 — cut off by both the r6 and r7 windows --
-    "win_percent_rank",
-    "win_rank_dense",
-    "win_sliding",
-    # -- 2: never driver-checked (round-7-new overflow; oldest first) ----
-    "join_interval_coalesce",
-    "win_rolling_median",
-    "agg_percentile_disc",
-    "events_seasonality_profile",
-    "mix_budget_waterfill",
-    "graph_triangle_count",
-    "sim_recall_audit",
-    "text_html_strip",
-    "feat_target_encode",
-    "sample_balanced_classes",
-    "stream_dedup_stateful",
-    "sample_balanced_threshold",
-    "events_abtest_lift",
-    "embed_cluster_purity",
-    "corpus_quality_report",
-    "decontam_embedding",
-    "win_rolling_slope",
-    "graph_common_neighbors",
-    "sink_compact_small_files",
-    "cdc_snapshot_diff",
-    "text_dedup_templates",
-    "events_forecast_backtest",
-    "embed_norm_audit",
-    "stream_stateful_ledger",
-    "dedup_banding_recall",
-    "dedup_normalized",
-    "events_cohort_matrix",
-    "embed_variance_prune",
-    "scan_minmax_prune",
-    "graph_label_propagation",
-    "embed_pca_power",
-    "events_survival_curve",
-    "tokenizer_fertility",
-    "select_pareto_skyline",
-    "stream_watermark_finalize",
-    "sample_ab_srm",
-    "agg_ks_test",
-    "events_uplift_cuped",
-    "dedup_boundary_overlap",
-    "stream_stream_interval_join",
-    "dedup_substring_spans",
-    "dedup_cross_source_matrix",
+    # Round-9 rotation (this round, executed): CORRECTNESS_r08 consumed the
+    # first 50 ids of the round-8 order (sections 0-1 plus 42 of section 2);
+    # those rotate to the tail.  Front block now:
+    #   0. ids whose DEFINITION changed in round 9 — the ADVICE fixes
+    #      (scan_text_lines rlike pre-filter, feat_best_split_gini decimal
+    #      numerators, stream_sliding_topk uuid staging) and the
+    #      win_outlier_iqr_fences selection-quartile rewrite — hashes must
+    #      go green on the NEW code (all four were never driver-checked, so
+    #      they also burn backlog);
+    #   1. ids NEW in round 9 (unregistered ids are skipped by _ordered, so
+    #      they can be listed before they land);
+    #   2. the remaining never-driver-checked backlog, original order (r7
+    #      overflow first, then the round-8 batches).  50-id window ->
+    #      never-checked count drops 79 -> ~31 this round, ~0 in round 10.
+    # Round-10 plan: front = round-9 definition changes (if any) + the ~31
+    # leftover section-2 ids below (everything from position ~51 on), then
+    # the oldest driver-green rows (r3 block) start re-verification.
+    # -- 0: definition changed in round 9 (ADVICE fixes + selection swap) --
+    "scan_text_lines",
+    "feat_best_split_gini",
+    "stream_sliding_topk",
+    "win_outlier_iqr_fences",
+    # -- 1: new in round 9 ---------------------------------------------------
+    "join_null_safe_split",
+    "stream_watermark_strict",
+    # -- 2: never driver-checked (r7 overflow then r8 batches, in order) ----
     "embed_cosine_histogram",
     "dedup_substring_cut",
     "events_ctr_wilson",
@@ -181,43 +131,31 @@ PRIORITY: tuple[str, ...] = (
     "events_did_lift",
     "events_bot_gate",
     "join_null_safe_keys",
-    # -- round-8 batch 1 (new; appended per the rotation comment) ----------
     "events_power_mde",
     "agg_bootstrap_ci",
     "sample_neyman_allocation",
     "feat_woe_encode",
     "graph_link_prediction_ra",
-    # -- round-8 batch 2 ----------------------------------------------------
     "agg_median_selection",
     "corpus_zipf_octave_fit",
     "events_entropy_profile",
     "stream_session_window",
     "audit_column_profile",
-    # -- round-8 batch 3 ----------------------------------------------------
     "agg_trimmed_mean_selection",
     "events_seasonal_decompose",
     "text_readability_flesch",
     "corpus_burstiness_dispersion",
     "shard_pack_partitioned",
-    # -- round-8 batch 4 ----------------------------------------------------
     "cdc_apply_changelog",
     "audit_constraint_violations",
     "text_ngram_entropy_rate",
-    "win_outlier_iqr_fences",
     "graph_component_size_histogram",
-    # -- round-8 batch 5 ----------------------------------------------------
     "agg_histogram_equidepth",
     "sample_stratified_neyman_draw",
     "events_adstock_decay",
-    # -- round-8 batch 6 ----------------------------------------------------
     "sim_ivf_probe_curve",
     "corpus_heaps_fit",
-    "feat_best_split_gini",
-    # -- round-8 batch 7 ----------------------------------------------------
-    "stream_sliding_topk",
-    "scan_text_lines",
     "events_ratio_metric_ci",
-    # -- round-8 batch 8 ----------------------------------------------------
     "events_anomaly_seasonal_adjusted",
     "mix_kl_divergence_target",
 )

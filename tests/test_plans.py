@@ -1342,6 +1342,27 @@ def test_null_safe_join_is_hash_not_nested_loop(spark, sf_dir):
     assert n_hash_joins == 2, p
 
 
+def test_null_safe_split_has_no_null_bucket(spark, sf_dir):
+    """join_null_safe_split: the registered split-null-partition rewrite
+    must contain NO EqualNullSafe operator (the single-bucket null skew
+    `<=>` plans) — the only data join is a plain equi join over keys
+    pre-filtered isnotnull, with the filter pushed to the parquet scan;
+    the 1-row stat assembly crosses stay broadcast."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_null_safe_split")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "EqualNullSafe" not in p and "<=>" not in p, p
+    assert "CartesianProduct" not in p, p
+    # exactly ONE data join (the non-null equi join)
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1, p
+    # the null filter reaches both scans (CASE output filtered isnotnull —
+    # visible as isnotnull in the post-scan filter at minimum)
+    assert p.lower().count("isnotnull") >= 2, p
+
+
 def test_session_bounce_single_event_sort(spark, sf_dir):
     """events_session_bounce: session build + per-session reduce +
     entry-type rollup ride ONE user-keyed sort; the event stream is
