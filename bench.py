@@ -111,6 +111,15 @@ HEADLINE = [
     "agg_histogram_equidepth",
     "stream_session_window",
     "feat_best_split_gini",
+    # round-9 gate rows (VERDICT r8 #4): the remaining heavy r8 ids vs
+    # naive ports (truth-per-point sweep; verbatim draw port), plus the
+    # split-null join as a timed row.  stream_watermark_strict (like
+    # stream_sliding_topk / stream_watermark_finalize) drains its stream
+    # EAGERLY inside fn(), so a noop-write row would time only the memory-
+    # sink read — SCALING.md carries its evidence instead.
+    "sim_ivf_probe_curve",
+    "sample_stratified_neyman_draw",
+    "join_null_safe_split",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced
@@ -249,6 +258,17 @@ def main() -> None:
             k: round(v, 2) for k, v in compact["queries"].items()
         }
         line = json.dumps(compact, separators=(",", ":"))
+    # final step (round 9: 33 gate rows overflowed even the rounded form):
+    # shed the SMALLEST-ratio timing rows into the detail file — every gate
+    # ratio stays on the line, timings for the near/over-gate rows stay too
+    if len(line) > 1900:
+        by_ratio = sorted(compact["queries"], key=lambda k: ratios.get(k, 0.0))
+        shed = 0
+        while len(line) > 1900 and by_ratio:
+            compact["queries"].pop(by_ratio.pop(0), None)
+            shed += 1
+            compact["timings_shed_to_detail"] = shed
+            line = json.dumps(compact, separators=(",", ":"))
     print(line)
     spark.stop()
 

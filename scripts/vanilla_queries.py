@@ -55,6 +55,15 @@ ENGINE_EQUIV = {
     "agg_median_selection": "median_sort_vanilla",
     "agg_trimmed_mean_selection": "trimmed_sort_vanilla",
     "audit_column_profile": "profile_expand_vanilla",
+    # round-9 gate additions (VERDICT r8 #4): the heavy round-8 ids get
+    # same-session counterparts — truth-per-point IVF sweep, multi-pass CDC
+    # merge, sort-based equi-depth, row-scan split search, and the verbatim
+    # Neyman-draw port (like-for-like overhead row)
+    "sim_ivf_probe_curve": "probe_curve_vanilla",
+    "cdc_apply_changelog": "cdc_multipass_vanilla",
+    "agg_histogram_equidepth": "equidepth_sort_vanilla",
+    "feat_best_split_gini": "gini_rowscan_vanilla",
+    "sample_stratified_neyman_draw": "neyman_draw_vanilla",
 }
 
 
@@ -1038,6 +1047,285 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             )
         ).orderBy("col_name")
 
+    # -- round-9 gate vanillas -------------------------------------------
+
+    def _vdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def probe_curve_vanilla():
+        # the naive sweep: exact brute-force truth RECOMPUTED per curve
+        # point (no checkpoint reuse — what a plain loop over n_probe
+        # writes), so the dominant cost is paid 3x instead of once.
+        # Constants mirror the engine: 5 probes, top-5, 8 fixed cells.
+        emb = t["embeddings"].select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        cent = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+        )
+        wv = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+
+        def assign(vecs, n_probe):
+            return (
+                vecs.join(F.broadcast(cent))
+                .select(
+                    "vec_id", "v", "cell",
+                    F.round(_vdot(F.col("v"), F.col("cv")), 6).alias("sim"),
+                )
+                .withColumn("rn", F.row_number().over(wv))
+                .filter(F.col("rn") <= n_probe)
+                .select("vec_id", "v", "cell")
+            )
+
+        cells = assign(emb, 1)
+        wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+        parts = []
+        for np_ in (1, 2, 4):
+            # truth re-derived for THIS point — the naive loop's 3x cost
+            q = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+            )
+            truth = (
+                emb.join(F.broadcast(q), F.col("q_id") != F.col("vec_id"))
+                .select(
+                    "q_id", "vec_id",
+                    F.round(_vdot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+                )
+                .withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= 5)
+                .select("q_id", "vec_id")
+            )
+            q_cells = assign(emb.filter(F.col("vec_id") < 5), np_).select(
+                F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "cell"
+            )
+            top = (
+                cells.join(F.broadcast(q_cells), "cell")
+                .filter(F.col("q_id") != F.col("vec_id"))
+                .select(
+                    "q_id", "vec_id",
+                    F.round(_vdot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+                )
+                .withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= 5)
+                .select("q_id", "vec_id")
+            )
+            exp_t = truth.agg(
+                F.count(F.lit(1)).cast("long").alias("n_expected")
+            )
+            parts.append(
+                top.join(truth, ["q_id", "vec_id"])
+                .agg(
+                    F.lit(np_).cast("long").alias("n_probe"),
+                    F.count(F.lit(1)).cast("long").alias("n_hits"),
+                )
+                .crossJoin(F.broadcast(exp_t))
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.withColumn(
+            "recall_micro",
+            F.expr("(1000000 * n_hits) div nullif(n_expected, 0)"),
+        ).orderBy("n_probe")
+
+    def cdc_multipass_vanilla():
+        # the multi-pass MERGE everyone writes first: apply updates with a
+        # join, deletes with an anti join, inserts with a union — three
+        # passes over the keyed table instead of ONE row_number window
+        snap = t["customer"].select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").alias("nat"),
+            F.round(F.lit(100) * F.col("c_acctbal")).cast("long").alias("bal"),
+        )
+        upd = snap.filter(F.col("k") % 3 == 0).select(
+            "k", (F.col("bal") + 100000).alias("new_bal")
+        )
+        after_upd = snap.join(upd, "k", "left").select(
+            "k", "nat", F.coalesce("new_bal", "bal").alias("bal")
+        )
+        dele = snap.filter(F.col("k") % 7 == 0).select("k")
+        after_del = after_upd.join(dele, "k", "left_anti")
+        ins = snap.filter(F.col("k") % 11 == 0).select(
+            (F.col("k") + 10000000).alias("k"),
+            "nat",
+            F.lit(555500).cast("long").alias("bal"),
+        )
+        live = after_del.unionByName(ins)
+        return (
+            live.groupBy(F.col("nat").alias("c_nationkey"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_live"),
+                F.sum("bal").cast("long").alias("sum_bal_centi"),
+            )
+            .orderBy("c_nationkey")
+        )
+
+    def equidepth_sort_vanilla():
+        # the sort-based equi-depth: a GLOBAL row_number over every corpus
+        # row, boundary values fetched by position join — the total-order
+        # sort the engine's domain-sized prefix sum avoids
+        v = t["orders"].select(
+            F.round(F.lit(100) * F.col("o_totalprice")).cast("long").alias("vc")
+        )
+        ranked = v.withColumn("rn", F.row_number().over(Window.orderBy("vc")))
+        n1 = v.agg(F.count(F.lit(1)).alias("n"))
+        pos = (
+            spark.range(8)
+            .select(F.col("id").cast("long").alias("bucket"))
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "bucket",
+                F.expr("(bucket * n) div 8 + 1").alias("lo_pos"),
+                F.expr("((bucket + 1) * n) div 8").alias("hi_pos"),
+                F.expr(
+                    "((bucket + 1) * n) div 8 - (bucket * n) div 8"
+                ).alias("n_rows"),
+            )
+        )
+        lo = pos.join(ranked, pos.lo_pos == ranked.rn).select(
+            "bucket", F.col("vc").alias("lo_centi"), "hi_pos", "n_rows"
+        )
+        return (
+            lo.join(ranked, lo.hi_pos == ranked.rn)
+            .select(
+                "bucket",
+                "lo_centi",
+                F.col("vc").cast("long").alias("hi_centi"),
+                F.col("n_rows").cast("long").alias("n_rows"),
+            )
+            .orderBy("bucket")
+        )
+
+    def gini_rowscan_vanilla():
+        # the row-scan split search: cumulative class counts from a window
+        # over EVERY corpus row (the full-corpus sort), thresholds read off
+        # the last row of each value group — vs the engine's (value, class)
+        # count-table window
+        v = t["orders"].select(
+            F.round(F.lit(100) * F.col("o_totalprice")).cast("long").alias("vc"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        wrow = Window.orderBy("vc").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wall = Window.partitionBy()
+        c = v.select(
+            "vc",
+            F.count(F.lit(1)).over(wrow).alias("nl_row"),
+            F.sum("y").over(wrow).alias("posl_row"),
+            F.count(F.lit(1)).over(wall).alias("n"),
+            F.sum("y").over(wall).alias("pos"),
+        )
+        g = c.groupBy("vc").agg(
+            F.max("nl_row").alias("nl"),
+            F.max("posl_row").alias("posl"),
+            F.max("n").alias("n"),
+            F.max("pos").alias("pos"),
+        )
+        scored = g.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n"))).select(
+            "vc",
+            "nl",
+            "n",
+            "pos",
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * posl * (nl - posl))"
+                " div (CAST(nl AS DECIMAL(38,0)) * n)"
+                " + (CAST(2000000 AS DECIMAL(38,0)) * (pos - posl)"
+                "    * ((n - nl) - (pos - posl)))"
+                " div (CAST(n - nl AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("imp"),
+        )
+        best = scored.withColumn(
+            "rn", F.row_number().over(Window.orderBy("imp", "vc"))
+        ).filter(F.col("rn") == 1)
+        return best.select(
+            F.col("vc").alias("threshold_centi"),
+            F.col("imp").alias("impurity_micro"),
+            F.expr(
+                "CAST((CAST(2000000 AS DECIMAL(38,0)) * pos * (n - pos))"
+                " div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ).alias("baseline_micro"),
+            F.col("nl").alias("n_left"),
+            (F.col("n") - F.col("nl")).alias("n_right"),
+        )
+
+    def neyman_draw_vanilla():
+        # VERBATIM plain-PySpark port of the allocation + draw (shared
+        # formula texts; no broadcast hint) — the like-for-like overhead
+        # row for the composed design->draw pipeline
+        sd_h = (
+            "CASE WHEN n_h >= 2 THEN"
+            " sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+            " / CAST(n_h AS DOUBLE)) / (CAST(n_h AS DOUBLE) - 1.0))"
+            " ELSE 0.0 END"
+        )
+        s = t["documents"].groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_h"),
+            F.sum("n_chars").cast("long").alias("s1"),
+            F.sum(F.col("n_chars").cast("decimal(38,0)") * F.col("n_chars")).alias(
+                "s2"
+            ),
+        )
+        w = s.select(
+            "source",
+            "n_h",
+            F.expr(
+                f"CAST(round(1000000 * CAST(n_h AS DOUBLE) * {sd_h}) AS BIGINT)"
+            ).alias("w_micro"),
+        )
+        wall = Window.partitionBy()
+        a = w.select(
+            "source",
+            F.expr("1000 * w_micro").alias("scaled"),
+            F.sum("w_micro").over(wall).alias("wsum"),
+        ).select(
+            "source",
+            F.expr("coalesce(scaled div nullif(wsum, 0), 0)").alias("base"),
+            F.expr("coalesce(scaled % nullif(wsum, 0), 0)").alias("rem"),
+        )
+        alloc = a.select(
+            "source",
+            "base",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rem"), F.asc("source")))
+            .alias("rn"),
+            (F.lit(1000) - F.sum("base").over(wall)).alias("leftover"),
+        ).select(
+            "source",
+            (
+                F.col("base")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        wr = Window.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+        ranked = (
+            t["documents"]
+            .select("source", "doc_id")
+            .withColumn("rk", F.row_number().over(wr))
+        )
+        return (
+            ranked.join(alloc, "source")
+            .filter(F.col("rk") <= F.col("alloc"))
+            .groupBy("source", "alloc")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_drawn"),
+                F.sum("doc_id").cast("long").alias("id_sum"),
+            )
+            .select(
+                "source",
+                F.col("alloc").cast("long").alias("n_target"),
+                "n_drawn",
+                "id_sum",
+            )
+            .orderBy("source")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -1070,4 +1358,9 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "median_sort_vanilla": median_sort_vanilla(),
         "trimmed_sort_vanilla": trimmed_sort_vanilla(),
         "profile_expand_vanilla": profile_expand_vanilla(),
+        "probe_curve_vanilla": probe_curve_vanilla(),
+        "cdc_multipass_vanilla": cdc_multipass_vanilla(),
+        "equidepth_sort_vanilla": equidepth_sort_vanilla(),
+        "gini_rowscan_vanilla": gini_rowscan_vanilla(),
+        "neyman_draw_vanilla": neyman_draw_vanilla(),
     }

@@ -80,6 +80,29 @@ def test_r8_gate_vanilla_rows_match_engine(spark, sf_dir):
         )
 
 
+def test_r9_gate_vanilla_rows_match_engine(spark, sf_dir):
+    """Round-9 gate additions (VERDICT r8 #4): truth-per-point IVF sweep,
+    multi-pass CDC merge, global-sort equi-depth, row-scan split search,
+    and the verbatim Neyman-draw port must all reproduce the engine rows
+    exactly — integer outputs throughout."""
+    all_queries()
+    vanilla = build_vanilla_queries(spark, sf_dir)
+    for engine_name in [
+        "sim_ivf_probe_curve",
+        "cdc_apply_changelog",
+        "agg_histogram_equidepth",
+        "feat_best_split_gini",
+        "sample_stratified_neyman_draw",
+    ]:
+        engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
+        vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
+        assert engine_df.columns == vanilla_df.columns, engine_name
+        assert _rows(engine_df) == _rows(vanilla_df), (
+            f"{engine_name}: vanilla counterpart diverged from the engine "
+            "query — the gate would be timing different work"
+        )
+
+
 def test_r8_selection_vanilla_rows_match_engine(spark, sf_dir):
     """Batch 2-4 gate pairs: sort-based vanillas must produce identical
     results to the selection/one-scan engine forms."""
