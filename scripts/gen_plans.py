@@ -334,6 +334,22 @@ FLAGSHIPS = [
         "true degrees come from a |nodes| agg; integer 1e6 div deg scores; "
         "anti-join strips known edges; top-20 via rank over candidates only",
     ),
+    (
+        "join_null_safe_split",
+        "split-null-partition join (r9): ONE equi join over isnotnull-"
+        "pre-filtered keys (no EqualNullSafe operator, so no all-nulls "
+        "hash bucket — the skew AQE cannot split); the null partition is "
+        "a metadata multiply assembled via broadcast 1-row crosses; "
+        "measured 23.9× over the <=> plan at 40% nulls",
+    ),
+    (
+        "win_outlier_iqr_fences",
+        "Tukey fences (r9 selection swap): quartiles from a counting-"
+        "selection window over the (group, value) DOMAIN table — no "
+        "percentile() sort-buffer, no corpus-row sort; the |groups|-row "
+        "quartile frame broadcasts back against the rescan for one "
+        "conditional count (1.8× → 1.1× at 10×)",
+    ),
 ]
 
 

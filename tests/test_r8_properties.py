@@ -832,6 +832,17 @@ def test_equidepth_depths_sum_to_n_and_boundaries_are_order_stats(spark, sf_dir)
     assert [r.bucket for r in rows] == list(range(8))
 
 
+def test_iqr_fences_plan_selection_not_percentile(spark, sf_dir):
+    """Round-9 swap (VERDICT r8 #3): the quartiles must come from the
+    counting-selection domain window, NOT a sort-buffering percentile()
+    aggregate; the fence pass joins the |groups|-row quartile frame back
+    by BROADCAST only."""
+    p = _plan(spark, sf_dir, "win_outlier_iqr_fences")
+    assert "percentile" not in p.lower(), p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+
+
 def test_equidepth_no_corpus_sort(spark, sf_dir):
     p = _plan(spark, sf_dir, "agg_histogram_equidepth")
     assert "Join" not in p or "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
