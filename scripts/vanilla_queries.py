@@ -64,6 +64,9 @@ ENGINE_EQUIV = {
     "agg_histogram_equidepth": "equidepth_sort_vanilla",
     "feat_best_split_gini": "gini_rowscan_vanilla",
     "sample_stratified_neyman_draw": "neyman_draw_vanilla",
+    # the native session_window operator vs the classic lag/cumsum
+    # window-function sessionizer (same > gap merge convention)
+    "stream_session_window": "session_cumsum_vanilla",
 }
 
 
@@ -1326,6 +1329,48 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("source")
         )
 
+    def session_cumsum_vanilla():
+        # the portable lag/cumsum sessionizer (two windows + two aggs) vs
+        # the engine's native session_window (UpdatingSessionsExec merges
+        # partition-local, no window function); same STRICTLY-greater-than
+        # 30-min gap convention, exact integer microseconds
+        gap_us = 1800 * 1_000_000
+        if dict(t["events"].dtypes).get("ts") == "bigint":
+            ev = t["events"].select(
+                "user_id", F.expr("ts div 1000").alias("us")
+            )
+        else:
+            ev = t["events"].select(
+                "user_id",
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+            )
+        w = Window.partitionBy("user_id").orderBy("us")
+        marked = ev.withColumn("prev", F.lag("us").over(w)).withColumn(
+            "is_start",
+            (
+                F.col("prev").isNull() | (F.col("us") - F.col("prev") > gap_us)
+            ).cast("int"),
+        )
+        sess = marked.withColumn(
+            "sid",
+            F.sum("is_start").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        per = sess.groupBy("user_id", "sid").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+        )
+        return (
+            per.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_sessions"),
+                F.sum("n").cast("long").alias("n_events"),
+                F.sum("span_us").cast("long").alias("sum_span_us"),
+            )
+            .orderBy("user_id")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -1363,4 +1408,5 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "equidepth_sort_vanilla": equidepth_sort_vanilla(),
         "gini_rowscan_vanilla": gini_rowscan_vanilla(),
         "neyman_draw_vanilla": neyman_draw_vanilla(),
+        "session_cumsum_vanilla": session_cumsum_vanilla(),
     }

@@ -93,6 +93,7 @@ def test_r9_gate_vanilla_rows_match_engine(spark, sf_dir):
         "agg_histogram_equidepth",
         "feat_best_split_gini",
         "sample_stratified_neyman_draw",
+        "stream_session_window",
     ]:
         engine_df = REGISTRY[engine_name].fn(spark, sf_dir)
         vanilla_df = vanilla[ENGINE_EQUIV[engine_name]]
