@@ -306,14 +306,36 @@ def agg_grouping_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
              sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
                AS gap
       FROM s
+    ),
+    gg AS (
+      SELECT event_type, gap, count(*) AS cnt
+      FROM g WHERE gap IS NOT NULL GROUP BY event_type, gap
+    ),
+    c AS (
+      SELECT event_type, gap,
+             sum(cnt) OVER (PARTITION BY event_type) AS n,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY gap
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM gg
+    ),
+    q AS (
+      SELECT event_type,
+             max(n) AS n,
+             min(CASE WHEN cum >= (n + 1) // 2 THEN gap END) AS a50,
+             min(CASE WHEN cum >= (n + 2) // 2 THEN gap END) AS b50,
+             min(CASE WHEN cum >= (19 * n + 1) // 20 THEN gap END) AS a95,
+             min(CASE WHEN cum >= (19 * n + 1) // 20 + 1 THEN gap END) AS b95,
+             max(gap) AS max_gap
+      FROM c GROUP BY event_type
     )
     SELECT event_type,
-           CAST(count(gap) AS BIGINT) AS n_gaps,
-           round(quantile_cont(gap, 0.5), 1) AS p50_gap_sec,
-           round(quantile_cont(gap, 0.95), 1) AS p95_gap_sec,
-           CAST(max(gap) AS BIGINT) AS max_gap_sec
-    FROM g WHERE gap IS NOT NULL
-    GROUP BY event_type ORDER BY event_type
+           CAST(n AS BIGINT) AS n_gaps,
+           round(CAST(a50 + b50 AS DOUBLE) / 2.0, 1) AS p50_gap_sec,
+           round(CAST((20 - (19 * n + 1) % 20) * a95
+                      + ((19 * n + 1) % 20) * coalesce(b95, a95) AS DOUBLE)
+                 / 20.0, 2) AS p95_gap_sec,
+           CAST(max_gap AS BIGINT) AS max_gap_sec
+    FROM q ORDER BY event_type
     """,
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,11 +345,21 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     arriving") and session-gap tuning (`win_session`'s 30-minute gap
     should sit far above p50 and below the session break).
 
+    Determinism (round-9 fix, caught by the sf0.1 parity replay): p95's
+    type-7 position h = (19n+1)/20 interpolates at ANY twentieth — the
+    engines' `percentile` vs `quantile_cont` accumulate the fraction in
+    different IEEE orders, which flipped a round(·,1) at a .05 boundary
+    at sf0.1 (115021.0 vs 115021.1).  Both quantiles now come from
+    COUNTING SELECTION (`agg_median_selection` machinery): 20·p95 =
+    (20−r)·v_j + r·v_{j+1} is an exact INTEGER on both engines, and the
+    single shared /20 float text rounds identically.  (p50's doubled
+    order statistic lands on .0/.5 exactly — unchanged values.)
+
     Scale shape: ONE user_id-sorted shuffle for the lag window, then the
-    gap frame collapses to |types| keys; exact interpolated percentiles
-    over integer seconds land on k or k.5 — exactly representable, so
-    the rounded outputs hash-match (100 TB escape hatch:
-    approx_percentile, as in `agg_percentile`).
+    gap frame collapses to the (type, gap) DOMAIN — the selection
+    windows run on distinct gap values, never corpus rows (100 TB
+    escape hatch no longer needed; the domain is bounded by the gap
+    grid).
     """
     from pyspark.sql.window import Window
 
@@ -338,16 +370,39 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = s.select(
         "event_type", (F.col("sec") - F.lag("sec").over(w)).alias("gap")
     ).filter(F.col("gap").isNotNull())
-    return (
-        g.groupBy("event_type")
-        .agg(
-            F.count("gap").cast("long").alias("n_gaps"),
-            F.round(F.expr("percentile(gap, 0.5)"), 1).alias("p50_gap_sec"),
-            F.round(F.expr("percentile(gap, 0.95)"), 1).alias("p95_gap_sec"),
-            F.max("gap").cast("long").alias("max_gap_sec"),
-        )
-        .orderBy("event_type")
+    gg = g.groupBy("event_type", "gap").agg(F.count(F.lit(1)).alias("cnt"))
+    wn = Window.partitionBy("event_type")
+    wc = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
+    c = gg.select(
+        "event_type",
+        "gap",
+        F.sum("cnt").over(wn).alias("n"),
+        F.sum("cnt").over(wc).alias("cum"),
+    )
+    q = c.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.expr("min(CASE WHEN cum >= (n + 1) div 2 THEN gap END)").alias("a50"),
+        F.expr("min(CASE WHEN cum >= (n + 2) div 2 THEN gap END)").alias("b50"),
+        F.expr(
+            "min(CASE WHEN cum >= (19 * n + 1) div 20 THEN gap END)"
+        ).alias("a95"),
+        F.expr(
+            "min(CASE WHEN cum >= (19 * n + 1) div 20 + 1 THEN gap END)"
+        ).alias("b95"),
+        F.max("gap").alias("max_gap"),
+    )
+    return q.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.expr("round(CAST(a50 + b50 AS DOUBLE) / 2.0, 1)").alias("p50_gap_sec"),
+        F.expr(
+            "round(CAST((20 - (19 * n + 1) % 20) * a95"
+            " + ((19 * n + 1) % 20) * coalesce(b95, a95) AS DOUBLE) / 20.0, 2)"
+        ).alias("p95_gap_sec"),
+        F.col("max_gap").cast("long").alias("max_gap_sec"),
+    ).orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------

@@ -159,14 +159,34 @@ _COV_METRICS = [
 ]
 
 
+def _limb_double(expr_int: str, div_op: str) -> str:
+    """Engine-stable integer→double conversion (round-9 fix): casting an
+    exact integer above 2⁵³ to DOUBLE is ENGINE-DIVERGENT — DuckDB's
+    HUGEINT→DOUBLE lands 1 ulp off Spark's correctly-rounded
+    DECIMAL(38)→DOUBLE (measured: 22240711483861231690 → …b7fe vs …b7ff),
+    which flipped cov_r4's 13th significant digit at sf0.1.  Split into
+    three <2⁵³ limbs (each cast exact), recombine with ONE shared float
+    text — both engines then run identical IEEE ops on identical inputs.
+    Good to |x| < 2⁵³·10¹⁸ ≈ 9·10³³.  ``div_op``: Spark ``div``, DuckDB
+    ``//`` (both truncate; % follows the dividend — limbs recombine
+    exactly for negative x too)."""
+    e = f"({expr_int})"
+    return (
+        f"(CAST({e} {div_op} 1000000000000000000 AS DOUBLE) * 1e18"
+        f" + CAST(({e} % 1000000000000000000) {div_op} 1000000000 AS DOUBLE) * 1e9"
+        f" + CAST({e} % 1000000000 AS DOUBLE))"
+    )
+
+
 def _cov_pair_exprs(a: str, b: str) -> list[str]:
     """Shared finale for one (a, b) cell: population covariance and
-    correlation from double casts of exact sums."""
+    correlation from the LIMB-SPLIT doubles of the exact integer
+    numerators num_xy = n·S_xy − S_x·S_y (computed integer-side per
+    engine; identical values by construction)."""
     return [
-        f"round((dn * ds_{a}_{b} - ds_{a} * ds_{b}) / (dn * dn), 4) AS cov_r4",
-        f"round((dn * ds_{a}_{b} - ds_{a} * ds_{b})"
-        f" / nullif(sqrt((dn * ds_{a}_{a} - ds_{a} * ds_{a})"
-        f" * (dn * ds_{b}_{b} - ds_{b} * ds_{b})), 0.0), 6) AS corr_r6",
+        f"round(dnum_{a}_{b} / (dn * dn), 4) AS cov_r4",
+        f"round(dnum_{a}_{b}"
+        f" / nullif(sqrt(dnum_{a}_{a} * dnum_{b}_{b}), 0.0), 6) AS corr_r6",
     ]
 
 
@@ -183,10 +203,15 @@ def _cov_oracle() -> str:
     for i, a in enumerate(names):
         for b in names[i:]:
             sums.append(f"sum(CAST({a} AS HUGEINT) * {b}) AS s_{a}_{b}")
+    nums = ["n"] + [
+        f"CAST(n AS HUGEINT) * s_{a}_{b} - CAST(s_{a} AS HUGEINT) * s_{b}"
+        f" AS num_{a}_{b}"
+        for a, b in _cov_cells()
+    ]
     casts = ["n", "CAST(n AS DOUBLE) AS dn"]
-    casts += [f"CAST(s_{m} AS DOUBLE) AS ds_{m}" for m in names]
     casts += [
-        f"CAST(s_{a}_{b} AS DOUBLE) AS ds_{a}_{b}" for a, b in _cov_cells()
+        f"{_limb_double(f'num_{a}_{b}', '//')} AS dnum_{a}_{b}"
+        for a, b in _cov_cells()
     ]
     cells = " UNION ALL ".join(
         f"SELECT '{a}' AS m1, '{b}' AS m2, n, {', '.join(_cov_pair_exprs(a, b))} FROM d"
@@ -195,7 +220,8 @@ def _cov_oracle() -> str:
     return f"""
     WITH pts AS (SELECT {stage} FROM lineitem),
     s AS (SELECT {', '.join(sums)} FROM pts),
-    d AS (SELECT {', '.join(casts)} FROM s)
+    num AS (SELECT {', '.join(nums)} FROM s),
+    d AS (SELECT {', '.join(casts)} FROM num)
     {cells} ORDER BY m1, m2
     """
 
@@ -214,6 +240,13 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     single moments row (broadcast-trivial).  Adding a metric grows the
     moment vector quadratically but the corpus is still read ONCE — the
     naive per-pair corr() call rescans per cell.
+
+    Determinism (round-9 fix, caught by the sf0.1 parity replay): the
+    numerators num_xy = n·S_xy − S_x·S_y are computed EXACTLY in
+    DECIMAL(38)/HUGEINT and converted to double via the three-limb
+    split (`_limb_double`) — a direct CAST of a >2⁵³ sum is engine-
+    divergent (DuckDB's HUGEINT→DOUBLE is 1 ulp off Spark's decimal
+    cast), which flipped cov_r4's 13th digit at sf0.1.
     """
     names = [m for m, _ in _COV_METRICS]
     pts = T(spark, sf_dir, "lineitem").select(
@@ -226,10 +259,17 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for a, b in _cov_cells()
     ]
     s = pts.agg(*sums)
+    nums = ["n"] + [
+        f"CAST(n AS DECIMAL(38,0)) * s_{a}_{b}"
+        f" - CAST(s_{a} AS DECIMAL(38,0)) * s_{b} AS num_{a}_{b}"
+        for a, b in _cov_cells()
+    ]
     casts = ["n", "CAST(n AS DOUBLE) AS dn"]
-    casts += [f"CAST(s_{m} AS DOUBLE) AS ds_{m}" for m in names]
-    casts += [f"CAST(s_{a}_{b} AS DOUBLE) AS ds_{a}_{b}" for a, b in _cov_cells()]
-    d = s.selectExpr(*casts).localCheckpoint()
+    casts += [
+        f"{_limb_double(f'num_{a}_{b}', 'div')} AS dnum_{a}_{b}"
+        for a, b in _cov_cells()
+    ]
+    d = s.selectExpr(*nums).selectExpr(*casts).localCheckpoint()
     out = None
     for a, b in _cov_cells():
         cell = d.selectExpr(f"'{a}' AS m1", f"'{b}' AS m2", "n", *_cov_pair_exprs(a, b))

@@ -74,11 +74,15 @@ PRIORITY: tuple[str, ...] = (
     # Round-10 plan: front = round-9 definition changes (if any) + the ~31
     # leftover section-2 ids below (everything from position ~51 on), then
     # the oldest driver-green rows (r3 block) start re-verification.
-    # -- 0: definition changed in round 9 (ADVICE fixes + selection swap) --
+    # -- 0: definition changed in round 9 (ADVICE fixes + selection swap +
+    #       the two sf0.1-parity-replay fixes: limb-split double conversion
+    #       for the covariance numerators; counting-selection p50/p95) ----
     "scan_text_lines",
     "feat_best_split_gini",
     "stream_sliding_topk",
     "win_outlier_iqr_fences",
+    "agg_covariance_matrix",
+    "events_interarrival_stats",
     # -- 1: new in round 9 ---------------------------------------------------
     "join_null_safe_split",
     "stream_watermark_strict",
@@ -121,7 +125,6 @@ PRIORITY: tuple[str, ...] = (
     "events_max_drawdown",
     "dedup_media_chunkhash",
     "graph_clustering_coeff",
-    "agg_covariance_matrix",
     "sim_pq_adc_topk",
     "events_theil_sen_trend",
     "sample_systematic_stride",
