@@ -5,6 +5,10 @@ FULL registry's correctness state is auditable as a committed artifact
 even though the driver's CORRECTNESS window holds only ~50 ids per round.
 
 Run:  PYTHONPATH=. python scripts/gen_parity.py 6      # writes PARITY_r06.json
+Env:  SPARK_GRAFT_SF_DIR     — fixture dir the replay reads (default sf0.01)
+      SPARK_GRAFT_PARITY_OUT — output artifact path override (the scale-
+      factor sweeps write PARITY_SF01_r09.json / PARITY_SF1_r09.json
+      without clobbering the driver-scale artifact)
 """
 
 from __future__ import annotations
@@ -19,7 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 def main() -> None:
     round_no = int(sys.argv[1]) if len(sys.argv) > 1 else 0
-    out_path = f"PARITY_r{round_no:02d}.json" if round_no else "PARITY.json"
+    out_path = os.environ.get("SPARK_GRAFT_PARITY_OUT") or (
+        f"PARITY_r{round_no:02d}.json" if round_no else "PARITY.json"
+    )
 
     import duckdb
 
@@ -35,6 +41,8 @@ def main() -> None:
     con = duckdb.connect()
     for name in FIXTURE_TABLES:
         path = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.isdir(path):  # Spark-written replica dirs (scale sweeps)
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
     results: dict[str, dict] = {}
