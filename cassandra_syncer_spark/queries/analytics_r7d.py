@@ -338,7 +338,16 @@ _BR_JACC_MICRO = 200000  # true-neighbor cut: exact shingle Jaccard >= 0.2
 #   (deliberately BELOW the 0.5 verify cut: the audit must measure the
 #   candidate-generation curve in the region where banding probability
 #   1-(1-j^2)^4 is not yet saturated — at j=0.2 theory gives ~15%, at
-#   j=0.5 ~66%; fixture probes are 1-in-5 docs)
+#   j=0.5 ~66%)
+_BR_PROBE_TARGET = 100  # constant probe-sample SIZE at any corpus scale:
+#   modulus = greatest(1, n_docs div target), the embed_cosine_histogram
+#   derived-modulus idiom.  A fixed 1-in-5 RATE made the brute-force truth
+#   side probe×corpus QUADRATIC in the corpus — invisible at the sf0.01
+#   gate (500 docs ⇒ modulus 5, bit-identical output) and caught by the
+#   round-9 sf1 parity sweep, where 10k probes × 50k docs of shingle-set
+#   intersections stalled both engines.  At a fixed BUDGET the audit is
+#   linear in the corpus on both sides, which is what the docstring's
+#   "probe sample is the knob" contract actually requires.
 
 
 def _banding_recall_sql() -> str:
@@ -360,7 +369,8 @@ def _banding_recall_sql() -> str:
     d AS (SELECT doc_id,
                  list_distinct({_SH_DUCK}) AS sh
           FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)),
-    p AS (SELECT doc_id AS probe, sh AS psh FROM d WHERE doc_id % 5 = 0),
+    m AS (SELECT greatest(1, count(*) // {_BR_PROBE_TARGET}) AS md FROM documents),
+    p AS (SELECT doc_id AS probe, sh AS psh FROM d, m WHERE doc_id % m.md = 0),
     truth AS (
       SELECT p.probe, d.doc_id AS other
       FROM p JOIN d ON p.probe <> d.doc_id
@@ -396,9 +406,12 @@ def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     1−(1−j^r)^b curve is theory; this row is the measurement).
 
     Scale shape: the brute-force truth side is probe-broadcast × corpus
-    — linear in the corpus and proportional to the probe SAMPLE (the
-    audit knob); the candidate side is the ordinary banded self-join
-    restricted to probe pairs.  Integer-micro Jaccard on both engines.
+    — linear in the corpus at a constant probe-sample SIZE (modulus
+    derived from the table count, the ``embed_cosine_histogram`` idiom;
+    a fixed 1-in-5 rate was probe×corpus quadratic — caught by the r9
+    sf1 parity sweep); the candidate side is the ordinary banded
+    self-join restricted to probe pairs.  Integer-micro Jaccard on both
+    engines.
     """
     from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
 
@@ -410,8 +423,13 @@ def dedup_banding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("words"))
         .select("doc_id", F.array_distinct(F.expr(sh)).alias("sh"))
     )
-    p = d.filter(F.col("doc_id") % 5 == 0).select(
-        F.col("doc_id").alias("probe"), F.col("sh").alias("psh")
+    md = T(spark, sf_dir, "documents").agg(
+        F.greatest(F.lit(1), F.expr(f"count(*) div {_BR_PROBE_TARGET}")).alias("md")
+    )
+    p = (
+        d.crossJoin(F.broadcast(md))
+        .filter(F.col("doc_id") % F.col("md") == 0)
+        .select(F.col("doc_id").alias("probe"), F.col("sh").alias("psh"))
     )
     jmicro = F.expr(
         "(1000000 * size(array_intersect(psh, sh)))"
