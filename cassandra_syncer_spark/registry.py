@@ -83,6 +83,10 @@ PRIORITY: tuple[str, ...] = (
     "win_outlier_iqr_fences",
     "agg_covariance_matrix",
     "events_interarrival_stats",
+    # (sf1-sweep fix: probe modulus now count-derived; sf0.01 output is
+    # bit-identical — modulus 5 either way — so the r8 driver hash stands,
+    # but the new spelling fronts the window like every definition change)
+    "dedup_banding_recall",
     # -- 1: new in round 9 ---------------------------------------------------
     "join_null_safe_split",
     "stream_watermark_strict",
