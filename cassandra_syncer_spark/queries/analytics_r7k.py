@@ -230,21 +230,28 @@ _KCORE_ROUNDS = 3
 
 
 def _kcore_oracle() -> str:
+    # Every CTE is MATERIALIZED: each e{r} is referenced four times (two
+    # degree tables, the next round, and the three scalar counts), and
+    # DuckDB's default CTE inlining re-evaluates per reference — across
+    # three chained rounds that re-evaluation compounds until the 6M-row
+    # sf1 replica spilled >80 GB of temp and died (caught by the round-9
+    # sf1 parity sweep; invisible at the gate scales).  Materialization
+    # is exactly what the Spark side's per-round localCheckpoint does.
     ctes = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
       SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
     )"""
     ]
     for r in range(1, _KCORE_ROUNDS + 1):
         prev = f"e{r - 1}"
         ctes.append(
-            f"""ks{r} AS (
+            f"""ks{r} AS MATERIALIZED (
       SELECT s FROM {prev} GROUP BY s HAVING count(*) >= {_KCORE_K}
     ),
-    kp{r} AS (
+    kp{r} AS MATERIALIZED (
       SELECT p FROM {prev} GROUP BY p HAVING count(*) >= {_KCORE_K}
     ),
-    e{r} AS (
+    e{r} AS MATERIALIZED (
       SELECT e.s, e.p FROM {prev} e
       WHERE e.s IN (SELECT s FROM ks{r}) AND e.p IN (SELECT p FROM kp{r})
     )"""

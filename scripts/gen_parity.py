@@ -9,6 +9,10 @@ Env:  SPARK_GRAFT_SF_DIR     — fixture dir the replay reads (default sf0.01)
       SPARK_GRAFT_PARITY_OUT — output artifact path override (the scale-
       factor sweeps write PARITY_SF01_r09.json / PARITY_SF1_r09.json
       without clobbering the driver-scale artifact)
+      SPARK_GRAFT_PARITY_ONLY — comma-separated id subset: re-run just
+      those ids and MERGE their fresh rows into an existing OUT artifact
+      (for flipping a failed row after a fix without repeating the full
+      sweep; every row in the artifact is still the result of a real run)
 """
 
 from __future__ import annotations
@@ -45,8 +49,12 @@ def main() -> None:
             path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
+    only = {s for s in os.environ.get("SPARK_GRAFT_PARITY_ONLY", "").split(",") if s}
     results: dict[str, dict] = {}
-    for name in sorted(REGISTRY):
+    if only and os.path.exists(out_path):
+        with open(out_path) as fh:
+            results = json.load(fh)["results"]
+    for name in sorted(only or REGISTRY):
         spec = REGISTRY[name]
         row: dict = {"check": "oracle" if spec.oracle else "rows-only"}
         try:
