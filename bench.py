@@ -28,6 +28,24 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+#: replica-sweep knobs (both default empty — the driver's per-round run is
+#: unaffected).  At large replica factors a few VANILLA counterparts are
+#: intractable by design (e.g. the unstaged full-DP verify port: 694 s at
+#: sf1, quadratic in true-dup pairs on the identical-copy replica), so the
+#: sf10 sweep skips those pairings while still timing the engine rows:
+#:   SPARK_GRAFT_BENCH_SKIP         comma list of ids to drop entirely
+#:   SPARK_GRAFT_BENCH_ONLY         comma list: run ONLY these ids
+#:   SPARK_GRAFT_BENCH_ENGINE_ONLY  comma list of ids to time without the
+#:                                  vanilla pairing (no gate ratio emitted)
+#:   SPARK_GRAFT_BENCH_DETAIL_OUT   detail-artifact path override (sweeps
+#:                                  write BENCH_SF10.json etc. without
+#:                                  clobbering the driver-scale detail)
+_SKIP = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
+_ONLY = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+_ENGINE_ONLY = {
+    s for s in os.environ.get("SPARK_GRAFT_BENCH_ENGINE_ONLY", "").split(",") if s
+}
+
 #: headline queries (subset of the registry that maps onto BASELINE.md rows)
 HEADLINE = [
     "agg_group_sum",        # BASELINE noop-forced: 0.41 s (q1_pricing_exact8 — same query text)
@@ -177,12 +195,14 @@ def main() -> None:
     resolvers = {"agg_approx_distinct": agg_approx_distinct_sketch}
 
     for name in HEADLINE:
+        if name in _SKIP or (_ONLY and name not in _ONLY):
+            continue
         fn = resolvers.get(name) or (REGISTRY[name].fn if name in REGISTRY else None)
         if fn is None:
             continue
         df = fn(spark, SF_DIR)
         noop_time(df)  # warm: JIT, shuffle service, file listing
-        if name in vanilla:
+        if name in vanilla and name not in _ENGINE_ONLY:
             # interleave engine/vanilla so host-load noise hits both alike
             vdf = vanilla[name]
             noop_time(vdf)
@@ -221,9 +241,10 @@ def main() -> None:
     # unparseable JSON (BENCH_r05/r06 both show parsed:null), so the line
     # keeps the contract keys + timings + the gate ratios and points at the
     # detail file for the rest
+    detail_out = os.environ.get("SPARK_GRAFT_BENCH_DETAIL_OUT", "BENCH_DETAIL.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json"), "w") as fh:
+                               detail_out), "w") as fh:
             json.dump(detail, fh, indent=1)
     except OSError:
         pass
@@ -235,7 +256,7 @@ def main() -> None:
         "queries": timings,
         "baseline_same_session": baseline_ss,
         "ratio_vs_baseline_same_session": ratios,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_out,
     }
     # keep the whole line inside the driver's tail (a >1900-char line
     # truncates into unparseable JSON — the BENCH_r05/r06 regression).

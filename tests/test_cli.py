@@ -308,6 +308,42 @@ def test_bench_contract_smoke():
     assert "baseline_same_session" in detail and "forcing" in detail
 
 
+def test_bench_sweep_knobs(tmp_path):
+    """The replica-sweep knobs (SPARK_GRAFT_BENCH_ONLY / _ENGINE_ONLY /
+    _DETAIL_OUT) guard committed scale artifacts: ONLY subsets the row
+    list (at large replica factors some vanillas are intractable by
+    design), ENGINE_ONLY suppresses a row's vanilla pairing, and
+    DETAIL_OUT keeps a sweep from clobbering the driver-scale
+    BENCH_DETAIL.json.  All default empty — the driver path is the
+    test above; this asserts the sweep path."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="agg_group_sum,join_3table_topk",
+        SPARK_GRAFT_BENCH_ENGINE_ONLY="join_3table_topk",
+        SPARK_GRAFT_BENCH_DETAIL_OUT="BENCH_DETAIL_TEST.json",
+    )
+    before = open(os.path.join(repo, "BENCH_DETAIL.json")).read()
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(d["queries"]) == {"agg_group_sum", "join_3table_topk"}
+    # the ENGINE_ONLY row is timed but carries no gate ratio
+    assert set(d["ratio_vs_baseline_same_session"]) == {"agg_group_sum"}
+    side = os.path.join(repo, "BENCH_DETAIL_TEST.json")
+    assert os.path.exists(side)
+    os.remove(side)
+    # the driver-scale detail artifact is untouched by the sweep
+    assert open(os.path.join(repo, "BENCH_DETAIL.json")).read() == before
+
+
 def test_cli_restore_manifest_cache(tmp_path):
     """Reference restoremanifest.json parity (bin/cassandra-syncer-
     restore:28,91-94): a completed restore records the materialized
