@@ -463,12 +463,22 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier finished orders.
 
     No receipt/commit dates ⇒ "late" := shipped >45 days after the order
-    date.  The (orderkey, suppkey, is_late) frame is defined once; the
-    EXISTS becomes a left-semi and the NOT EXISTS a left-anti join, both
-    equi on orderkey with the suppkey inequality as a join predicate —
-    the classic double-semi-join plan, no correlated rescans and no
-    nested-loop joins (all three branches shuffle on orderkey; SMJ at
-    scale, AQE-converted to broadcast at fixture scale).
+    date.
+
+    Round-9 rewrite (the sf10 sweep showed the old spelling trending
+    adverse — 1.06× at sf0.1 → 1.9× at sf10 vs the same-session port):
+    the classic EXISTS/NOT-EXISTS double-semi-join plan re-derives the
+    lineitem⋈orders frame THREE times (the semi, anti, and probe branches
+    are unshared subplans — Spark re-executes the 100 TB join per branch).
+    But both quantifiers are per-ORDER facts, so ONE orderkey aggregation
+    answers them: n_s = distinct suppliers on the order (EXISTS other
+    supplier ⇔ n_s ≥ 2), n_l = distinct LATE suppliers (NOT EXISTS other
+    late ⇔ n_l = 1, given the probe row itself is late), and with
+    n_l = 1 the qualifying (orderkey, suppkey) pair is just (orderkey,
+    the one late suppkey).  One scan of the join, one shuffle on
+    orderkey (map-side-combined hash agg), zero self-joins — the
+    semi/anti spelling survives as the same-session vanilla port
+    (scripts/vanilla_queries.py: q21_late_vanilla).
     """
     o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     lo = (
@@ -483,27 +493,14 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    l1 = lo.filter(F.col("is_late")).select("l_orderkey", "l_suppkey").alias("l1")
-    l2 = lo.select(
-        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
-    ).alias("l2")
-    l3 = (
-        lo.filter(F.col("is_late"))
-        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
-        .alias("l3")
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_s"),
+        F.countDistinct(late_supp).alias("n_l"),
+        F.max(late_supp).alias("sole_late_suppkey"),
     )
-    waiters = (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("k2")) & (F.col("l1.l_suppkey") != F.col("s2")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("k3")) & (F.col("l1.l_suppkey") != F.col("s3")),
-            "left_anti",
-        )
-        .distinct()
+    waiters = per_order.filter((F.col("n_s") >= 2) & (F.col("n_l") == 1)).select(
+        F.col("sole_late_suppkey").alias("l_suppkey")
     )
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

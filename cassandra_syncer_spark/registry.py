@@ -87,6 +87,11 @@ PRIORITY: tuple[str, ...] = (
     # bit-identical — modulus 5 either way — so the r8 driver hash stands,
     # but the new spelling fronts the window like every definition change)
     "dedup_banding_recall",
+    # (sf10-sweep rewrite: the EXISTS/NOT-EXISTS double-semi-join re-derived
+    # the lineitem⋈orders frame 3×, trending 1.06× → 1.9× vs the port at
+    # sf10; both quantifiers now fold into ONE orderkey aggregation —
+    # parity re-verified at sf0.01 and sf0.1, plan law updated)
+    "q21_late_suppliers",
     # -- 1: new in round 9 ---------------------------------------------------
     "join_null_safe_split",
     "stream_watermark_strict",
