@@ -84,6 +84,23 @@ def main() -> None:
                 df = df.withColumn(
                     "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
                 )
+            if unique_docs and name == "embeddings" and i > 0:
+                # same idea for vectors: shift copy i by a large constant
+                # along the first axis.  Pairwise DIFFERENCE vectors within
+                # a copy are unchanged (intra-copy near-dup structure ≈
+                # preserved), while cross-copy cosines/sign-bits diverge —
+                # band buckets stop collecting 100 identical signatures,
+                # so embedding near-dup timings measure the operator at
+                # constant dup density instead of quadratic true-pair growth
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when(j == 0, x + F.lit(float(i) * 10.0))
+                        .otherwise(x)
+                        .cast("float"),
+                    ),
+                )
             parts.append(df)
         acc = parts[0]
         for p in parts[1:]:
