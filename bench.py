@@ -40,6 +40,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #:   SPARK_GRAFT_BENCH_DETAIL_OUT   detail-artifact path override (sweeps
 #:                                  write BENCH_SF10.json etc. without
 #:                                  clobbering the driver-scale detail)
+#: Sweep-rerun caveat: _vanilla_queries builds ALL counterparts at startup
+#: and a few stage fixture data eagerly, so even a single-row ONLY rerun
+#: pays ~10 min of staging at the 100× replica before the first timing.
 _SKIP = {s for s in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if s}
 _ONLY = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
 _ENGINE_ONLY = {
