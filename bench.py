@@ -169,10 +169,26 @@ def _vanilla_queries(spark, sf_dir):
     return {eng: all_vanilla[van] for eng, van in ENGINE_EQUIV.items()}
 
 
+def _validate_subsets() -> None:
+    """Fail fast on typo'd ids in the sweep knobs — a misspelled ONLY once
+    yielded an empty run whose artifact still reported the headline metric
+    name with a misleading total (round-10 ADVICE fix)."""
+    known = set(HEADLINE)
+    for env, ids in (
+        ("SPARK_GRAFT_BENCH_ONLY", _ONLY),
+        ("SPARK_GRAFT_BENCH_SKIP", _SKIP),
+        ("SPARK_GRAFT_BENCH_ENGINE_ONLY", _ENGINE_ONLY),
+    ):
+        bad = ids - known
+        if bad:
+            raise SystemExit(f"{env} ids not in HEADLINE: {sorted(bad)}")
+
+
 def main() -> None:
     from cassandra_syncer_spark.registry import REGISTRY, all_queries
     from cassandra_syncer_spark.session import get_spark
 
+    _validate_subsets()
     all_queries()  # trigger registration
     spark = get_spark(app_name="cassandra-syncer-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -239,6 +255,16 @@ def main() -> None:
         "sf": float(m.group(1)) if m else SF_DIR,
         "sf_dir": SF_DIR,
     }
+    # sweep artifacts self-describe their active subset (absent in the
+    # driver's per-round run, so that line is unchanged)
+    if _ONLY or _SKIP or _ENGINE_ONLY:
+        detail["subset"] = {
+            k: sorted(v)
+            for k, v in (
+                ("only", _ONLY), ("skip", _SKIP), ("engine_only", _ENGINE_ONLY)
+            )
+            if v
+        }
     # full artifact to a side file; stdout gets a COMPACT line — the driver
     # records only the tail of stdout and a >2000-char line truncates into
     # unparseable JSON (BENCH_r05/r06 both show parsed:null), so the line
@@ -261,6 +287,8 @@ def main() -> None:
         "ratio_vs_baseline_same_session": ratios,
         "detail": detail_out,
     }
+    if "subset" in detail:
+        compact["subset"] = detail["subset"]
     # keep the whole line inside the driver's tail (a >1900-char line
     # truncates into unparseable JSON — the BENCH_r05/r06 regression).
     # Shedding order: vanilla timings first (recoverable as timing/ratio),

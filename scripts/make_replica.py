@@ -85,19 +85,26 @@ def main() -> None:
                     "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}")
                 )
             if unique_docs and name == "embeddings" and i > 0:
-                # same idea for vectors: shift copy i by a large constant
-                # along the first axis.  Pairwise DIFFERENCE vectors within
-                # a copy are unchanged (intra-copy near-dup structure ≈
-                # preserved), while cross-copy cosines/sign-bits diverge —
-                # band buckets stop collecting 100 identical signatures,
-                # so embedding near-dup timings measure the operator at
-                # constant dup density instead of quadratic true-pair growth
+                # same idea for vectors: a per-copy deterministic SIGN-FLIP
+                # pattern s_{i,k} ∈ {+1,−1} applied per coordinate.  An
+                # orthogonal (diagonal ±1) map EXACTLY preserves intra-copy
+                # dot products and difference vectors — near-dup structure
+                # within a copy is untouched — while ~half the per-
+                # coordinate sign bits flip between any two copies, so
+                # simhash band signatures genuinely diverge cross-copy and
+                # band buckets stop collecting N identical codes.  (The
+                # earlier +const-on-axis-0 shift only pinned ONE sign bit
+                # on unit-normalized fixtures, leaving copies 1..N−1
+                # bit-identical — cross-copy collisions persisted and dup
+                # density still grew quadratically.)
                 df = df.withColumn(
                     "embedding",
                     F.transform(
                         "embedding",
-                        lambda x, j: F.when(j == 0, x + F.lit(float(i) * 10.0))
-                        .otherwise(x)
+                        lambda x, j: F.when(
+                            F.pmod(F.hash(F.lit(i), j), F.lit(2)) == 0, x
+                        )
+                        .otherwise(-x)
                         .cast("float"),
                     ),
                 )

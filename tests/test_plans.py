@@ -257,7 +257,14 @@ def test_q21_quantifiers_are_one_aggregation(spark, sf_dir):
     once, no semi/anti self-joins survive, and nothing falls to a
     nested-loop over the fact."""
     p = plan_of(spark, sf_dir, "q21_late_suppliers")
-    assert p.count("Relation [l_orderkey") <= 1, "q21 re-derives the lineitem frame"
+    # physical scans print as 'FileScan parquet [...] ... Location: ...
+    # lineitem.parquet' — count THOSE lines (the old 'Relation [l_orderkey'
+    # pattern never occurs in executedPlan().toString(), so the law was
+    # vacuously true; round-10 ADVICE fix)
+    n_li_scans = sum(
+        1 for ln in p.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert n_li_scans == 1, f"q21 scans lineitem {n_li_scans}x, not once"
     assert "LeftSemi" not in p and "LeftAnti" not in p, "q21 kept the self-join spelling"
     assert "BroadcastNestedLoopJoin" not in p, "q21 quantifier fell to nested-loop"
 
@@ -277,7 +284,13 @@ def test_q11_threshold_is_scalar_broadcast(spark, sf_dir):
     the intended cheap shape), never a shuffled join or a second scan of
     lineitem."""
     p = plan_of(spark, sf_dir, "q11_important_stock")
-    assert p.count("Relation [l_orderkey") <= 2  # val frame + its scalar agg, no 3rd scan
+    # val frame + its scalar agg = 2 physical lineitem scans, never a 3rd
+    # (same FileScan-line counting as the q21 law — the old 'Relation ['
+    # pattern was vacuous against executedPlan strings)
+    n_li_scans = sum(
+        1 for ln in p.splitlines() if "FileScan" in ln and "lineitem" in ln
+    )
+    assert n_li_scans <= 2, f"q11 scans lineitem {n_li_scans}x"
 
 
 def test_simhash_pairs_join_not_bucket_materialization(spark, sf_dir):
