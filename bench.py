@@ -141,6 +141,9 @@ HEADLINE = [
     "sim_ivf_probe_curve",
     "sample_stratified_neyman_draw",
     "join_null_safe_split",
+    # round-10 gate row (VERDICT r9 #3): the ROW-returning split-null join
+    # vs the naive single-`<=>`-bucket vanilla
+    "join_null_safe_rows",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

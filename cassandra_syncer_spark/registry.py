@@ -57,85 +57,21 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: have never had a driver row, then the full r1/r2-stale blocks (oldest
 #: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
-    # Round-9 rotation (this round, executed): CORRECTNESS_r08 consumed the
-    # first 50 ids of the round-8 order (sections 0-1 plus 42 of section 2);
-    # those rotate to the tail.  Front block now:
-    #   0. ids whose DEFINITION changed in round 9 — the ADVICE fixes
-    #      (scan_text_lines rlike pre-filter, feat_best_split_gini decimal
-    #      numerators, stream_sliding_topk uuid staging) and the
-    #      win_outlier_iqr_fences selection-quartile rewrite — hashes must
-    #      go green on the NEW code (all four were never driver-checked, so
-    #      they also burn backlog);
-    #   1. ids NEW in round 9 (unregistered ids are skipped by _ordered, so
-    #      they can be listed before they land);
-    #   2. the remaining never-driver-checked backlog, original order (r7
-    #      overflow first, then the round-8 batches).  50-id window ->
-    #      never-checked count drops 79 -> ~31 this round, ~0 in round 10.
-    # Round-10 plan: front = round-9 definition changes (if any) + the ~31
-    # leftover section-2 ids below (everything from position ~51 on), then
-    # the oldest driver-green rows (r3 block) start re-verification.
-    # -- 0: definition changed in round 9 (ADVICE fixes + selection swap +
-    #       the two sf0.1-parity-replay fixes: limb-split double conversion
-    #       for the covariance numerators; counting-selection p50/p95) ----
-    "scan_text_lines",
-    "feat_best_split_gini",
-    "stream_sliding_topk",
-    "win_outlier_iqr_fences",
-    "agg_covariance_matrix",
-    "events_interarrival_stats",
-    # (sf1-sweep fix: probe modulus now count-derived; sf0.01 output is
-    # bit-identical — modulus 5 either way — so the r8 driver hash stands,
-    # but the new spelling fronts the window like every definition change)
-    "dedup_banding_recall",
-    # (sf10-sweep rewrite: the EXISTS/NOT-EXISTS double-semi-join re-derived
-    # the lineitem⋈orders frame 3×, trending 1.06× → 1.9× vs the port at
-    # sf10; both quantifiers now fold into ONE orderkey aggregation —
-    # parity re-verified at sf0.01 and sf0.1, plan law updated)
-    "q21_late_suppliers",
-    # -- 1: new in round 9 ---------------------------------------------------
-    "join_null_safe_split",
-    "stream_watermark_strict",
-    # -- 2: never driver-checked (r7 overflow then r8 batches, in order) ----
-    "embed_cosine_histogram",
-    "dedup_substring_cut",
-    "events_ctr_wilson",
-    "agg_chi_square",
-    "corpus_freq_spectrum",
-    "events_hourly_profile",
-    "graph_kcore",
-    "agg_anova_f",
-    "text_langid_confusion",
-    "agg_benford_digits",
-    "agg_histogram_equiwidth",
-    "graph_bfs_hops",
-    "tokenizer_bpe_pair_step",
-    "agg_hhi_concentration",
-    "win_rolling_corr",
-    "sink_dynamic_partition_overwrite",
-    "dedup_candidate_degree_hist",
-    "stream_static_enrich",
-    "events_welch_ttest",
-    "sink_max_records_per_file",
-    "graph_degree_assortativity",
-    "agg_mannwhitney_u",
-    "dedup_rate_sampled_estimate",
-    "sink_nested_struct_roundtrip",
-    "agg_jackknife_groups",
-    "embed_drift_centroids",
-    "events_peak_concurrency",
-    "dedup_keep_best_quality",
-    "agg_spearman_corr",
-    "text_jaccard_source_similarity",
-    "events_autocorr_lags",
-    "merge_upsert_partitioned",
-    "agg_kendall_tau",
-    "events_pattern_match",
-    "agg_ols_fit",
-    "events_max_drawdown",
-    "dedup_media_chunkhash",
-    "graph_clustering_coeff",
-    "sim_pq_adc_topk",
-    "events_theil_sen_trend",
+    # Round-10 rotation (this round): CORRECTNESS_r09 consumed the first 50
+    # ids of the round-9 order (sections 0-1 plus 40 of section 2); those
+    # rotate to the tail.  Front block now:
+    #   0. ids whose DEFINITION changed in round 10 — none yet (the round-10
+    #      ADVICE fixes touched scripts/tests/bench only);
+    #   1. ids NEW in round 10: the row-returning split-null join;
+    #   2. the 34 never-driver-checked leftovers of the round-9 window
+    #      (original order) — this burns the never-checked backlog to ZERO;
+    #   3. the oldest driver-green block (last driver row = round 3, 43 ids,
+    #      VERDICT r9 order) starts re-verification with the ~15 window
+    #      slots that remain; the ~28 overflow ids lead round 11's window
+    #      automatically (they stay listed ahead of the unlisted tail).
+    # -- 1: new in round 10 --------------------------------------------------
+    "join_null_safe_rows",
+    # -- 2: never driver-checked (round-9 window overflow, original order) --
     "sample_systematic_stride",
     "feat_hashing_trick",
     "win_hampel_filter",
@@ -170,6 +106,52 @@ PRIORITY: tuple[str, ...] = (
     "events_ratio_metric_ci",
     "events_anomaly_seasonal_adjusted",
     "mix_kl_divergence_target",
+    # -- 3: oldest driver-green rows (last driver row = r3; re-verify oldest
+    #       first — the first ~15 fit the round-10 window, the rest lead
+    #       round 11) ------------------------------------------------------
+    "agg_bool_any_all",
+    "agg_count_distinct",
+    "agg_mode_freq",
+    "agg_stats_corr",
+    "decontam_ngram_overlap",
+    "dedup_exact_canonical",
+    "dedup_incremental_minhash",
+    "embed_quantize_int8",
+    "events_attribution",
+    "events_funnel",
+    "feat_standardize",
+    "feat_winsorize",
+    "filter_exists",
+    "filter_in_set",
+    "filter_predicate",
+    "filter_regex",
+    "join_bucketed_colocated",
+    "join_range_banded_anti",
+    "pipeline_clean_corpus",
+    "project_transform",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pushdown",
+    "q22_dormant_customers",
+    "q5_local_volume",
+    "sample_stratified_exact",
+    "scan_csv_roundtrip",
+    "scan_glob_filter",
+    "scan_json_manifest",
+    "scan_listing",
+    "scan_parquet",
+    "shard_pack_tokens",
+    "sim_ann_int8",
+    "sink_partitioned_prune",
+    "text_idf_topterms",
+    "text_pii_scrub",
+    "text_repetition_filter",
+    "win_cume_dist",
+    "win_ntile_bucket",
 )
 
 

@@ -31,6 +31,20 @@ Endpoints (TempAuth v1.0 + storage API v1):
 Every storage request must carry the ``X-Auth-Token`` issued by the auth
 endpoint; anything else is 401 — so client code is forced through the
 same auth-then-storage-url flow a real store requires.
+
+Deliberate exclusion — the CDN-container variant.  The vendored client
+also exposes Rackspace's CDN management surface (``getContainers(cdn=
+true)`` listing CDN-enabled containers and the per-container ``cdnUrl``
+attribute — ``core.js:85-126,452``): a second service endpoint
+(``X-CDN-Management-Url``) whose only job is toggling/inspecting edge
+caching for PUBLIC content delivery.  Nothing in the reference's
+backup/restore dataflow calls it (``bin/cassandra-syncer`` and
+``bin/cassandra-syncer-restore`` only auth, list, get, put, delete), it
+is Rackspace-proprietary rather than OpenStack-Swift-standard, and a
+backup store is by definition not publicly served — so this server
+intentionally does NOT implement it.  Documented here (and in SURVEY.md
+§0) so the one un-mirrored reference surface is an explicit decision,
+not an omission.
 """
 
 from __future__ import annotations

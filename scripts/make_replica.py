@@ -39,13 +39,19 @@ def main() -> None:
     # (a naive sys.argv[3:] check would misparse `10 --unique-docs` as an
     # output directory named '--unique-docs' and silently drop the flag)
     flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    unknown = flags - {"--unique-docs"}
+    tables_flags = {a for a in flags if a.startswith("--tables=")}
+    unknown = flags - {"--unique-docs"} - tables_flags
     if unknown:
         raise SystemExit(f"unknown flag(s): {sorted(unknown)}")
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     n = int(pos[0]) if pos else 10
     out = pos[1] if len(pos) > 1 else "/tmp/sf1_replica"
     unique_docs = "--unique-docs" in flags
+    # --tables=a,b regenerates only those tables into an existing replica
+    # dir (e.g. after a perturbation fix) without rebuilding the rest
+    only_tables = None
+    if tables_flags:
+        only_tables = set(tables_flags.pop().split("=", 1)[1].split(","))
 
     from pyspark.sql import functions as F
 
@@ -65,10 +71,14 @@ def main() -> None:
     passthrough = ["region", "nation", "supplier", "part"]
 
     for name in passthrough:
+        if only_tables is not None and name not in only_tables:
+            continue
         spark.read.parquet(f"{SRC}/{name}.parquet").write.mode("overwrite").parquet(
             f"{out}/{name}.parquet"
         )
     for name, keys in shifted_keys.items():
+        if only_tables is not None and name not in only_tables:
+            continue
         base = spark.read.parquet(f"{SRC}/{name}.parquet")
         parts = []
         for i in range(n):

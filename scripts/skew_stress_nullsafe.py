@@ -81,6 +81,42 @@ def split():
     return row.n
 
 
+def naive_rows():
+    # the ROW-returning naive form: the full `<=>` join materialized
+    # (noop write — no driver collect), every null pair produced by the
+    # single-bucket task
+    df = bigp.join(smallp, F.col("k").eqNullSafe(F.col("rk"))).select(
+        F.coalesce(F.col("k"), F.lit(-1)).alias("join_key")
+    )
+    df.write.format("noop").mode("overwrite").save()
+    return None
+
+
+def split_rows():
+    # the registered join_null_safe_rows shape: non-null equi join UNION
+    # the null-left rows crossing the BROADCAST null-right spool
+    # partition-locally — null keys never shuffle
+    equi = (
+        bigp.filter(F.col("k").isNotNull())
+        .join(smallp.filter(F.col("rk").isNotNull()), F.col("k") == F.col("rk"))
+        .select(F.col("k").alias("join_key"))
+    )
+    nulls = (
+        bigp.filter(F.col("k").isNull())
+        .select(F.lit(-1).cast("long").alias("join_key"))
+        .crossJoin(
+            F.broadcast(
+                smallp.filter(F.col("rk").isNull()).select(
+                    F.lit(1).alias("one")
+                )
+            )
+        )
+        .select("join_key")
+    )
+    equi.unionByName(nulls).write.format("noop").mode("overwrite").save()
+    return None
+
+
 # warm both paths once, then best-of-2
 naive(), split()
 n1, t_naive = timed(naive)
@@ -88,12 +124,22 @@ n1b, t_naive2 = timed(naive)
 n2, t_split = timed(split)
 n2b, t_split2 = timed(split)
 assert n1 == n2 == n1b == n2b, (n1, n2)
+naive_rows(), split_rows()
+_, t_nrows = timed(naive_rows)
+_, t_nrows2 = timed(naive_rows)
+_, t_srows = timed(split_rows)
+_, t_srows2 = timed(split_rows)
 print(
     {
         "rows_match": n1,
         "naive_null_safe_s": min(t_naive, t_naive2),
         "split_null_partition_s": min(t_split, t_split2),
         "speedup": round(min(t_naive, t_naive2) / min(t_split, t_split2), 1),
+        "naive_rows_s": min(t_nrows, t_nrows2),
+        "split_rows_s": min(t_srows, t_srows2),
+        "rows_speedup": round(
+            min(t_nrows, t_nrows2) / min(t_srows, t_srows2), 1
+        ),
     }
 )
 spark.stop()

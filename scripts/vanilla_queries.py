@@ -67,6 +67,9 @@ ENGINE_EQUIV = {
     # the native session_window operator vs the classic lag/cumsum
     # window-function sessionizer (same > gap merge convention)
     "stream_session_window": "session_cumsum_vanilla",
+    # round-10 gate addition: the row-returning split-null rewrite vs the
+    # naive single `<=>` join (all null keys in one hash bucket)
+    "join_null_safe_rows": "null_safe_rows_vanilla",
 }
 
 
@@ -1371,6 +1374,35 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
             .orderBy("user_id")
         )
 
+    def null_safe_rows_vanilla():
+        # the naive single `<=>` join the split-null rewrite replaces:
+        # every NULL key on BOTH sides hashes into one bucket (the
+        # canonical skew key AQE cannot split).  Key recipe mirrors the
+        # engine's join_null_safe_rows (null every 97th order / 101st
+        # customer key — analytics_r7w._NULL_L/_NULL_R, kept literal here
+        # so this file stays engine-import-free).
+        l = t["orders"].select(
+            F.expr(
+                "CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END"
+            ).alias("k"),
+            "o_orderkey",
+        )
+        r = t["customer"].select(
+            F.expr(
+                "CASE WHEN c_custkey % 101 = 0 THEN NULL ELSE c_custkey END"
+            ).alias("rk"),
+            "c_custkey",
+        )
+        return (
+            l.join(r, F.col("k").eqNullSafe(F.col("rk")))
+            .select(
+                "o_orderkey",
+                "c_custkey",
+                F.coalesce(F.col("k"), F.lit(-1)).cast("long").alias("join_key"),
+            )
+            .orderBy("o_orderkey", "c_custkey")
+        )
+
     return {
         "q1_pricing": q1_pricing(),
         "q1_pricing_exact8": q1_pricing_exact8(),
@@ -1409,4 +1441,5 @@ def build_vanilla_queries(spark, sf_dir: str) -> dict:
         "gini_rowscan_vanilla": gini_rowscan_vanilla(),
         "neyman_draw_vanilla": neyman_draw_vanilla(),
         "session_cumsum_vanilla": session_cumsum_vanilla(),
+        "null_safe_rows_vanilla": null_safe_rows_vanilla(),
     }

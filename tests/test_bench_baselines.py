@@ -104,6 +104,18 @@ def test_r9_gate_vanilla_rows_match_engine(spark, sf_dir):
         )
 
 
+def test_r10_null_safe_rows_vanilla_matches_engine(spark, sf_dir):
+    """Round-10 gate pair: the naive `<=>` join must reproduce the split
+    rewrite's rows exactly (integer keys + the -1 sentinel) — a mismatch
+    means the gate would be timing different work."""
+    all_queries()
+    vanilla = build_vanilla_queries(spark, sf_dir)
+    engine_df = REGISTRY["join_null_safe_rows"].fn(spark, sf_dir)
+    vanilla_df = vanilla[ENGINE_EQUIV["join_null_safe_rows"]]
+    assert engine_df.columns == vanilla_df.columns
+    assert _rows(engine_df) == _rows(vanilla_df)
+
+
 def test_r8_selection_vanilla_rows_match_engine(spark, sf_dir):
     """Batch 2-4 gate pairs: sort-based vanillas must produce identical
     results to the selection/one-scan engine forms."""

@@ -1381,6 +1381,35 @@ def test_null_safe_split_has_no_null_bucket(spark, sf_dir):
     assert p.lower().count("isnotnull") >= 2, p
 
 
+def test_null_safe_rows_no_null_bucket_and_broadcast_null_cross(spark, sf_dir):
+    """join_null_safe_rows: the ROW-returning split rewrite must keep the
+    count form's laws — no EqualNullSafe operator anywhere, exactly one
+    shuffled data join (the isnotnull-prefiltered equi join) — and its
+    null×null block must be a BROADCAST cross of the smaller null spool
+    (partition-local, no shuffle of null keys, no CartesianProduct)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(spark, sf_dir, "join_null_safe_rows")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "EqualNullSafe" not in p and "<=>" not in p, p
+    assert "CartesianProduct" not in p, p
+    # one shuffled equi join over the non-null remainder ...
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1, p
+    # ... and exactly one broadcast cross for the null partition (explicit
+    # F.broadcast survives the disabled auto-threshold)
+    n_bc_cross = sum(
+        1
+        for ln in p.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "Cross" in ln
+    )
+    assert n_bc_cross == 1, p
+    # the null pre-filters reach the scans/post-scan filters on both sides
+    assert p.lower().count("isnotnull") >= 2, p
+    assert p.lower().count("isnull") >= 2, p
+
+
 def test_session_bounce_single_event_sort(spark, sf_dir):
     """events_session_bounce: session build + per-session reduce +
     entry-type rollup ride ONE user-keyed sort; the event stream is
