@@ -144,6 +144,10 @@ HEADLINE = [
     # round-10 gate row (VERDICT r9 #3): the ROW-returning split-null join
     # vs the naive single-`<=>`-bucket vanilla
     "join_null_safe_rows",
+    # round-10 timed row (VERDICT r9 #2): bands→Hamming→CC embedding
+    # clustering, measured at constant dup density on the fixed uniq
+    # replica (SCALING.md carries the evidence)
+    "dedup_embed_clusters",
 ]
 
 #: rows with a BASELINE.md counterpart — these also get a count()-forced

@@ -81,11 +81,34 @@ def split():
     return row.n
 
 
+# --- row-returning forms -----------------------------------------------
+# The ROW experiment sizes its null block separately: at the count-form's
+# 40% × 2% null rates the `<=>` join's OUTPUT is 12.8B rows (3.2M left
+# nulls × 4k right nulls) — materializing that repeatedly measures row
+# production volume, not plan shape.  Here 5% × 0.05% nulls give a 40M-row
+# null block (400k × 100): big enough that the naive plan's single null
+# bucket is the dominant task, small enough to materialize best-of-2.
+big_r = spark.range(8_000_000).select(
+    F.when(F.col("id") % 20 == 0, F.lit(None).cast("long"))
+    .otherwise(F.pmod(F.xxhash64("id"), F.lit(200_000)))
+    .alias("k")
+)
+small_r = spark.range(200_000).select(
+    F.when(F.col("id") % 2000 == 0, F.lit(None).cast("long"))
+    .otherwise(F.col("id"))
+    .alias("rk")
+)
+big_r.write.mode("overwrite").parquet("/tmp/nullskew_big_r")
+small_r.write.mode("overwrite").parquet("/tmp/nullskew_small_r")
+bigrp = spark.read.parquet("/tmp/nullskew_big_r")
+smallrp = spark.read.parquet("/tmp/nullskew_small_r")
+
+
 def naive_rows():
     # the ROW-returning naive form: the full `<=>` join materialized
     # (noop write — no driver collect), every null pair produced by the
     # single-bucket task
-    df = bigp.join(smallp, F.col("k").eqNullSafe(F.col("rk"))).select(
+    df = bigrp.join(smallrp, F.col("k").eqNullSafe(F.col("rk"))).select(
         F.coalesce(F.col("k"), F.lit(-1)).alias("join_key")
     )
     df.write.format("noop").mode("overwrite").save()
@@ -95,18 +118,19 @@ def naive_rows():
 def split_rows():
     # the registered join_null_safe_rows shape: non-null equi join UNION
     # the null-left rows crossing the BROADCAST null-right spool
-    # partition-locally — null keys never shuffle
+    # partition-locally — null keys never shuffle, null-row production
+    # parallelizes across the left partitions
     equi = (
-        bigp.filter(F.col("k").isNotNull())
-        .join(smallp.filter(F.col("rk").isNotNull()), F.col("k") == F.col("rk"))
+        bigrp.filter(F.col("k").isNotNull())
+        .join(smallrp.filter(F.col("rk").isNotNull()), F.col("k") == F.col("rk"))
         .select(F.col("k").alias("join_key"))
     )
     nulls = (
-        bigp.filter(F.col("k").isNull())
+        bigrp.filter(F.col("k").isNull())
         .select(F.lit(-1).cast("long").alias("join_key"))
         .crossJoin(
             F.broadcast(
-                smallp.filter(F.col("rk").isNull()).select(
+                smallrp.filter(F.col("rk").isNull()).select(
                     F.lit(1).alias("one")
                 )
             )
