@@ -54,6 +54,13 @@ FLAGSHIPS = [
         "per-probe top-k via rank window",
     ),
     (
+        "join_null_safe_rows",
+        "split-null rewrite, row form: ONE shuffled equi join over "
+        "isnotnull-prefiltered keys + the null block as a broadcast cross "
+        "of the smaller null spool — no EqualNullSafe, no single-bucket "
+        "null shuffle anywhere",
+    ),
+    (
         "dedup_cluster_components",
         "connected components: one equi-join + min-agg per round, driver sees "
         "one convergence scalar per round",
