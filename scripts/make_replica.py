@@ -49,6 +49,11 @@ def main() -> None:
     unique_docs = "--unique-docs" in flags
     # --tables=a,b regenerates only those tables into an existing replica
     # dir (e.g. after a perturbation fix) without rebuilding the rest
+    if len(tables_flags) > 1:
+        raise SystemExit(
+            f"pass --tables= at most once (got {sorted(tables_flags)}); "
+            "multiple flags would silently use an arbitrary one"
+        )
     only_tables = None
     if tables_flags:
         only_tables = set(tables_flags.pop().split("=", 1)[1].split(","))
@@ -69,6 +74,16 @@ def main() -> None:
         "embeddings": ["vec_id"],
     }
     passthrough = ["region", "nation", "supplier", "part"]
+
+    if only_tables is not None:
+        known = set(passthrough) | set(shifted_keys)
+        bad = only_tables - known
+        if bad:
+            raise SystemExit(
+                f"unknown table(s) in --tables=: {sorted(bad)} "
+                f"(known: {sorted(known)}) — a typo here would silently "
+                "regenerate nothing while appearing to succeed"
+            )
 
     for name in passthrough:
         if only_tables is not None and name not in only_tables:

@@ -148,6 +148,21 @@ n1b, t_naive2 = timed(naive)
 n2, t_split = timed(split)
 n2b, t_split2 = timed(split)
 assert n1 == n2 == n1b == n2b, (n1, n2)
+# one-time output-equality check between the two row-form recipes (the
+# count forms assert n1 == n2 above; without this a drift in either row
+# recipe would silently make rows_speedup compare different work)
+_nrows_cnt = (
+    bigrp.join(smallrp, F.col("k").eqNullSafe(F.col("rk"))).count()
+)
+_srows_cnt = (
+    bigrp.filter(F.col("k").isNotNull())
+    .join(smallrp.filter(F.col("rk").isNotNull()), F.col("k") == F.col("rk"))
+    .count()
+    + bigrp.filter(F.col("k").isNull()).count()
+    * smallrp.filter(F.col("rk").isNull()).count()
+)
+assert _nrows_cnt == _srows_cnt, (_nrows_cnt, _srows_cnt)
+
 naive_rows(), split_rows()
 _, t_nrows = timed(naive_rows)
 _, t_nrows2 = timed(naive_rows)
