@@ -182,22 +182,40 @@ _HAMMING_CODE_DUCK = """
 )
 def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-code ANN: 63-bit sign codes over the embedding dims,
-    top-5 neighbors per probe by Hamming distance — the fourth ANN
+    EXACT top-5 neighbors per probe by Hamming distance — the fourth ANN
     family next to brute-force cosine, IVF, and LSH
     (llm_similarity.py), and the cheapest: 64 float dims (256 B)
     compress to one BIGINT (8 B), and the distance is a single XOR +
     popcount, SIMD-friendly JVM intrinsics instead of a 64-term float
     dot product.
 
+    Round-11 adaptive plan — banded short-circuit, brute fallback:
+    probes whose corpus-derived band buckets (operators/adaptive_bands.py,
+    the dedup_embed_simhash geometry) already hold >= 5 neighbors within
+    Hamming 6 are answered FROM THE BUCKETS: banding recall at radius 6
+    is exact under both geometries (pigeonhole), so every vector at
+    Hamming <= 6 is a candidate, and if 5+ exist the global top-5 is
+    among them — provably identical to the brute answer.  Only the
+    remaining probes fall back to the probes-x-corpus XOR scan.  On a
+    dup-dense corpus (the regime a 100 TB crawl dedup actually runs in)
+    nearly every probe short-circuits and the job is ~linear in the
+    corpus; on a near-dup-free corpus it degrades gracefully to the
+    brute scan plus a banding pass.  Because the output is
+    bit-identical either way, the ORACLE stays the plain brute-force
+    SQL — the parity gate therefore re-proves the short-circuit's
+    exactness at every scale factor it runs at.
+
     Sign binarization is deterministic (no trained codebook), so unlike
     the k-means/LSH variants this one IS oracle-checkable: both engines
     build identical codes.  63 bits, not 64 — bit 63 would overflow
-    signed BIGINT differently per engine.  Scale shape mirrors
-    sim_cosine_topk: the probe set broadcasts, the corpus scans in
-    place (never shuffles), and per-probe top-k is a partial
+    signed BIGINT differently per engine.  Scale shape of the fallback
+    mirrors sim_cosine_topk: the probe set broadcasts, the corpus scans
+    in place (never shuffles), and per-probe top-k is a partial
     TakeOrdered under the window.  At 100 TB the code column is the
     only thing read — a 32× narrower scan than the float embeddings.
     """
+    from cassandra_syncer_spark.operators import adaptive_bands as ab
+
     code = F.expr(
         "aggregate(sequence(0, 62), 0L,"
         " (acc, i) -> acc + IF(element_at(v, i + 1) > 0D, shiftleft(1L, i), 0L))"
@@ -209,12 +227,46 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", code.alias("code"))
     )
-    probes = (
-        c.filter(F.col("vec_id") % 100 == 0)
-        .select(F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode"))
+    geom = T(spark, sf_dir, "embeddings").agg(
+        F.expr(
+            ab.geometry_case(ab.EMB_NARROW, ab.EMB_WIDE, ab.EMB_THRESHOLD, duck=False)
+        ).alias("masks")
     )
-    scored = (
-        F.broadcast(probes)
+    bands = (
+        c.crossJoin(F.broadcast(geom))
+        .select("vec_id", "code", F.explode("masks").alias("band_id"))
+        .withColumn("band_val", F.expr("code & band_id"))
+    )
+    pb = bands.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("code").alias("pcode"),
+        "band_id",
+        "band_val",
+    )
+    # exact-recall radius-6 candidates, bucket-local (pigeonhole: every
+    # Hamming<=6 pair shares a band key under either geometry)
+    cand6 = (
+        pb.join(bands, ["band_id", "band_val"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.bit_count(F.expr("pcode ^ code")).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+        .distinct()
+    )
+    # probes with >= 5 in-radius candidates are fully answered by cand6
+    sat = cand6.groupBy("probe_id").count().filter(F.col("count") >= 5).select(
+        "probe_id"
+    )
+    short = cand6.join(F.broadcast(sat), "probe_id", "left_semi")
+    probes = c.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode")
+    )
+    rest = probes.join(F.broadcast(sat), "probe_id", "left_anti")
+    brute = (
+        F.broadcast(rest)
         .join(c, F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
@@ -222,6 +274,7 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.expr("pcode ^ code")).cast("long").alias("hamming"),
         )
     )
+    scored = short.unionByName(brute)
     w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cassandra_syncer_spark.operators import adaptive_bands as ab
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
 
@@ -24,11 +25,13 @@ from cassandra_syncer_spark.registry import register
 # dedup_embed_simhash — banded sign-code near-dup over embeddings
 # ---------------------------------------------------------------------------
 
-#: 63-bit sign code banded into 7 bands x 9 bits: any pair with Hamming
-#: distance <= 6 shares a band by pigeonhole, so recall is exact below the
-#: band count and probabilistic above it — standard LSH banding math.
-_EMB_BANDS = 7
-_EMB_BAND_BITS = 9
+#: 63-bit sign code, banded with CORPUS-DERIVED geometry
+#: (operators/adaptive_bands.py): below 16384 vectors, 7 disjoint 9-bit
+#: bands; above, 84 Manku block-combination tables keyed on 21 bits.  Any
+#: pair with Hamming distance <= 6 shares a band key under BOTH geometries
+#: (pigeonhole), so recall is exact below 7 and probabilistic above it —
+#: standard LSH banding math; the 7..16 shell is geometry-dependent, which
+#: is why the oracle embeds the identical mask literals and threshold.
 _EMB_HAMMING_MAX = 16
 
 #: 63-bit sign code (bit 63 would overflow signed BIGINT differently per
@@ -49,11 +52,10 @@ _CODE_DUCK = (
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     c AS (SELECT vec_id, v, {_CODE_DUCK} AS code FROM e),
-    bands AS (
-      SELECT vec_id, v, code, b.k AS band_id,
-             (code >> ({_EMB_BAND_BITS} * b.k)) & {(1 << _EMB_BAND_BITS) - 1} AS band_val
-      FROM c, (SELECT unnest(range({_EMB_BANDS})) AS k) b
-    ),
+    g AS (SELECT {ab.geometry_case(ab.EMB_NARROW, ab.EMB_WIDE, ab.EMB_THRESHOLD, duck=True)} AS masks
+          FROM embeddings),
+    bands0 AS (SELECT vec_id, v, code, unnest(g.masks) AS band_id FROM c, g),
+    bands AS (SELECT vec_id, v, code, band_id, code & band_id AS band_val FROM bands0),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
              CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming,
@@ -67,12 +69,23 @@ _CODE_DUCK = (
     """,
 )
 def dedup_embed_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNBLOCKED embedding near-dup: 63-bit sign codes banded into 7x9-bit
-    buckets, bucket-local candidate pairs verified by Hamming distance and
-    exact cosine — the production blocking key `dedup_embed_cosine`'s
-    label-blocked demo stands in for.  Any pair within Hamming 6 is
-    guaranteed a shared band (pigeonhole over 7 bands); beyond that the
-    banding is probabilistic, standard LSH semantics.
+    """UNBLOCKED embedding near-dup: 63-bit sign codes banded into
+    CORPUS-DERIVED buckets, bucket-local candidate pairs verified by
+    Hamming distance and exact cosine — the production blocking key
+    `dedup_embed_cosine`'s label-blocked demo stands in for.  Any pair
+    within Hamming 6 is guaranteed a shared band key under either
+    geometry (pigeonhole); beyond that the banding is probabilistic,
+    standard LSH semantics.
+
+    Band geometry is the 100 TB lever (operators/adaptive_bands.py): the
+    round-5 fixed 7x9-bit bands accrued chance collisions ~N²/2^9 — the
+    α-residual SCALING.md measured at the sf10 constant-density replica.
+    A 1-row count aggregate (broadcast, never collected) switches to the
+    Manku block-combination geometry (84 tables keyed on 21 bits) past
+    16384 vectors, returning bucket occupancy to ~constant; the oracle
+    embeds the identical mask literals and threshold so the
+    geometry-dependent 7..16 Hamming shell stays in lockstep at every
+    scale factor.
 
     Scale shape: identical to `dedup_simhash` — one scan computes codes,
     the only shuffle is on (band_id, band_val), pair expansion is a
@@ -85,16 +98,18 @@ def dedup_embed_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    geom = T(spark, sf_dir, "embeddings").agg(
+        F.expr(
+            ab.geometry_case(ab.EMB_NARROW, ab.EMB_WIDE, ab.EMB_THRESHOLD, duck=False)
+        ).alias("masks")
+    )
     # the banded join carries ONLY (vec_id, code, band) — 8-byte codes, not
     # the 256-byte vectors; vectors join back in for surviving candidates
-    bands = e.select("vec_id", F.expr(_CODE_SPARK).alias("code")).select(
-        "vec_id",
-        "code",
-        F.expr(
-            f"posexplode(transform(sequence(0, {_EMB_BANDS - 1}),"
-            f" k -> shiftright(code, {_EMB_BAND_BITS} * k)"
-            f" & {(1 << _EMB_BAND_BITS) - 1}))"
-        ).alias("band_id", "band_val"),
+    bands = (
+        e.select("vec_id", F.expr(_CODE_SPARK).alias("code"))
+        .crossJoin(F.broadcast(geom))
+        .select("vec_id", "code", F.explode("masks").alias("band_id"))
+        .withColumn("band_val", F.expr("code & band_id"))
     )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.expr("a.code ^ b.code"))

@@ -661,23 +661,21 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embed_clusters_sql() -> str:
+    from cassandra_syncer_spark.operators import adaptive_bands as ab
     from cassandra_syncer_spark.queries.analytics_r5e import (
         _CODE_DUCK,
-        _EMB_BAND_BITS,
-        _EMB_BANDS,
         _EMB_HAMMING_MAX,
     )
 
+    g_case = ab.geometry_case(ab.EMB_NARROW, ab.EMB_WIDE, ab.EMB_THRESHOLD, duck=True)
     return f"""
     WITH RECURSIVE e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     c AS (SELECT vec_id, {_CODE_DUCK} AS code FROM e),
-    bands AS (
-      SELECT vec_id, code, b.k AS band_id,
-             (code >> ({_EMB_BAND_BITS} * b.k)) & {(1 << _EMB_BAND_BITS) - 1} AS band_val
-      FROM c, (SELECT unnest(range({_EMB_BANDS})) AS k) b
-    ),
+    g AS (SELECT {g_case} AS masks FROM embeddings),
+    bands0 AS (SELECT vec_id, code, unnest(g.masks) AS band_id FROM c, g),
+    bands AS (SELECT vec_id, code, band_id, code & band_id AS band_val FROM bands0),
     cand AS (
       SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
       FROM bands a JOIN bands b
@@ -700,7 +698,8 @@ def _embed_clusters_sql() -> str:
 @register("dedup_embed_clusters", oracle=_embed_clusters_sql())
 def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEMANTIC dedup end to end: the ``dedup_embed_simhash`` candidate
-    stage (63-bit sign codes, 7×9-bit bands, Hamming ≤ 16 verify)
+    stage (63-bit sign codes, corpus-derived band geometry —
+    operators/adaptive_bands.py — Hamming ≤ 16 verify)
     chained into connected components over the surviving pairs — the
     embedding-space parallel of the text chain
     ``text_minhash_dedup → dedup_cluster_components``, and the missing
@@ -716,25 +715,26 @@ def dedup_embed_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction.  Oracle: identical band formulas + recursive
     transitive-closure CTE.
     """
+    from cassandra_syncer_spark.operators import adaptive_bands as ab
     from cassandra_syncer_spark.operators.components import connected_components
     from cassandra_syncer_spark.queries.analytics_r5e import (
         _CODE_SPARK,
-        _EMB_BAND_BITS,
-        _EMB_BANDS,
         _EMB_HAMMING_MAX,
     )
 
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    bands = e.select("vec_id", F.expr(_CODE_SPARK).alias("code")).select(
-        "vec_id",
-        "code",
+    geom = T(spark, sf_dir, "embeddings").agg(
         F.expr(
-            f"posexplode(transform(sequence(0, {_EMB_BANDS - 1}),"
-            f" k -> shiftright(code, {_EMB_BAND_BITS} * k)"
-            f" & {(1 << _EMB_BAND_BITS) - 1}))"
-        ).alias("band_id", "band_val"),
+            ab.geometry_case(ab.EMB_NARROW, ab.EMB_WIDE, ab.EMB_THRESHOLD, duck=False)
+        ).alias("masks")
+    )
+    bands = (
+        e.select("vec_id", F.expr(_CODE_SPARK).alias("code"))
+        .crossJoin(F.broadcast(geom))
+        .select("vec_id", "code", F.explode("masks").alias("band_id"))
+        .withColumn("band_val", F.expr("code & band_id"))
     )
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.expr("a.code ^ b.code"))

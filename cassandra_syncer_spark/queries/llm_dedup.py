@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_syncer_spark.operators import adaptive_bands as ab
 from cassandra_syncer_spark.operators import fingerprint as fp
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
@@ -531,29 +532,42 @@ _SIMHASH_CTE_DUCK = f"""
 """
 
 
-@register(
-    "dedup_simhash",
-    oracle=_SIMHASH_CTE_DUCK
-    + """
+def _simhash_adaptive_oracle() -> str:
+    g_case = ab.geometry_case(ab.DOC_NARROW, ab.DOC_WIDE, ab.DOC_THRESHOLD, duck=True)
+    return f"""
+    WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=True)} AS words FROM documents),
+    sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=True)} AS sh0 FROM w),
+    h AS (SELECT doc_id, {fp.shingle_hash_array("sh0", duck=True)} AS harr FROM sgl),
+    sig AS (SELECT doc_id, CAST({fp.simhash_expr('harr', duck=True)} AS BIGINT) AS sh FROM h),
+    g AS (SELECT {g_case} AS masks FROM documents),
+    {ab.bands_cte('sig', 'doc_id', 'sh', duck=True)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= 3
-    """,
-)
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_adaptive_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 32-bit signature over 3-word-shingle hashes,
-    banded into 4 bytes; candidate pairs share ≥1 byte-band, verified by
-    Hamming distance ≤ 3.
+    candidate pairs share ≥1 band key, verified by Hamming distance ≤ 3.
 
     Two lessons encoded here (both measured at sf0.1):
     - the signal must be shingles, not distinct words — this corpus shares
       one small vocabulary, so word-set simhashes degenerate (6.3M "near
       dup" pairs); shingle simhashes yield 230;
-    - band width is the scale lever: 256 buckets/band keeps buckets
-      ~corpus/256 so the verify join stays near-linear (4-bit nibble bands
-      measured 19 s from quadratic bucket pairs).
+    - band width is the scale lever: fixed-width bands accrue chance
+      collisions ~N²/2^w (the α≈1.22 residual SCALING.md measured at the
+      sf10 replica), so the band GEOMETRY is corpus-derived
+      (operators/adaptive_bands.py): below 4096 docs, 4 disjoint byte
+      bands; above, the Manku block-combination geometry — 56 tables
+      keyed on 20 bits (8 nibbles choose 5) — returns bucket occupancy
+      to ~constant.  Both geometries guarantee every Hamming≤3 pair a
+      shared key (pigeonhole), so the OUTPUT is geometry-invariant and
+      bit-identical across the switch; the 1-row geometry aggregate
+      broadcasts, never collects.
 
     Scale shape: candidate pairs come from a bucket-local SELF-JOIN on
     (band_id, band_val) — never a per-bucket ``collect_list``, which would
@@ -567,17 +581,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter passes were measured serialized onto one task at sf0.1 (one
     # parquet row group); no-op at scale (session.fan_out)
     fan_out(T(spark, sf_dir, "documents"), spark).createOrReplaceTempView("documents")
+    g_case = ab.geometry_case(ab.DOC_NARROW, ab.DOC_WIDE, ab.DOC_THRESHOLD, duck=False)
     return spark.sql(
         f"""
         WITH w AS (SELECT doc_id, {fp.words_expr("text", duck=False)} AS words FROM documents),
         sgl AS (SELECT doc_id, {fp.shingles_expr("words", duck=False)} AS sh0 FROM w),
         h AS (SELECT doc_id, {fp.shingle_hash_array("sh0", duck=False)} AS harr FROM sgl),
         sig AS (SELECT doc_id, CAST({fp.simhash_expr('harr', duck=False)} AS BIGINT) AS sh FROM h),
-        bands AS (
-          SELECT doc_id, sh, k AS band_id,
-                 (sh div cast(pow(256, k) as bigint)) % 256 AS band_val
-          FROM sig LATERAL VIEW explode(sequence(0, 3)) t AS k
-        )
+        g AS (SELECT {g_case} AS masks FROM documents),
+        {ab.bands_cte('sig', 'doc_id', 'sh', duck=False)}
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                CAST(bit_count(a.sh ^ b.sh) AS BIGINT) AS hamming
         FROM bands a JOIN bands b

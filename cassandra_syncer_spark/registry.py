@@ -57,73 +57,32 @@ REGISTRY: dict[str, QuerySpec] = {}
 #: have never had a driver row, then the full r1/r2-stale blocks (oldest
 #: first).  Everything with a round-3+ green row rotates to the tail.
 PRIORITY: tuple[str, ...] = (
-    # Round-10 rotation (this round): CORRECTNESS_r09 consumed the first 50
-    # ids of the round-9 order (sections 0-1 plus 40 of section 2); those
-    # rotate to the tail.  Front block now:
-    #   0. ids whose DEFINITION changed in round 10 — none yet (the round-10
-    #      ADVICE fixes touched scripts/tests/bench only);
-    #   1. ids NEW in round 10: the row-returning split-null join;
-    #   2. the 34 never-driver-checked leftovers of the round-9 window
-    #      (original order) — this burns the never-checked backlog to ZERO;
-    #   3. the oldest driver-green block (last driver row = round 3, 43 ids,
-    #      VERDICT r9 order) starts re-verification with the ~15 window
-    #      slots that remain; the ~28 overflow ids lead round 11's window
-    #      automatically (they stay listed ahead of the unlisted tail).
-    # -- 1: new in round 10 --------------------------------------------------
+    # Round-11 rotation: CORRECTNESS_r10 consumed the round-10 window
+    # (the new row join, all 34 never-checked leftovers — backlog now
+    # ZERO — and the first 15 of the r3-stale block); those rotate to the
+    # tail.  Front block now:
+    #   0. ids whose CODE changed in round 11 — the corpus-derived band
+    #      geometry family (operators/adaptive_bands.py; dedup_simhash and
+    #      sim_hamming_ann are output-invariant by construction,
+    #      dedup_embed_simhash/_clusters change only above the 16384-vector
+    #      threshold, i.e. not at driver scale) and the block-chunked
+    #      null-spool escape (join_null_safe_rows; cap >> driver scale, so
+    #      output identical) — hashes MUST stay green on the new code;
+    #   1. ids NEW in round 11: the knn-graph multi-probe recall curve;
+    #   2. the 28 r3-stale leftovers of the round-10 window (original
+    #      order) — closes the r3 block, oldest-evidence floor moves to r4;
+    #   3. the r4-stale block (39 registered ids, last driver row = round
+    #      4): the ~16 remaining window slots start it; the overflow leads
+    #      round 12's window automatically.
+    # -- 0: definition/code changed in round 11 ------------------------------
+    "dedup_simhash",
+    "dedup_embed_simhash",
+    "dedup_embed_clusters",
+    "sim_hamming_ann",
     "join_null_safe_rows",
-    # -- 2: never driver-checked (round-9 window overflow, original order) --
-    "sample_systematic_stride",
-    "feat_hashing_trick",
-    "win_hampel_filter",
-    "events_interarrival_hdr",
-    "events_did_lift",
-    "events_bot_gate",
-    "join_null_safe_keys",
-    "events_power_mde",
-    "agg_bootstrap_ci",
-    "sample_neyman_allocation",
-    "feat_woe_encode",
-    "graph_link_prediction_ra",
-    "agg_median_selection",
-    "corpus_zipf_octave_fit",
-    "events_entropy_profile",
-    "stream_session_window",
-    "audit_column_profile",
-    "agg_trimmed_mean_selection",
-    "events_seasonal_decompose",
-    "text_readability_flesch",
-    "corpus_burstiness_dispersion",
-    "shard_pack_partitioned",
-    "cdc_apply_changelog",
-    "audit_constraint_violations",
-    "text_ngram_entropy_rate",
-    "graph_component_size_histogram",
-    "agg_histogram_equidepth",
-    "sample_stratified_neyman_draw",
-    "events_adstock_decay",
-    "sim_ivf_probe_curve",
-    "corpus_heaps_fit",
-    "events_ratio_metric_ci",
-    "events_anomaly_seasonal_adjusted",
-    "mix_kl_divergence_target",
-    # -- 3: oldest driver-green rows (last driver row = r3; re-verify oldest
-    #       first — the first ~15 fit the round-10 window, the rest lead
-    #       round 11) ------------------------------------------------------
-    "agg_bool_any_all",
-    "agg_count_distinct",
-    "agg_mode_freq",
-    "agg_stats_corr",
-    "decontam_ngram_overlap",
-    "dedup_exact_canonical",
-    "dedup_incremental_minhash",
-    "embed_quantize_int8",
-    "events_attribution",
-    "events_funnel",
-    "feat_standardize",
-    "feat_winsorize",
-    "filter_exists",
-    "filter_in_set",
-    "filter_predicate",
+    # -- 1: new in round 11 ---------------------------------------------------
+    "sim_knn_graph_multiprobe",
+    # -- 2: the r3-stale block (round-10 window overflow, original order) ----
     "filter_regex",
     "join_bucketed_colocated",
     "join_range_banded_anti",
@@ -152,6 +111,46 @@ PRIORITY: tuple[str, ...] = (
     "text_repetition_filter",
     "win_cume_dist",
     "win_ntile_bucket",
+    # -- 3: the r4-stale block (last driver row = r4, oldest-first) ----------
+    "agg_collect_snapshot",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_partial_merge",
+    "agg_rollup",
+    "corpus_token_histogram",
+    "dedup_exact",
+    "doc_chunk_split",
+    "embed_matryoshka_truncate",
+    "events_retention",
+    "join_asof",
+    "join_asof_forward",
+    "max_by_key",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "sample_hash",
+    "scd2_history",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "sim_range_search",
+    "sink_parquet",
+    "sort_order_by",
+    "stats_summary",
+    "topk_limit",
+    "win_first_last",
+    "win_lag_lead",
+    "win_range_interval",
+    "win_rownum_latest",
+    "win_running_frame",
+    "win_session",
+    "win_streak_islands",
+    "win_tumbling",
 )
 
 

@@ -181,4 +181,74 @@ print(
         ),
     }
 )
+
+# --- both-spools-past-cap: the block-chunked NULL×NULL escape -----------
+# join_null_safe_rows broadcasts the smaller null spool whole while it
+# fits the cap; when BOTH spools outgrow it the cross must block-chunk
+# (analytics_r10._chunked_null_cross): the smaller spool splits into
+# key-modulus chunks of <= cap rows, each broadcast against the bigger
+# spool partition-locally.  2M × 200 null rows with the cap forced to 50
+# → 4 broadcast chunks, 400M output rows; measured against the
+# whole-spool broadcast of the SAME spools (the legal plan at this size),
+# so the delta IS the chunking overhead.  The naive `<=>` contrast for
+# the null block is the row-form pair above (single bucket).
+from cassandra_syncer_spark.queries.analytics_r10 import _chunked_null_cross
+
+big_null = spark.range(2_000_000).select(F.col("id").alias("o_orderkey"))
+small_null = spark.range(200).select(F.col("id").alias("c_custkey"))
+big_null.write.mode("overwrite").parquet("/tmp/nullskew_bigspool")
+small_null.write.mode("overwrite").parquet("/tmp/nullskew_smallspool")
+bspool = spark.read.parquet("/tmp/nullskew_bigspool")
+sspool = spark.read.parquet("/tmp/nullskew_smallspool")
+CAP = 50
+N_SMALL = sspool.count()
+N_CHUNKS = -(-N_SMALL // CAP)
+
+chunked_df = _chunked_null_cross(bspool, sspool, "c_custkey", N_SMALL, CAP)
+# output identity + plan laws before timing: the chunked cross produces
+# exactly |big| x |small| rows, through N_CHUNKS broadcast crosses, with
+# no CartesianProduct and NO hash shuffle anywhere (the single-bucket
+# null straggler is structurally impossible at any spool size)
+assert chunked_df.count() == bspool.count() * N_SMALL
+_plan = chunked_df._jdf.queryExecution().executedPlan().toString()
+assert "CartesianProduct" not in _plan, _plan
+assert "hashpartitioning" not in _plan, _plan
+assert (
+    sum(
+        1
+        for ln in _plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and "Cross" in ln
+    )
+    == N_CHUNKS
+), _plan
+
+
+def whole_broadcast_spool():
+    bspool.crossJoin(F.broadcast(sspool)).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
+def chunked_spool():
+    _chunked_null_cross(bspool, sspool, "c_custkey", N_SMALL, CAP).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+
+whole_broadcast_spool(), chunked_spool()
+_, t_whole = timed(whole_broadcast_spool)
+_, t_whole2 = timed(whole_broadcast_spool)
+_, t_chunk = timed(chunked_spool)
+_, t_chunk2 = timed(chunked_spool)
+print(
+    {
+        "chunked_cross_rows": 2_000_000 * N_SMALL,
+        "n_chunks": N_CHUNKS,
+        "whole_broadcast_s": min(t_whole, t_whole2),
+        "chunked_s": min(t_chunk, t_chunk2),
+        "chunk_overhead_x": round(
+            min(t_chunk, t_chunk2) / min(t_whole, t_whole2), 2
+        ),
+    }
+)
 spark.stop()
