@@ -69,7 +69,11 @@ FLAGSHIPS = [
         "dedup_simhash",
         "r4 rewrite: candidate pairs via bucket-local SELF-JOIN on "
         "(band_id, band_val) — no per-bucket collect_list row, ReusedExchange "
-        "plans the signature stage once, AQE skew-split applies to hot bands",
+        "plans the signature stage once, AQE skew-split applies to hot bands; "
+        "r11: the 1-row corpus-count aggregate broadcast (BNLJ cross) picks "
+        "the band geometry — small corpora keep disjoint bands, large ones "
+        "switch to Manku block-combination masks so chance collisions stop "
+        "growing ~N²/2^w (259× fewer candidate pairs at the 500k-doc replica)",
     ),
     (
         "q21_late_suppliers",
@@ -128,13 +132,18 @@ FLAGSHIPS = [
         "sim_hamming_ann",
         "binary-code ANN: 8-byte sign codes, probe side broadcast (BNLJ), "
         "corpus never shuffles; distance is XOR+popcount, 32× narrower than "
-        "the float scan (r5)",
+        "the float scan (r5); r11: banded short-circuit — probes whose "
+        "radius-6 mask buckets hold ≥5 candidates answer from buckets "
+        "(provably equal to brute top-5 by the pigeonhole exact-recall "
+        "radius), brute fallback keeps the exact contract on sparse probes",
     ),
     (
         "dedup_embed_simhash",
         "banded sign-code near-dup: the candidate join touches 8-byte codes "
         "only (band shuffle 32x narrower than the vectors); float vectors "
-        "join back for surviving candidates only",
+        "join back for surviving candidates only; r11: band geometry derived "
+        "from the 1-row corpus-count broadcast (same masks in the DuckDB "
+        "oracle — lockstep), bucket occupancy ~constant at any corpus size",
     ),
     (
         "win_sliding_distinct",
