@@ -189,21 +189,28 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount, SIMD-friendly JVM intrinsics instead of a 64-term float
     dot product.
 
-    Round-11 adaptive plan — banded short-circuit, brute fallback:
-    probes whose corpus-derived band buckets (operators/adaptive_bands.py,
-    the dedup_embed_simhash geometry) already hold >= 5 neighbors within
-    Hamming 6 are answered FROM THE BUCKETS: banding recall at radius 6
-    is exact under both geometries (pigeonhole), so every vector at
-    Hamming <= 6 is a candidate, and if 5+ exist the global top-5 is
-    among them — provably identical to the brute answer.  Only the
-    remaining probes fall back to the probes-x-corpus XOR scan.  On a
-    dup-dense corpus (the regime a 100 TB crawl dedup actually runs in)
-    nearly every probe short-circuits and the job is ~linear in the
-    corpus; on a near-dup-free corpus it degrades gracefully to the
-    brute scan plus a banding pass.  Because the output is
-    bit-identical either way, the ORACLE stays the plain brute-force
-    SQL — the parity gate therefore re-proves the short-circuit's
-    exactness at every scale factor it runs at.
+    Round-11 adaptive plan — banded short-circuit, brute fallback,
+    CORPUS-COUNT GATED: probes whose corpus-derived band buckets
+    (operators/adaptive_bands.py, the dedup_embed_simhash geometry)
+    already hold >= 5 neighbors within Hamming 6 are answered FROM THE
+    BUCKETS: banding recall at radius 6 is exact (pigeonhole), so every
+    vector at Hamming <= 6 is a candidate, and if 5+ exist the global
+    top-5 is among them — provably identical to the brute answer.  Only
+    the remaining probes fall back to the probes-x-corpus XOR scan.  On
+    a dup-dense corpus (the regime a 100 TB crawl dedup actually runs
+    in) nearly every probe short-circuits and the job is ~linear in the
+    corpus.  The whole banded dataflow engages only past
+    ``ab.EMB_THRESHOLD`` vectors — the same driver-side metadata count
+    that flips the band geometry (the join_null_safe_rows strategy-pick
+    precedent): below it the probes-x-corpus XOR scan is a few 10^4
+    comparisons and the banding pass is pure stage overhead (measured
+    2.91x the vanilla gate at sf0.1's 2k vectors when run
+    unconditionally — the round-11 bench repair), so the small-corpus
+    plan IS the brute scan.  Because the output is bit-identical either
+    way, the ORACLE stays the plain brute-force SQL — the parity gate
+    therefore re-proves the short-circuit's exactness at every scale
+    factor that crosses the threshold (sf1+; the forced-geometry test
+    covers it below).
 
     Sign binarization is deterministic (no trained codebook), so unlike
     the k-means/LSH variants this one IS oracle-checkable: both engines
@@ -227,6 +234,27 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", code.alias("code"))
     )
+    probes = c.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode")
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
+    # driver-side metadata count gates the banded dataflow: below the
+    # geometry threshold the brute scan is cheaper than the banding
+    # pass's fixed stage overhead, and the output is identical
+    n_corpus = T(spark, sf_dir, "embeddings").count()
+    if n_corpus < ab.EMB_THRESHOLD:
+        return (
+            F.broadcast(probes)
+            .join(c, F.col("vec_id") != F.col("probe_id"))
+            .select(
+                "probe_id",
+                "vec_id",
+                F.bit_count(F.expr("pcode ^ code")).cast("long").alias("hamming"),
+            )
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= 5)
+            .orderBy("probe_id", "rk")
+        )
     geom = T(spark, sf_dir, "embeddings").agg(
         F.expr(
             ab.geometry_case(ab.EMB_NARROW, ab.EMB_WIDE, ab.EMB_THRESHOLD, duck=False)
@@ -261,9 +289,6 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id"
     )
     short = cand6.join(F.broadcast(sat), "probe_id", "left_semi")
-    probes = c.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("probe_id"), F.col("code").alias("pcode")
-    )
     rest = probes.join(F.broadcast(sat), "probe_id", "left_anti")
     brute = (
         F.broadcast(rest)
@@ -275,7 +300,6 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = short.unionByName(brute)
-    w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)

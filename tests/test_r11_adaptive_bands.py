@@ -13,7 +13,9 @@ Four laws:
    exercised at test scale);
 4. ``sim_hamming_ann``'s banded short-circuit is exact: on a dup-dense
    corpus where probes saturate (>=5 neighbors within Hamming 6) the
-   adaptive plan must return exactly the brute-force top-5.
+   adaptive plan must return exactly the brute-force top-5 — on both
+   sides of the corpus-count gate that keeps small corpora (where the
+   banding pass is pure stage overhead) on the plain brute plan.
 """
 
 from __future__ import annotations
@@ -147,16 +149,22 @@ def _write_dup_dense_embeddings(spark, out_dir: str) -> None:
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
 
 
-@pytest.mark.parametrize("force_wide", [False, True])
-def test_hamming_ann_short_circuit_exact(spark, tmp_path, monkeypatch, force_wide):
+@pytest.mark.parametrize("force_adaptive", [False, True])
+def test_hamming_ann_short_circuit_exact(
+    spark, tmp_path, monkeypatch, force_adaptive
+):
     """On a dup-dense corpus where probe 0 saturates (6 neighbors within
-    Hamming 6) and probe 100 does not, the adaptive sim_hamming_ann must
-    equal the brute-force reference exactly — under both geometries."""
+    Hamming 6) and probe 100 does not, sim_hamming_ann must equal the
+    brute-force reference exactly on BOTH sides of the corpus-count
+    gate: default threshold (150 < 16384 → the pure-brute small-corpus
+    plan) and forced-zero threshold (wide geometry + banded
+    short-circuit + brute fallback all live, both legs exercised since
+    probe 0 saturates and probe 100 does not)."""
     from cassandra_syncer_spark.queries.analytics_r5c import sim_hamming_ann
 
     sf = str(tmp_path)
     _write_dup_dense_embeddings(spark, sf)
-    if force_wide:
+    if force_adaptive:
         monkeypatch.setattr(ab, "EMB_THRESHOLD", 0)
     got = sorted(map(tuple, sim_hamming_ann(spark, sf).collect()))
 
