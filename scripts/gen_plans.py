@@ -132,10 +132,12 @@ FLAGSHIPS = [
         "sim_hamming_ann",
         "binary-code ANN: 8-byte sign codes, probe side broadcast (BNLJ), "
         "corpus never shuffles; distance is XOR+popcount, 32× narrower than "
-        "the float scan (r5); r11: banded short-circuit — probes whose "
-        "radius-6 mask buckets hold ≥5 candidates answer from buckets "
-        "(provably equal to brute top-5 by the pigeonhole exact-recall "
-        "radius), brute fallback keeps the exact contract on sparse probes",
+        "the float scan (r5); r11: past the corpus-count gate "
+        "(EMB_THRESHOLD, driver-side metadata count) a banded short-circuit "
+        "answers saturated probes from radius-6 mask buckets (provably equal "
+        "to brute top-5 by pigeonhole), brute fallback for sparse probes — "
+        "below the gate (this sf) the plan IS the brute scan, since 20×200 "
+        "XORs cost less than the banding pass's stage overhead",
     ),
     (
         "dedup_embed_simhash",
