@@ -33,9 +33,14 @@ Cost model behind the thresholds (T tables, w-bit keys, corpus N):
 banding rows = T*N, chance pairs ~ T * N^2 / 2^(w+1).  The wide geometry
 wins once the narrow geometry's chance-pair term passes the wide
 geometry's table fan-out — ~7k docs for the 32-bit document simhash,
-~12k vectors for the 63-bit embedding sign code; thresholds are set just
-below (4096 / 16384) so the committed sf0.1 parity artifact exercises the
-wide document path and sf1+ exercises the wide embedding path.
+~12k vectors for the 63-bit embedding sign code; thresholds sit just
+below the crossovers (6144 / 16384), so every corpus pays whichever
+geometry is cheaper FOR IT (round 11 initially pinned DOC_THRESHOLD at
+4096 to push the wide path into the sf0.1 parity artifact, which tripled
+dedup_simhash at driver scale for no recall gain; the wide paths are now
+artifact-proven instead by the 10x-replica parity sweep
+``PARITY_SF1_r11.json`` — 50k docs / 20k vectors, both wide geometries
+live — so driver scale keeps the narrow plan it should have).
 """
 
 from __future__ import annotations
@@ -61,7 +66,7 @@ def combo_masks(n_blocks: int, block_bits: int, agree_blocks: int) -> list[int]:
 #: Hamming<=3 pair a shared key, and the final cut keeps only those.
 DOC_NARROW: list[int] = combo_masks(4, 8, 1)
 DOC_WIDE: list[int] = combo_masks(8, 4, 5)
-DOC_THRESHOLD = 4096
+DOC_THRESHOLD = 6144
 
 #: 63-bit embedding sign code, pigeonhole guarantee radius 6
 #: (analytics_r5e.dedup_embed_simhash / analytics_r5c.sim_hamming_ann):

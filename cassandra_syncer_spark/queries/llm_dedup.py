@@ -561,7 +561,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     - band width is the scale lever: fixed-width bands accrue chance
       collisions ~N²/2^w (the α≈1.22 residual SCALING.md measured at the
       sf10 replica), so the band GEOMETRY is corpus-derived
-      (operators/adaptive_bands.py): below 4096 docs, 4 disjoint byte
+      (operators/adaptive_bands.py): below 6144 docs, 4 disjoint byte
       bands; above, the Manku block-combination geometry — 56 tables
       keyed on 20 bits (8 nibbles choose 5) — returns bucket occupancy
       to ~constant.  Both geometries guarantee every Hamming≤3 pair a
