@@ -270,16 +270,25 @@ def test_cli_query_surface(tmp_path):
     assert bad.returncode == 2
 
 
-def test_bench_contract_smoke():
+def test_bench_contract_smoke(tmp_path):
     """bench.py is a per-round driver artifact (BENCH_r{N}.json) — a crash
     burns the round's perf evidence (BENCH_r03 was exactly that).  Run it
     end-to-end at the smallest fixture and assert the output contract:
     rc 0, last stdout line is one JSON object with the required keys, all
-    timings positive, and every baseline ratio present is finite."""
+    timings positive, and every baseline ratio present is finite.  The
+    detail artifact goes to a temp path: the committed driver-scale
+    BENCH_DETAIL.json must NOT be clobbered by an sf0.001 suite run
+    (which is exactly what happened in round 11 — the artifact silently
+    became the smoke run's numbers)."""
     import json
     import os
 
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    detail_out = str(tmp_path / "BENCH_DETAIL_SMOKE.json")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_DETAIL_OUT=detail_out,
+    )
     out = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
@@ -302,8 +311,7 @@ def test_bench_contract_smoke():
     assert all(r > 0 for r in d["ratio_vs_baseline_same_session"].values())
     # full artifact (incl. absolute vanilla timings + forcing notes) lands
     # in the side file
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_DETAIL.json")) as fh:
+    with open(detail_out) as fh:
         detail = json.load(fh)
     assert "baseline_same_session" in detail and "forcing" in detail
 
