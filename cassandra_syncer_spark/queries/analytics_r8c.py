@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cassandra_syncer_spark.queries.analytics_r8b import _SEL_BUCKET
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
 
@@ -59,60 +60,121 @@ def agg_trimmed_mean_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery generalized to trimmed statistics (the robust mean
     `feat_winsorize` clamps toward, here computed exactly): drop the k
     = n/20 smallest and largest rows per group and average the middle.
-    The tail sums come from the (group, value) COUNT table — cumulative
-    count locates each cut value, cumulative VALUE-SUM gives the tail
-    below it, and the partial tie slice is (k − count_below)·v_cut —
-    so no corpus row is ever sorted; the oracle is the row_number()
-    formulation (a per-group sort of all rows), fully independent.
+    The tail sums come from cumulative counts and VALUE-SUMS with the
+    partial tie slice (k − count_below)·v_cut — no corpus row is ever
+    sorted; the oracle is the row_number() formulation (a per-group
+    sort of all rows), fully independent.
 
-    Scale shape: scan → (group, vc) hash agg → domain-sized cumulative
-    windows (bounded by the centi-price grid, constant in corpus size)
-    → one selection agg per group.  Same plan cost at any row count.
+    Round-11 optimization (guide §2.3, same rewrite as
+    ``agg_median_selection``): the round-8 form built the FULL
+    (group, value) grid, which on the nearly-all-distinct centi-price
+    data reduced nothing (594 k grid rows from 600 k inputs at sf0.1)
+    and funneled the grid into 3-partition windows.  Phase 1 now
+    aggregates into coarse ``vc div 4096`` buckets (map-side combined,
+    tiny shuffle), locates each tail's cut BUCKET via a domain-sized
+    prefix window, and phase 2 re-applies the round-8 row-level tail
+    formulas over ONLY the ≤2 cut buckets per group, rebuilding the
+    global prefixes from broadcast bucket offsets — value-identical
+    output (verified at every SF), ~1/2,600 of the grid work.
+
+    Scale shape: scan → (group, bucket) mergeable histogram (bounded
+    by the bucket grid, constant in corpus size) → tiny prefix window
+    → broadcast cut spec → filtered second scan over the cut buckets.
     """
-    g = (
-        T(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_returnflag").alias("grp"),
-            F.round(F.lit(100) * F.col("l_extendedprice")).cast("long").alias("vc"),
-        )
-        .groupBy("grp", "vc")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("vsum", F.col("cnt") * F.col("vc"))
+    v = T(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.lit(100) * F.col("l_extendedprice")).cast("long").alias("vc"),
+    )
+    bkt = F.expr(f"vc div {_SEL_BUCKET}")
+    h = v.groupBy("grp", bkt.alias("bkt")).agg(
+        F.count(F.lit(1)).alias("c"), F.sum("vc").alias("s")
     )
     wg = Window.partitionBy("grp")
-    wc = Window.partitionBy("grp").orderBy("vc").rowsBetween(
+    wc = Window.partitionBy("grp").orderBy("bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    c = g.select(
+    hh = (
+        h.select(
+            "grp",
+            "bkt",
+            "c",
+            "s",
+            F.sum("c").over(wg).alias("n"),
+            F.sum("s").over(wg).alias("total"),
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("s").over(wc).alias("cums"),
+        )
+        .withColumn("k", F.expr("n div 20"))
+    )
+    # per tail: its cut BUCKET plus the global count/value prefixes strictly
+    # below that bucket, so phase 2 can reconstruct the round-8 row-level
+    # formulas verbatim (min_by/max_by ignore the NULL keys of non-cut rows)
+    cuts = hh.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.max("total").alias("total"),
+        F.expr(
+            "min_by(named_struct('b', bkt, 'cb', cum - c, 'sb', cums - s),"
+            " CASE WHEN cum >= k THEN bkt END)"
+        ).alias("lo"),
+        F.expr(
+            "max_by(named_struct('b', bkt, 'cb', cum - c, 'sb', cums - s),"
+            " CASE WHEN n - (cum - c) >= k THEN bkt END)"
+        ).alias("hi"),
+    )
+    cuts = cuts.select(
         "grp",
-        "vc",
-        "cnt",
-        "vsum",
-        F.sum("cnt").over(wg).alias("n"),
-        F.sum("vsum").over(wg).alias("total"),
-        F.sum("cnt").over(wc).alias("cum"),
-        F.sum("vsum").over(wc).alias("cumv"),
-    ).withColumn("k", F.expr("n div 20"))
-    # lower tail: the cut row is the FIRST value whose cumulative count
-    # reaches k; the k-smallest sum is (value-sum strictly below the cut)
-    # + (k - count below) * cut value.  min_by/max_by fetch the formula AT
-    # the cut row (min-of-the-formula would mix rows).  k=0 degenerates to
-    # the first/last row where both terms are exactly 0.
-    sel = c.groupBy("grp").agg(
+        "n",
+        "k",
+        "total",
+        F.col("lo.b").alias("b1"),
+        F.col("lo.cb").alias("cb1"),
+        F.col("lo.sb").alias("sb1"),
+        F.col("hi.b").alias("b2"),
+        F.col("hi.cb").alias("cb2"),
+        F.col("hi.sb").alias("sb2"),
+    )
+    sub = (
+        v.join(F.broadcast(cuts), "grp")
+        .withColumn("lbkt", bkt)
+        .filter((F.col("lbkt") == F.col("b1")) | (F.col("lbkt") == F.col("b2")))
+    )
+    g2 = sub.groupBy(
+        "grp", "vc", "lbkt", "n", "k", "total",
+        "b1", "cb1", "sb1", "b2", "cb2", "sb2",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    g2 = g2.withColumn("vsum", F.col("cnt") * F.col("vc"))
+    wl = Window.partitionBy("grp", "lbkt").orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g2 = (
+        g2.withColumn("lcum", F.sum("cnt").over(wl))
+        .withColumn("lcumv", F.sum("vsum").over(wl))
+        # global prefixes at this grid row, rebuilt from the bucket offsets —
+        # identical to the round-8 full-grid cum/cumv wherever they are used
+        .withColumn("gcum", F.expr("IF(lbkt = b1, cb1, cb2) + lcum"))
+        .withColumn("gcumv", F.expr("IF(lbkt = b1, sb1, sb2) + lcumv"))
+    )
+    # the round-8 row-level tail formulas, evaluated only over the ≤2 cut
+    # buckets per group; the lower cut row (first gcum >= k) lives in b1 and
+    # the upper cut row (last with n - (gcum - cnt) >= k) lives in b2 by
+    # construction of the bucket cuts, so restricting the scan is lossless.
+    # k=0 degenerates to the group's first/last row where both terms are 0.
+    sel = g2.groupBy("grp").agg(
         F.max("n").cast("long").alias("n"),
         F.max("k").cast("long").alias("k"),
         F.max("total").cast("long").alias("total"),
         F.expr(
-            "min_by(CASE WHEN cum >= k THEN (cumv - vsum)"
-            " + (k - (cum - cnt)) * vc END,"
-            " CASE WHEN cum >= k THEN vc END)"
+            "min_by(CASE WHEN lbkt = b1 AND gcum >= k THEN (gcumv - vsum)"
+            " + (k - (gcum - cnt)) * vc END,"
+            " CASE WHEN lbkt = b1 AND gcum >= k THEN vc END)"
         )
         .cast("long")
         .alias("sum_low"),
         F.expr(
-            "max_by(CASE WHEN n - (cum - cnt) >= k THEN (total - cumv)"
-            " + (k - (n - cum)) * vc END,"
-            " CASE WHEN n - (cum - cnt) >= k THEN vc END)"
+            "max_by(CASE WHEN lbkt = b2 AND n - (gcum - cnt) >= k"
+            " THEN (total - gcumv) + (k - (n - gcum)) * vc END,"
+            " CASE WHEN lbkt = b2 AND n - (gcum - cnt) >= k THEN vc END)"
         )
         .cast("long")
         .alias("sum_high"),

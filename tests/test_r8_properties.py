@@ -270,10 +270,47 @@ def test_median_selection_matches_percentile_on_random_frames(spark):
     assert sel == ref
 
 
-def test_median_selection_plan_no_join(spark, sf_dir):
+def test_median_selection_two_phase_on_random_frames(spark, tmp_path):
+    """The REAL two-phase agg_median_selection == sort-based percentile
+    on random frames: ties, odd/even group sizes, values spanning many
+    coarse buckets AND values packed into one bucket (cut-at-boundary
+    and same-bucket-cuts edge cases of the round-11 rewrite)."""
+    all_queries()
+    from cassandra_syncer_spark.queries.analytics_r8b import agg_median_selection
+
+    rng = random.Random(17)
+    rows = []
+    for grp, size, spread in [("A", 401, 5_000_000), ("B", 38, 900), ("C", 7, 40.95)]:
+        for _ in range(size):
+            rows.append((grp, rng.random() * spread))
+    df = spark.createDataFrame(rows, "l_returnflag string, l_extendedprice double")
+    out = str(tmp_path / "med")
+    df.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    got = {r.l_returnflag: (r.n_rows, r.med_centi_x2)
+           for r in agg_median_selection(spark, out).collect()}
+    ref = {
+        r.l_returnflag: (r.n, r.m)
+        for r in df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "CAST(round(2 * percentile(CAST(round(100 * l_extendedprice) AS BIGINT), 0.5)) AS BIGINT)"
+            ).alias("m"),
+        )
+        .collect()
+    }
+    assert got == ref
+
+
+def test_median_selection_plan_broadcast_cuts_only(spark, sf_dir):
+    """Round-11 two-phase shape: the only join is the BROADCAST of the
+    per-group cut spec onto the second scan (never a shuffled join of
+    corpus rows), and every Exchange carries bucket/cut-slice rows —
+    the full (group, value) grid is never shuffled."""
     p = _plan(spark, sf_dir, "agg_median_selection")
-    assert "Join" not in p, p
-    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
 
 
 # ---------------------------------------------------------------------------
@@ -488,10 +525,13 @@ def test_trimmed_mean_selection_matches_sorted_reference(spark):
         assert abs(r.trimmed_mean_r6 - expect) < 1e-6, (grp, r.trimmed_mean_r6, expect)
 
 
-def test_trimmed_mean_plan_no_corpus_sort(spark, sf_dir):
+def test_trimmed_mean_plan_broadcast_cuts_only(spark, sf_dir):
+    """Round-11 two-phase shape (see the median law above): broadcast
+    cut-spec join only, no shuffled/cartesian join of corpus rows."""
     p = _plan(spark, sf_dir, "agg_trimmed_mean_selection")
-    assert "Join" not in p, p
-    assert p.count("Exchange hashpartitioning") <= 2, p
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
 
 
 # ---------------------------------------------------------------------------
