@@ -60,6 +60,24 @@ def cells(df: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def cells_from_counts(counts: DataFrame) -> DataFrame:
+    """Fold a PRE-AGGREGATED (h, cnt) key-count table into sketch cells.
+
+    Identical cells to :func:`cells` over the underlying rows: the bucket
+    is a pure function of the key's base hash, so a cell's row count is
+    the sum of its keys' counts.  Lets batch queries that already compute
+    per-key exact counts pay ONE md5 per distinct key instead of one per
+    corpus row (round 11; the streaming microbatch fold keeps the
+    row-level :func:`cells`).
+    """
+    return (
+        counts.select("h", "cnt", F.explode(F.expr(f"sequence(0, {CMS_D - 1})")).alias("j"))
+        .select("j", F.expr(bucket_expr(duck=False)).alias("b"), "cnt")
+        .groupBy("j", "b")
+        .agg(F.sum("cnt").cast("long").alias("c"))
+    )
+
+
 def merge_cells(parts: DataFrame) -> DataFrame:
     """Merge partial sketches (any union of cells frames) by cell-wise sum."""
     return parts.groupBy("j", "b").agg(F.sum("c").cast("long").alias("c"))

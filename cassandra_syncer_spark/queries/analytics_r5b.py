@@ -487,13 +487,23 @@ def agg_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate join broadcasts — nothing downstream of the scan depends on
     corpus size.
     """
-    li = cms.keyed(T(spark, sf_dir, "lineitem"), "l_partkey")
+    # round-11 (guide §4.1/§2.3): the base hash is md5-derived and a pure
+    # function of the KEY, so fold rows to per-key counts FIRST (one cheap
+    # hash agg, no md5) and run the md5 once per DISTINCT key (20 k at
+    # sf0.1) instead of once per corpus row per pass (2 × 600 k before).
+    # cells derived from the count table are IDENTICAL by construction:
+    # every row of a key lands in the same buckets, so each cell's row
+    # count equals the sum of its keys' exact counts (cms.cells_from_counts
+    # — the streaming microbatch fold keeps the row-level cms.cells).
     bucket = F.expr(_cms_bucket(duck=False))
-    cells = cms.cells(T(spark, sf_dir, "lineitem"), "l_partkey")
-    exact = li.groupBy("k").agg(
-        F.any_value(F.col("h")).alias("h"),
-        F.count(F.lit(1)).cast("long").alias("exact_n"),
+    exact = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumn("h", F.expr(fp.hash32("k", duck=False)))
     )
+    cells = cms.cells_from_counts(exact.select("h", F.col("exact_n").alias("cnt")))
     from pyspark.sql.window import Window
 
     top5 = (

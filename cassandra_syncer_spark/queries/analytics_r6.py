@@ -102,8 +102,15 @@ def dedup_verify_pipeline(
     from cassandra_syncer_spark.queries.llm_dedup import _minhash_pairs
 
     cand = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # round-11: ONE doc-side projection carries BOTH verify inputs (word set
+    # for the Jaccard screen + edit prefix), so the chain attaches doc
+    # payloads with TWO joins instead of four and scans documents once —
+    # guide §2.4 (remove redundant exchanges/joins); results are identical
+    # because the screen filter and edit filter apply in the same order.
     docs = T(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(F.split("text", " ")).alias("uw")
+        "doc_id",
+        F.array_distinct(F.split("text", " ")).alias("uw"),
+        F.substring("text", 1, _EDIT_PREFIX).alias("pre"),
     )
     da, db = docs.alias("da"), docs.alias("db")
     inter = F.size(F.array_intersect(F.col("da.uw"), F.col("db.uw")))
@@ -115,25 +122,21 @@ def dedup_verify_pipeline(
             "doc_a",
             "doc_b",
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            F.col("da.pre").alias("pre_a"),
+            F.col("db.pre").alias("pre_b"),
         )
         .filter(F.col("jaccard") >= jacc_min)
     )
-    pre = T(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, _EDIT_PREFIX).alias("pre")
-    )
-    pa, pb = pre.alias("pa"), pre.alias("pb")
     return (
-        survivors.join(pa, survivors.doc_a == F.col("pa.doc_id"))
-        .join(pb, survivors.doc_b == F.col("pb.doc_id"))
-        .select(
+        survivors.select(
             "doc_a",
             "doc_b",
             "jaccard",
             F.expr(
-                f"IF(pa.pre = pb.pre, 0L,"
-                f" CAST(levenshtein(pa.pre, pb.pre, {_EDIT_MAX}) AS BIGINT))"
+                f"IF(pre_a = pre_b, 0L,"
+                f" CAST(levenshtein(pre_a, pre_b, {_EDIT_MAX}) AS BIGINT))"
             ).alias("edit_dist"),
-            F.greatest(F.length("pa.pre"), F.length("pb.pre")).alias("mx"),
+            F.greatest(F.length("pre_a"), F.length("pre_b")).alias("mx"),
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _EDIT_MAX))
         .select(

@@ -373,15 +373,17 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cassandra_syncer_spark.queries.analytics_r5f import (
         _PQ_SUBS,
-        _pq_cols_spark,
+        _pq_code_exprs,
+        _pq_staged,
     )
     from pyspark.sql.window import Window
 
     e = T(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    code_cols = [c for c in _pq_cols_spark() if not c.startswith("round(")]
-    codes = e.selectExpr("vec_id", *code_cols)
+    # round-11: staged distance columns — one codebook copy in the plan
+    # instead of two per subspace (see analytics_r5f._pq_dist_cols_spark)
+    codes = _pq_staged(e).selectExpr("vec_id", *_pq_code_exprs())
     probes = e.filter(F.col("vec_id") < _ADC_QUERIES).selectExpr(
         "vec_id AS q_id", *_adc_lut_spark()
     )

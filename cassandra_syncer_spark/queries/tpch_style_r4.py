@@ -493,11 +493,22 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_s"),
-        F.countDistinct(late_supp).alias("n_l"),
-        F.max(late_supp).alias("sole_late_suppkey"),
+    # round-11: the double countDistinct planned an Expand that doubled the
+    # row stream (600 k → 1.2 M at sf0.1) before its shuffle.  Two-level
+    # aggregation answers both quantifiers with NO Expand and ONE exchange:
+    # hashpartitioning(l_orderkey) satisfies the (l_orderkey, l_suppkey)
+    # clustering too, so both aggs run on the same single shuffle.
+    per_pair = (
+        lo.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("is_late").alias("late_any"))
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_s"),
+        F.sum(F.when(F.col("late_any"), 1).otherwise(0)).alias("n_l"),
+        F.max(F.when(F.col("late_any"), F.col("l_suppkey"))).alias(
+            "sole_late_suppkey"
+        ),
     )
     waiters = per_order.filter((F.col("n_s") >= 2) & (F.col("n_l") == 1)).select(
         F.col("sole_late_suppkey").alias("l_suppkey")
