@@ -240,8 +240,12 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("probe_id").orderBy("hamming", "vec_id")
     # driver-side metadata count gates the banded dataflow: below the
     # geometry threshold the brute scan is cheaper than the banding
-    # pass's fixed stage overhead, and the output is identical
-    n_corpus = T(spark, sf_dir, "embeddings").count()
+    # pass's fixed stage overhead, and the output is identical.  Round 11:
+    # the count comes from parquet footers (exact, no scan job — the gate
+    # previously paid a full count() job per invocation)
+    from cassandra_syncer_spark.session import table_row_count
+
+    n_corpus = table_row_count(sf_dir, "embeddings")
     if n_corpus < ab.EMB_THRESHOLD:
         return (
             F.broadcast(probes)

@@ -95,8 +95,15 @@ def dedup_embed_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-byte codes, not 256-byte float vectors — vectors join back in only
     for the surviving candidates.
     """
-    e = T(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    from cassandra_syncer_spark.session import fan_out
+
+    # round-11: fan the sign-code + banding math across cores (the sf-scale
+    # scan is one parquet row group → one task); no-op at scale
+    e = fan_out(
+        T(spark, sf_dir, "embeddings").select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        ),
+        spark,
     )
     geom = T(spark, sf_dir, "embeddings").agg(
         F.expr(
@@ -128,12 +135,10 @@ def dedup_embed_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    from cassandra_syncer_spark.queries.llm_similarity import _dot
+
     va, vb = e.alias("va"), e.alias("vb")
-    dot = F.aggregate(
-        F.zip_with(F.col("va.v"), F.col("vb.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot(F.col("va.v"), F.col("vb.v"))
     return (
         cand.join(va, cand.vec_a == F.col("va.vec_id"))
         .join(vb, cand.vec_b == F.col("vb.vec_id"))

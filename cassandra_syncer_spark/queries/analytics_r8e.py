@@ -89,29 +89,38 @@ def agg_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(wc).alias("cum"),
         F.sum("cnt").over(wall).alias("n"),
     )
-    buckets = c.crossJoin(
-        F.broadcast(
-            spark.range(_DEPTH_K).select(F.col("id").cast("long").alias("i"))
+    # round-11 (guide §2.3): the k boundary selections used a ×k crossJoin
+    # of the whole domain grid (1.2 M rows at sf0.1) plus a groupBy(i)
+    # shuffle; the identical selections are ONE aggregation with 2k
+    # conditional mins over the grid, unpivoted to k rows afterwards —
+    # same CASE conditions, same integer positions, value-identical.
+    sel_exprs = [F.max("n").alias("n")]
+    for i in range(_DEPTH_K):
+        sel_exprs.append(
+            F.expr(
+                f"min(CASE WHEN cum >= ({i} * n) div {_DEPTH_K} + 1 THEN vc END)"
+            ).alias(f"lo{i}")
         )
-    )
-    b = buckets.groupBy("i").agg(
-        F.expr(
-            f"min(CASE WHEN cum >= (i * n) div {_DEPTH_K} + 1 THEN vc END)"
-        ).alias("lo_raw"),
-        F.expr(
-            f"min(CASE WHEN cum >= ((i + 1) * n) div {_DEPTH_K} THEN vc END)"
-        ).alias("hi_raw"),
-        F.expr(
-            f"((i + 1) * max(n)) div {_DEPTH_K} - (i * max(n)) div {_DEPTH_K}"
-        ).alias("depth_raw"),
+        sel_exprs.append(
+            F.expr(
+                f"min(CASE WHEN cum >= ({i + 1} * n) div {_DEPTH_K} THEN vc END)"
+            ).alias(f"hi{i}")
+        )
+    one = c.agg(*sel_exprs)
+    rows = ", ".join(
+        f"named_struct('bucket', CAST({i} AS BIGINT), 'lo_raw', lo{i},"
+        f" 'hi_raw', hi{i},"
+        f" 'depth_raw', ({i + 1} * n) div {_DEPTH_K} - ({i} * n) div {_DEPTH_K})"
+        for i in range(_DEPTH_K)
     )
     return (
-        b.filter(F.col("lo_raw").isNotNull())
+        one.select(F.explode(F.expr(f"array({rows})")).alias("b"))
+        .filter(F.col("b.lo_raw").isNotNull())
         .select(
-            F.col("i").alias("bucket"),
-            F.col("lo_raw").cast("long").alias("lo_centi"),
-            F.col("hi_raw").cast("long").alias("hi_centi"),
-            F.col("depth_raw").cast("long").alias("n_rows"),
+            F.col("b.bucket").alias("bucket"),
+            F.col("b.lo_raw").cast("long").alias("lo_centi"),
+            F.col("b.hi_raw").cast("long").alias("hi_centi"),
+            F.col("b.depth_raw").cast("long").alias("n_rows"),
         )
         .orderBy("bucket")
     )

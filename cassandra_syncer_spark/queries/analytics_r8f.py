@@ -337,14 +337,19 @@ def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("posc"),
     )
     wc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    wall = Window.partitionBy()
+    # round-11: the grand totals come from a 1-row aggregate broadcast
+    # instead of a second whole-partition window pass over the domain grid.
+    # (A bucket-parallel prefix for the cum window was measured and
+    # REJECTED: its extra exchanges cost more than the single-task walk
+    # saves on a domain-bounded grid — 1.14 s vs 0.80 s at sf0.1.)
+    totals = g.agg(
+        F.sum("cnt").alias("n"), F.sum("posc").alias("pos")
+    )
     c = g.select(
         "vc",
         F.sum("cnt").over(wc).alias("nl"),
         F.sum("posc").over(wc).alias("posl"),
-        F.sum("cnt").over(wall).alias("n"),
-        F.sum("posc").over(wall).alias("pos"),
-    )
+    ).crossJoin(F.broadcast(totals))
     scored = c.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n"))).select(
         "vc",
         "nl",
@@ -359,9 +364,15 @@ def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (CAST(n - nl AS DECIMAL(38,0)) * n) AS BIGINT)"
         ).alias("imp"),
     )
-    best = scored.withColumn(
-        "rn", F.row_number().over(Window.orderBy("imp", "vc"))
-    ).filter(F.col("rn") == 1)
+    # round-11: the argmin is a min_by aggregation (partial, map-side
+    # combined) — not a global row_number window, which forced one more
+    # single-partition sort of the whole domain grid
+    best = scored.agg(
+        F.expr(
+            "min_by(named_struct('vc', vc, 'imp', imp, 'nl', nl,"
+            " 'n', n, 'pos', pos), named_struct('imp', imp, 'vc', vc))"
+        ).alias("b")
+    ).select("b.vc", "b.imp", "b.nl", "b.n", "b.pos")
     return best.select(
         F.col("vc").alias("threshold_centi"),
         F.col("imp").alias("impurity_micro"),

@@ -162,6 +162,30 @@ def fan_out(df: DataFrame, spark: SparkSession, min_partitions: int | None = Non
     return df.repartition(n)
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a fixture table from parquet FOOTER metadata —
+    no Spark job.
+
+    Strategy-gating counts (e.g. sim_hamming_ann's corpus-size gate) only
+    need the table's cardinality; running ``df.count()`` for it paid a
+    full scan job per invocation.  Parquet footers carry the exact row
+    count per file, so this is driver-side metadata on the same footing
+    as ``df.inputFiles()`` in :func:`fan_out` — and it is exact, not an
+    estimate.  Handles both single-file fixtures and directory-style
+    replicas (Spark-written ``part-*.parquet``).
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        total = 0
+        for entry in os.listdir(path):
+            if entry.endswith(".parquet"):
+                total += pq.ParquetFile(os.path.join(path, entry)).metadata.num_rows
+        return total
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql queries)."""
     for name in FIXTURE_TABLES:
