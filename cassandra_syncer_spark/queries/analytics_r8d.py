@@ -73,35 +73,36 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no join, so no skew pairing; compaction = this exact plan
     written back partitioned by key range.
     """
-    snap = T(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_nationkey").alias("nat"),
-        F.round(F.lit(100) * F.col("c_acctbal")).cast("long").alias("bal"),
-        F.lit(0).cast("long").alias("seq"),
-        F.lit("I").alias("op"),
+    # round-11 (guide §2.4): the four changelog branches re-scanned the
+    # snapshot once EACH (Catalyst does not share scans across a union);
+    # one scan now emits each row's whole op list via a flatten+explode —
+    # identical (k, nat, bal, seq, op) rows, 4 scans → 1
+    merged = (
+        T(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_nationkey").alias("nat"),
+            F.round(F.lit(100) * F.col("c_acctbal")).cast("long").alias("bal"),
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(array("
+                    " array(named_struct('k', k, 'nat', nat, 'bal', bal,"
+                    "   'seq', 0L, 'op', 'I')),"
+                    " IF(k % 3 = 0, array(named_struct('k', k, 'nat', nat,"
+                    "   'bal', bal + 100000L, 'seq', 1L, 'op', 'U')),"
+                    "   array()),"
+                    " IF(k % 7 = 0, array(named_struct('k', k, 'nat', nat,"
+                    "   'bal', 0L, 'seq', 2L, 'op', 'D')), array()),"
+                    " IF(k % 11 = 0, array(named_struct('k', k + 10000000,"
+                    "   'nat', nat, 'bal', 555500L, 'seq', 3L, 'op', 'I')),"
+                    "   array())))"
+                )
+            ).alias("r")
+        )
+        .select("r.k", "r.nat", "r.bal", "r.seq", "r.op")
     )
-    upd = snap.filter(F.col("k") % 3 == 0).select(
-        "k",
-        "nat",
-        (F.col("bal") + 100000).alias("bal"),
-        F.lit(1).cast("long").alias("seq"),
-        F.lit("U").alias("op"),
-    )
-    dele = snap.filter(F.col("k") % 7 == 0).select(
-        "k",
-        "nat",
-        F.lit(0).cast("long").alias("bal"),
-        F.lit(2).cast("long").alias("seq"),
-        F.lit("D").alias("op"),
-    )
-    ins = snap.filter(F.col("k") % 11 == 0).select(
-        (F.col("k") + 10000000).alias("k"),
-        "nat",
-        F.lit(555500).cast("long").alias("bal"),
-        F.lit(3).cast("long").alias("seq"),
-        F.lit("I").alias("op"),
-    )
-    merged = snap.unionByName(upd).unionByName(dele).unionByName(ins)
     w = Window.partitionBy("k").orderBy(F.desc("seq"))
     latest = merged.withColumn("rn", F.row_number().over(w)).filter(
         (F.col("rn") == 1) & (F.col("op") != "D")

@@ -33,17 +33,28 @@ EMB_DIM = 64
 
 
 def _dot(a, b):
-    """Dot product with a codegen-friendly unrolled fast path.
+    """Dot product as the higher-order fold — the default for probe-sized
+    pair counts, where the ~330-node unrolled form costs more in Catalyst
+    planning per run than its per-row speedup returns (measured: the
+    4-plan ``sim_ivf_probe_curve`` union went 0.93× → 1.41× vs its
+    same-session vanilla when every ``_dot`` unrolled).  Heavy all-pairs
+    stages use :func:`_dot_unrolled` instead."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
-    The higher-order ``aggregate(zip_with(...))`` fold is interpreted
-    per element (lambda variables are CodegenFallback), which made it the
-    dominant cost of every pairwise-similarity stage — measured 13.7 s vs
-    6.3 s for 500 k pairs on one core (guide §4.1: prefer built-ins /
-    flat expressions over opaque per-element evaluation).  The unrolled
+
+def _dot_unrolled(a, b):
+    """Dot product with a codegen-friendly unrolled fast path — for
+    stages whose PAIR COUNT dwarfs the plan cost (the knn-graph bucket
+    self-join scores ~N·250 pairs).
+
+    The higher-order ``aggregate(zip_with(...))`` fold is interpreted per
+    element (lambda variables are CodegenFallback) — measured 13.7 s vs
+    6.3 s for 500 k pairs on one core (guide §4.1: prefer flat
+    expressions over opaque per-element evaluation).  The unrolled
     ``0.0 + a[0]*b[0] + a[1]*b[1] + …`` is the IDENTICAL left-to-right
     IEEE association as the fold (verified bit-identical, unrounded, on
     every sf0.1 pair), so rounded outputs cannot drift.  Arrays of any
-    other length take the original fold — same expression as before.
+    other length take the fold — same expression as :func:`_dot`.
     """
     fold = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
     unrolled = F.lit(0.0)
@@ -724,7 +735,7 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_id"),
             F.col("b.vec_id").alias("nbr_id"),
-            F.round(_dot(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+            F.round(_dot_unrolled(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
