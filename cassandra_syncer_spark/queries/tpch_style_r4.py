@@ -193,21 +193,28 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    nc = T(spark, sf_dir, "nation").select(
+    # round-11: the OR'd pair predicate spans two tables, so Catalyst can't
+    # infer its single-table implication — each side's nation must be one
+    # of the two named ones.  Pre-filtering both nation dims prunes the
+    # customer/supplier broadcasts AND drops non-qualifying fact rows at
+    # the earlier inner joins (guide §2.3 project/filter before the
+    # exchange); the final pair filter is unchanged, so output is too.
+    two_nations = ("NATION_3", "NATION_8")
+    nc = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(*two_nations)).select(
         F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
     )
-    ns = T(spark, sf_dir, "nation").select(
+    ns = T(spark, sf_dir, "nation").filter(F.col("n_name").isin(*two_nations)).select(
         F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
     )
     pair = (
         (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8")
     ) | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+    cn = c.join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+    sn = s.join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
     return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        li.join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cn), F.col("o_custkey") == F.col("c_custkey"))
         .filter(pair)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
