@@ -98,30 +98,90 @@ def sim_ivf_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     list grows, so the swept cost is the probed fraction (1/8, 2/8,
     4/8), never a new index build.  Ranking round(·,6)+id tie-broken →
     hash-identical rows.
+
+    Round-11 optimization (guide §2.4 remove redundant work): the sweep
+    is ONE plan, not three — the docstring's reuse claim made literal.
+    The corpus cell assignment (the dominant subtree: corpus × 8
+    centroid dots + a corpus-sized rank window) used to be re-derived
+    by every `ivf_topk` leg; now it is built once, each probe row fans
+    out to every curve point that includes it (`n_probe ≥ rn` — the
+    probe lists are nested by construction, so filtering the rank-≤-4
+    assignment IS the rank-≤-n assignment), and one (n_probe, q_id)
+    window ranks all three points together.  A literal left join pins
+    one output row per curve point even at zero hits, which is exactly
+    the old per-leg ungrouped-agg semantics.  Identical rows: oracle
+    parity green at sf0.001/0.01/0.1.
     """
     from cassandra_syncer_spark.queries.llm_similarity import (
-        ivf_topk,
+        N_QUERIES,
+        TOP_K,
+        _assign_cells,
+        _dot,
+        _vec,
         sim_cosine_topk,
     )
 
     truth = sim_cosine_topk(spark, sf_dir).select("q_id", "vec_id").localCheckpoint()
     exp_t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_expected"))
-    parts = []
-    for np_ in _PROBE_COUNTS:
-        top = ivf_topk(spark, sf_dir, quantizer="fixed", n_probe=np_).select(
-            "q_id", "vec_id"
+    emb = _vec(T(spark, sf_dir, "embeddings")).select("vec_id", "v")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    cells = _assign_cells(emb, centroids, n_probe=1)
+    # probe assignment ONCE at the deepest probe count, keeping the rank:
+    # rank ≤ n IS _assign_cells(probes, centroids, n) for every n ≤ max
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+    probe_pts = F.array(*[F.lit(n) for n in _PROBE_COUNTS])
+    q_all = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(centroids))
+        .select(
+            "vec_id", "v", "cell",
+            F.round(_dot(F.col("v"), F.col("cv")), 6).alias("sim"),
         )
-        parts.append(
-            top.join(truth, ["q_id", "vec_id"]).agg(
-                F.lit(np_).cast("long").alias("n_probe"),
-                F.count(F.lit(1)).cast("long").alias("n_hits"),
-            )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max(_PROBE_COUNTS))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            "cell",
+            F.explode(F.filter(probe_pts, lambda n: n >= F.col("rn"))).alias(
+                "n_probe"
+            ),
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    )
+    scored = (
+        cells.join(F.broadcast(q_all), "cell")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "n_probe",
+            "q_id",
+            "vec_id",
+            F.round(_dot(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("n_probe", "q_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    hits = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= TOP_K)
+        .join(truth, ["q_id", "vec_id"])
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    points = (
+        spark.range(1)
+        .select(F.explode(probe_pts).alias("np_i"))
+        .select(F.col("np_i").cast("long").alias("n_probe"))
+    )
     return (
-        out.crossJoin(F.broadcast(exp_t))
+        points.join(F.broadcast(hits), "n_probe", "left")
+        .select(
+            "n_probe",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("n_hits"),
+        )
+        .crossJoin(F.broadcast(exp_t))
         .withColumn(
             "recall_micro",
             F.expr("(1000000 * n_hits) div nullif(n_expected, 0)"),
