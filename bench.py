@@ -298,38 +298,32 @@ def main() -> None:
         compact["subset"] = detail["subset"]
     # keep the whole line inside the driver's tail (a >1900-char line
     # truncates into unparseable JSON — the BENCH_r05/r06 regression).
-    # Shedding order: vanilla timings first (recoverable as timing/ratio),
-    # then pure timed rows (gate-ratio rows keep their timings), then
-    # 2-decimal timings — each step structural, so future row additions
-    # can't silently outgrow the budget again (tests/test_cli.py asserts).
+    # Shedding order — EVERY timed row's timing stays on the line, always:
+    # round 11's ratio-ordered row shedding made the line lossy in the worst
+    # way (the better a query got, the likelier its timing vanished from the
+    # driver's round-over-round comparison — the round's biggest win was
+    # reported as "dropped_from_bench").  Now the sheddable payloads are, in
+    # order: absolute vanilla timings (recoverable as timing/ratio), timing
+    # precision (2 decimals), then the per-row gate-ratio map (replaced by
+    # summary stats on the line; the full map is in the detail file), then
+    # long subset lists.  All steps are deterministic and row-complete, so
+    # the same query set appears on the line every round.
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact.pop("baseline_same_session")
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        compact["queries"] = {k: v for k, v in timings.items() if k in ratios}
-        compact["timed_only_in_detail"] = sum(
-            1 for k in timings if k not in ratios
-        )
         line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
         }
         line = json.dumps(compact, separators=(",", ":"))
-    # final step (round 9: 33 gate rows overflowed even the rounded form):
-    # shed the SMALLEST-ratio timing rows into the detail file — every gate
-    # ratio stays on the line, timings for the near/over-gate rows stay too
-    if len(line) > 1900:
-        by_ratio = sorted(compact["queries"], key=lambda k: ratios.get(k, 0.0))
-        shed = 0
-        while len(line) > 1900 and by_ratio:
-            compact["queries"].pop(by_ratio.pop(0), None)
-            shed += 1
-            compact["timings_shed_to_detail"] = shed
-            line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900 and ratios:
+        compact.pop("ratio_vs_baseline_same_session")
+        compact["gate_ratios_in_detail"] = len(ratios)
+        compact["gate_ratio_max"] = max(ratios.values())
+        line = json.dumps(compact, separators=(",", ":"))
     # last resort: a long SPARK_GRAFT_BENCH_SKIP/ONLY list can keep the
-    # line over budget even after every query row is shed — collapse the
+    # line over budget even after the payload sheds — collapse the
     # subset lists to counts (full lists live in the detail file)
     if len(line) > 1900 and "subset" in compact:
         compact["subset"] = {k: len(v) for k, v in compact["subset"].items()}

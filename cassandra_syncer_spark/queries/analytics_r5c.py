@@ -245,7 +245,7 @@ def sim_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previously paid a full count() job per invocation)
     from cassandra_syncer_spark.session import table_row_count
 
-    n_corpus = table_row_count(sf_dir, "embeddings")
+    n_corpus = table_row_count(sf_dir, "embeddings", spark)
     if n_corpus < ab.EMB_THRESHOLD:
         return (
             F.broadcast(probes)

@@ -161,15 +161,41 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_seconds(ts) AS BIGINT)").alias("ts_sec"),
         F.expr("CAST(round(value * 100.0) AS BIGINT)").alias("v_centi"),
     )
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.expr(
-            "CAST(round(2.0 * percentile(v_centi, 0.5) OVER ("
-            "PARTITION BY user_id ORDER BY ts_sec, event_id "
-            "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS BIGINT)"
-        ).alias("med_demi_centi"),
-    ).orderBy("user_id", "event_id")
+    # round-12 (guide §4.1 prefer codegen'd built-ins): `percentile(...)
+    # OVER (ROWS 4 PRECEDING)` is an IMPERATIVE aggregate under a sliding
+    # frame — Spark rebuilds the percentile buffer (an OpenHashMap) and
+    # replays all ≤5 frame rows for EVERY output row.  The same statistic
+    # over a ≤5-row frame is 4 lags (O(1) offset frames on the same sort)
+    # + a sorted-array pick, all whole-stage-codegen.  Exactly equal by
+    # construction: for sorted a[0..n-1] the interpolating median doubles
+    # to a[(n-1) div 2] + a[n div 2] for every n (odd: 2·middle; even:
+    # the two middles' sum) — integer, so the old round() was an identity.
+    # NULL v_centi rows stay in the frame but carry no value — both
+    # percentile and the filtered array ignore them; all-NULL frames yield
+    # NULL either way.
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    frame = [F.col("v_centi")] + [
+        F.lag("v_centi", i).over(w) for i in range(1, 5)
+    ]
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.sort_array(
+                F.filter(F.array(*frame), lambda x: x.isNotNull())
+            ).alias("arr"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "IF(size(arr) = 0, CAST(NULL AS BIGINT),"
+                " element_at(arr, CAST((size(arr) - 1) div 2 + 1 AS INT))"
+                " + element_at(arr, CAST(size(arr) div 2 + 1 AS INT)))"
+            ).alias("med_demi_centi"),
+        )
+        .orderBy("user_id", "event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -22,12 +22,7 @@ from cassandra_syncer_spark.registry import register
 # ---------------------------------------------------------------------------
 
 
-#: coarse-bucket width for the two-phase counting selections (round 11):
-#: wide enough that the phase-1 histogram map-side-combines hard (~2,600
-#: cells over the ~10⁷ centi-price domain), narrow enough that the phase-2
-#: exact pass touches a ~1/2,600 row slice.  Pure implementation constant —
-#: the selected order statistics are identical for ANY width.
-_SEL_BUCKET = 4096
+from cassandra_syncer_spark.operators.constants import SEL_BUCKET as _SEL_BUCKET
 
 
 @register(

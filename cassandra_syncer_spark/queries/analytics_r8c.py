@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cassandra_syncer_spark.queries.analytics_r8b import _SEL_BUCKET
+from cassandra_syncer_spark.operators.constants import SEL_BUCKET as _SEL_BUCKET
 from cassandra_syncer_spark.queries.relational import T
 from cassandra_syncer_spark.registry import register
 

@@ -397,19 +397,26 @@ def feat_best_split_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("posc"),
     )
     wc = Window.orderBy("vc").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # round-11: the grand totals come from a 1-row aggregate broadcast
-    # instead of a second whole-partition window pass over the domain grid.
-    # (A bucket-parallel prefix for the cum window was measured and
-    # REJECTED: its extra exchanges cost more than the single-task walk
-    # saves on a domain-bounded grid — 1.14 s vs 0.80 s at sf0.1.)
-    totals = g.agg(
-        F.sum("cnt").alias("n"), F.sum("posc").alias("pos")
+    # round-12 (ADVICE r11): the round-11 broadcast-totals form referenced
+    # the domain-grid subtree g TWICE (totals agg + windowed select) and the
+    # planner did NOT reuse the exchange — the orders scan and the (vc) hash
+    # agg executed twice per run (2 scans, 0 ReusedExchange, measured).  The
+    # grand totals now come from an UNBOUNDED frame over the SAME window
+    # sort spec: Spark groups same-(partition, order) frames into ONE
+    # WindowExec, so totals ride the cumulative pass — one scan, one agg,
+    # one sort, no crossJoin.  (A bucket-parallel prefix for the cum window
+    # was measured and REJECTED in round 11: its extra exchanges cost more
+    # than the single-task walk saves on a domain-bounded grid.)
+    wt = Window.orderBy("vc").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     c = g.select(
         "vc",
         F.sum("cnt").over(wc).alias("nl"),
         F.sum("posc").over(wc).alias("posl"),
-    ).crossJoin(F.broadcast(totals))
+        F.sum("cnt").over(wt).alias("n"),
+        F.sum("posc").over(wt).alias("pos"),
+    )
     scored = c.filter((F.col("nl") > 0) & (F.col("nl") < F.col("n"))).select(
         "vc",
         "nl",

@@ -162,9 +162,9 @@ def fan_out(df: DataFrame, spark: SparkSession, min_partitions: int | None = Non
     return df.repartition(n)
 
 
-def table_row_count(sf_dir: str, name: str) -> int:
+def table_row_count(sf_dir: str, name: str, spark: SparkSession | None = None) -> int:
     """Exact row count of a fixture table from parquet FOOTER metadata —
-    no Spark job.
+    no Spark job on a local filesystem.
 
     Strategy-gating counts (e.g. sim_hamming_ann's corpus-size gate) only
     need the table's cardinality; running ``df.count()`` for it paid a
@@ -173,17 +173,32 @@ def table_row_count(sf_dir: str, name: str) -> int:
     as ``df.inputFiles()`` in :func:`fan_out` — and it is exact, not an
     estimate.  Handles both single-file fixtures and directory-style
     replicas (Spark-written ``part-*.parquet``).
+
+    Non-local ``sf_dir`` (``s3://``, ``hdfs://``, ``file:`` URIs — anything
+    ``os.path`` cannot see): the footers are not listable from here, so
+    fall back to one exact ``count()`` job through whatever filesystem the
+    session can read.  A directory replica with ZERO parquet files raises
+    instead of returning 0 — a silent 0 would flip the caller's strategy
+    gate on what is actually a broken path.
     """
     import pyarrow.parquet as pq
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isdir(path):
-        total = 0
-        for entry in os.listdir(path):
-            if entry.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(path, entry)).metadata.num_rows
-        return total
-    return pq.ParquetFile(path).metadata.num_rows
+        files = [e for e in os.listdir(path) if e.endswith(".parquet")]
+        if not files:
+            raise FileNotFoundError(f"no *.parquet files under {path}")
+        return sum(
+            pq.ParquetFile(os.path.join(path, e)).metadata.num_rows for e in files
+        )
+    if os.path.isfile(path):
+        return pq.ParquetFile(path).metadata.num_rows
+    if spark is not None:
+        return spark.read.parquet(path).count()
+    raise FileNotFoundError(
+        f"{path} is not a local file/dir and no SparkSession was given "
+        "for the non-local fallback"
+    )
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -303,17 +303,32 @@ def test_bench_contract_smoke(tmp_path):
     # or the artifact parses to null (BENCH_r05/r06 regression)
     assert len(line) <= 1900, len(line)
     d = json.loads(line)
-    for key in ("metric", "value", "unit", "queries", "sf",
-                "ratio_vs_baseline_same_session"):
+    for key in ("metric", "value", "unit", "queries", "sf"):
         assert key in d, key
     assert d["unit"] == "sec" and d["value"] > 0
     assert d["queries"] and all(v > 0 for v in d["queries"].values())
-    assert all(r > 0 for r in d["ratio_vs_baseline_same_session"].values())
     # full artifact (incl. absolute vanilla timings + forcing notes) lands
     # in the side file
     with open(detail_out) as fh:
         detail = json.load(fh)
     assert "baseline_same_session" in detail and "forcing" in detail
+    # EVERY timed headline row's timing is on the line — round-11's
+    # ratio-ordered shedding erased improved rows from the driver's
+    # round-over-round comparison; the line must stay row-complete
+    assert set(d["queries"]) == set(detail["queries"])
+    # the gate ratios ride the line when they fit; when shed for budget the
+    # line carries summary stats and the detail file keeps the full map
+    if "ratio_vs_baseline_same_session" in d:
+        assert all(
+            r > 0 for r in d["ratio_vs_baseline_same_session"].values()
+        )
+    else:
+        assert d["gate_ratios_in_detail"] == len(
+            detail["ratio_vs_baseline_same_session"]
+        )
+        assert d["gate_ratio_max"] == max(
+            detail["ratio_vs_baseline_same_session"].values()
+        )
 
 
 def test_bench_sweep_knobs(tmp_path):

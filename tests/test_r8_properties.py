@@ -307,10 +307,16 @@ def test_median_selection_plan_broadcast_cuts_only(spark, sf_dir):
     per-group cut spec onto the second scan (never a shuffled join of
     corpus rows), and every Exchange carries bucket/cut-slice rows —
     the full (group, value) grid is never shuffled."""
-    p = _plan(spark, sf_dir, "agg_median_selection")
-    assert "BroadcastHashJoin" in p, p
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
-    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+    for q in ("agg_median_selection", "agg_trimmed_mean_selection"):
+        p = _plan(spark, sf_dir, q)
+        assert "BroadcastHashJoin" in p, p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
+        # bounded exchange count (round-11 ADVICE): the two-phase shape
+        # plans 5 hash exchanges (bucket agg, two window repartitions, the
+        # cut-slice agg, its window) — a regression that reintroduces the
+        # full (group, value)-grid shuffle adds more
+        assert p.count("Exchange hashpartitioning") <= 5, p
 
 
 # ---------------------------------------------------------------------------
